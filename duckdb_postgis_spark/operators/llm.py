@@ -1,0 +1,818 @@
+"""LLM-data-pipeline operators L1-L9 + dedup/text extensions (SURVEY §2.10).
+
+Required by BASELINE.json's north-star: dedup (exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine), similarity search, text analysis — all
+designed so the same plan shape survives 100 TB.
+
+Determinism convention for oracles: all hashing uses md5 (identical hex on
+Spark and DuckDB), all ratios are exact-integer divisions surfaced as double,
+all float aggregates follow functions/num.py, and cosine values are rounded
+to 6 dp AFTER identical-formula computation on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from duckdb_postgis_spark.catalog import table
+from duckdb_postgis_spark.functions.num import dsum, sql_dsum
+from duckdb_postgis_spark.registry import query
+
+# --------------------------------------------------------------------------
+# L1 text stats
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           SUM(len(str_split(text, ' '))) AS sum_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc counts / char stats / token counts (SURVEY L1;
+    baseline 'text stats'). Scale: pure built-ins, partial agg, 5 groups."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+            F.sum(F.size(F.split("text", " "))).alias("sum_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# L2 normalize + tokenize
+# --------------------------------------------------------------------------
+@query(
+    "text_normalize_tokenize",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (
+        SELECT unnest(str_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS token
+        FROM documents
+    ) t
+    WHERE token != ''
+    GROUP BY token
+    ORDER BY token
+    """,
+)
+def text_normalize_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lowercase → strip non-letters → tokenize → explode → term frequency
+    (SURVEY L2). Scale: explode multiplies rows ~70×, but partial agg
+    collapses to |vocab| before the shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), " ")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy("token")
+    )
+
+
+# --------------------------------------------------------------------------
+# L3 exact dedup by content hash
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    ORDER BY keep_doc_id
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: sha256(text) → survivor = min(doc_id) (SURVEY L3).
+    Scale: THE canonical 100 TB dedup — hash shuffle on a 32-byte key; skew
+    impossible (hashes uniform); survivors stream out of the aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L4 MinHash + LSH near-dup — md5-based, fully deterministic, oracle-checked
+# --------------------------------------------------------------------------
+_MINHASH_SEEDS = 12
+_LSH_BAND_ROWS = 4  # 3 bands × 4 rows: P(candidate) = 1-(1-j^4)^3
+
+
+def _shingle_df(docs: DataFrame, n: int) -> DataFrame:
+    """Distinct n-word shingles per doc (docs shorter than n words drop)."""
+    w = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    return (
+        docs.filter(F.size(w) >= n)
+        .select("doc_id", F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM words WHERE len(w) >= 3
+    ),
+    mh AS (
+        SELECT doc_id, s.seed,
+               MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS mh
+        FROM sh CROSS JOIN (SELECT unnest(range({_MINHASH_SEEDS})) AS seed) s
+        GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+        SELECT doc_id, CAST(seed // {_LSH_BAND_ROWS} AS INTEGER) AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS bsig
+        FROM mh GROUP BY doc_id, CAST(seed // {_LSH_BAND_ROWS} AS INTEGER)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(AVG(CASE WHEN x.mh = y.mh THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+    FROM cand c
+    JOIN mh x ON x.doc_id = c.doc_a
+    JOIN mh y ON y.doc_id = c.doc_b AND y.seed = x.seed
+    GROUP BY c.doc_a, c.doc_b
+    ORDER BY c.doc_a, c.doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs with estimated Jaccard
+    (SURVEY L4). md5-keyed minhash (seed-salted) makes the signature
+    deterministic and cross-engine checkable — a DuckDB oracle verifies the
+    whole pipeline, not just row counts.
+
+    Scale: this is the standard shingle→minhash→band→bucket-join layout:
+    cost is linear in corpus size; the only join is on band signatures whose
+    buckets are tiny by construction. No all-pairs product ever forms."""
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingle_df(docs, 3)
+    seeds = spark.range(_MINHASH_SEEDS).select(F.col("id").alias("seed"))
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        mh.withColumn("band", F.floor(F.col("seed") / _LSH_BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s.getField("mh"),
+                    ),
+                )
+            ).alias("bsig")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), F.col("bsig").alias("sig_a")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("bsig").alias("sig_b")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("sig_a") == F.col("sig_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = mh.select(F.col("doc_id").alias("doc_a"), "seed", F.col("mh").alias("mh_a"))
+    y = mh.select(F.col("doc_id").alias("doc_b"), "seed", F.col("mh").alias("mh_b"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("mh_a") == F.col("mh_b"), 1.0).otherwise(0.0)), 6
+            ).alias("est_jaccard")
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard exact near-dup (relational set-similarity)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH words AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM words WHERE len(w) >= 3
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / (x.n + y.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sz x ON x.doc_id = doc_a
+    JOIN sz y ON y.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via the inverted-
+    index self-join — never a cross product: only docs sharing a shingle
+    meet. Jaccard is exact-integer division → bit-identical double.
+    Scale: the shingle join is the classic set-similarity plan; at 100 TB add
+    a prefix-filter (rarest-shingle) before the join; skewed hot shingles are
+    handled by AQE skew-join or a stopword-shingle drop."""
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingle_df(docs, 3)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(sb, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup (pandas-UDF; rows-only — python-side bit ops)
+# --------------------------------------------------------------------------
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (hamming ≤ 8) (north-star dedup set).
+    Signatures via an Arrow-batched mapInPandas (md5-derived token hashes,
+    bitwise majority vote); pair generation via banding on the top-16 bits so
+    candidate buckets stay small. Rows-only check: python bit-twiddling has
+    no SQL twin. Scale: signature pass is linear; the band join bounds pair
+    work exactly like LSH."""
+    import pandas as pd  # noqa: F401 (imported for executors)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def sig_batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                votes = np.zeros(64, dtype=np.int64)
+                for tok in set(str(text).split(" ")):
+                    h = int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big"
+                    )
+                    bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+                    votes += np.where(bits == 1, 1, -1)
+                sig = 0
+                for i in range(64):
+                    if votes[i] > 0:
+                        sig |= 1 << i
+                out.append((doc_id, sig - (1 << 64) if sig >= (1 << 63) else sig))
+            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("simhash", LongType())]
+    )
+    sigs = docs.mapInPandas(sig_batches, schema=schema)
+    banded = sigs.withColumn("band", F.shiftrightunsigned("simhash", 48))
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band"
+    )
+    return (
+        a.join(b, ["band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# L5 embedding normalization
+# --------------------------------------------------------------------------
+_SQL_SUMSQ = "list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))"
+
+
+@query(
+    "embed_normalize",
+    oracle=f"""
+    SELECT vec_id,
+           ROUND(sqrt({_SQL_SUMSQ}), 6) AS l2_norm,
+           ROUND(CAST(embedding[1] AS DOUBLE) / sqrt({_SQL_SUMSQ}), 6) AS first_unit
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings (SURVEY L5) — JVM-side higher-order fold, no
+    Python. Scale: narrow map over the vector column, no shuffle."""
+    emb = table(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(sumsq)
+    return emb.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.element_at("embedding", 1).cast("double") / norm, 6).alias("first_unit"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# L6 pairwise cosine top-k (block-matmul scale path)
+# --------------------------------------------------------------------------
+_SQL_COS = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))"
+    " * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x))))"
+)
+
+
+@query(
+    "knn_cosine_topk",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROUND({_SQL_COS}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY {_SQL_COS} DESC, a.vec_id, b.vec_id
+    LIMIT 20
+    """,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 cosine-similar embedding pairs (SURVEY L6; baseline 'pairwise
+    cosine'). Implementation is the 100 TB block pattern: one side broadcast
+    as a NumPy matrix, the other streamed through mapInPandas, BLAS matmul
+    per Arrow batch, per-batch top-k, then a global TakeOrdered of 20 rows.
+    Nothing quadratic ever materializes.
+    """
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf = emb.toPandas()  # broadcast side: |V|×64 floats (tiny vs corpus)
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    mat_unit = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    sc = spark.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_mat = sc.broadcast(mat_unit)
+    k = 20
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        B, BI = b_mat.value, b_ids.value
+        for p in it:
+            aid = p["vec_id"].to_numpy()
+            A = np.stack(p["embedding"].to_numpy()).astype("float64")
+            A = A / np.sqrt((A * A).sum(axis=1, keepdims=True))
+            sims = A @ B.T
+            mask = aid[:, None] < BI[None, :]
+            sims = np.where(mask, sims, -np.inf)
+            flat = sims.ravel()
+            take = min(k, int(mask.sum()))
+            if take == 0:
+                continue
+            top = np.argpartition(flat, -take)[-take:]
+            rows, cols = np.unravel_index(top, sims.shape)
+            yield pd.DataFrame(
+                {"a_id": aid[rows], "b_id": BI[cols], "cosine": flat[top]}
+            )
+
+    schema = StructType(
+        [
+            StructField("a_id", LongType()),
+            StructField("b_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    return (
+        emb.mapInPandas(batches, schema=schema)
+        .orderBy(F.col("cosine").desc(), "a_id", "b_id")
+        .limit(k)
+        .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (threshold form of L6)
+# --------------------------------------------------------------------------
+_SQL_COS_THRESH = 0.4
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROUND({_SQL_COS}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_SQL_COS} >= {_SQL_COS_THRESH}
+    ORDER BY a.vec_id, b.vec_id
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4) via JVM-side
+    zip_with/aggregate dot product over the self-join (north-star dedup set).
+    Scale: swap the naive self-join for the L6 block-matmul or LSH-bucketed
+    variant (knn_ivf_lsh) — the threshold filter composes unchanged."""
+    emb = table(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("va"),
+        F.sqrt(sumsq).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("vb"),
+        F.sqrt(sumsq).alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= _SQL_COS_THRESH)
+        .select("a_id", "b_id", F.round("cosine_raw", 6).alias("cosine"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L7 query-vector similarity search
+# --------------------------------------------------------------------------
+@query(
+    "similarity_search_query",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT b.vec_id, ROUND(
+        list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        / (sqrt(list_sum(list_transform(CAST(q.qe AS DOUBLE[]), x -> x * x)))
+           * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)))), 6
+    ) AS cosine
+    FROM embeddings b CROSS JOIN q
+    WHERE b.vec_id != 0
+    ORDER BY
+        list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        / (sqrt(list_sum(list_transform(CAST(q.qe AS DOUBLE[]), x -> x * x)))
+           * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)))) DESC,
+        b.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-vector → top-10 nearest docs (SURVEY L7): broadcast the single
+    query row, JVM-side dot product, TakeOrdered(10). Scale: exactly the
+    serving pattern — broadcast tiny side, one pass over the corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    sumsq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.sqrt(sumsq("qe")) * F.sqrt(sumsq("embedding")))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine_raw", cos)
+        .orderBy(F.col("cosine_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# L8 multimodal join (text ⋈ vectors)
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_join",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           len(e.embedding) AS dim,
+           ROUND(sqrt({_SQL_SUMSQ.replace('embedding', 'e.embedding')}), 6) AS l2_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ORDER BY d.doc_id
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents ⋈ embeddings on doc_id=vec_id: mixed text + vector output
+    (SURVEY L8). Scale: co-partition both tables on doc id at write time
+    (bucketing) → zero-shuffle join; here AQE picks broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.size("embedding").alias("dim"),
+            F.round(F.sqrt(sumsq), 6).alias("l2_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L9 grouped pandas analysis
+# --------------------------------------------------------------------------
+@query(
+    "text_analysis_grouped",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MAX(len(str_split(text, ' '))) AS max_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_analysis_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source grouped analysis via applyInPandas (SURVEY L9) — the Arrow
+    grouped-map path for custom python analytics. Aggregates chosen to be
+    exactly reproducible (integer sums → one double division).
+    Scale: one shuffle on source; each group is a pandas frame — bound group
+    size by pre-bucketing sources at 100 TB."""
+    docs = table(spark, sf_dir, "documents").select("source", "text", "n_chars")
+
+    def analyze(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        sum_chars = int(pdf["n_chars"].sum())
+        toks = pdf["text"].astype(str).str.split(" ").str.len()
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [n],
+                "sum_chars": [sum_chars],
+                "avg_chars": [sum_chars / n],
+                "max_tokens": [int(toks.max())],
+            }
+        )
+
+    schema = (
+        "source string, n_docs long, sum_chars long, avg_chars double, max_tokens long"
+    )
+    return docs.groupBy("source").applyInPandas(analyze, schema=schema).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# language-ID heuristic
+# --------------------------------------------------------------------------
+@query(
+    "text_language_id",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               CAST(len(list_filter(str_split(text, ' '), w -> w = 'the' OR w = 'a'))
+                    AS DOUBLE) / len(str_split(text, ' ')) AS stop_ratio
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN stop_ratio >= 0.02 THEN 'en' ELSE 'und' END AS predicted,
+           COUNT(*) AS n,
+           ROUND(AVG(stop_ratio), 6) AS avg_stop_ratio
+    FROM scored
+    GROUP BY lang, CASE WHEN stop_ratio >= 0.02 THEN 'en' ELSE 'und' END
+    ORDER BY lang, predicted
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language-ID heuristic (north-star text analysis):
+    classify docs by English-function-word ratio, confusion counts vs the
+    labeled lang column. Scale: pure JVM expressions, 10 output rows."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    stop_ratio = (
+        F.size(F.filter(w, lambda t: (t == "the") | (t == "a"))).cast("double")
+        / F.size(w)
+    )
+    scored = docs.select("lang", stop_ratio.alias("stop_ratio"))
+    predicted = F.when(F.col("stop_ratio") >= 0.02, "en").otherwise("und")
+    return (
+        scored.select("lang", predicted.alias("predicted"), "stop_ratio")
+        .groupBy("lang", "predicted")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+        )
+        .orderBy("lang", "predicted")
+    )
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, n_chars,
+               len(str_split(text, ' ')) AS n_tokens,
+               CAST(len(list_filter(str_split(text, ' '), w -> w = 'the' OR w = 'a'))
+                    AS DOUBLE) / len(str_split(text, ' ')) AS stop_ratio,
+               CAST(n_chars - (len(str_split(text, ' ')) - 1) AS DOUBLE)
+                    / len(str_split(text, ' ')) AS avg_word_len
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, ROUND(stop_ratio, 6) AS stop_ratio,
+           ROUND(avg_word_len, 6) AS avg_word_len,
+           (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 1 ELSE 0 END
+            + CASE WHEN stop_ratio >= 0.01 THEN 1 ELSE 0 END
+            + CASE WHEN avg_word_len BETWEEN 3 AND 6 THEN 1 ELSE 0 END) AS quality
+    FROM f
+    ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality scoring: length band + stopword ratio + word-length
+    band → 0-3 score (north-star text analysis; the standard pre-training
+    quality-filter shape). All ratios exact-integer divisions. Scale: narrow
+    map, no shuffle; the filter predicate pushes into the scan at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_tokens = F.size(w)
+    stop_ratio = (
+        F.size(F.filter(w, lambda t: (t == "the") | (t == "a"))).cast("double") / n_tokens
+    )
+    avg_word_len = (F.col("n_chars") - (n_tokens - 1)).cast("double") / n_tokens
+    quality = (
+        F.when(n_tokens.between(20, 200), 1).otherwise(0)
+        + F.when(stop_ratio >= 0.01, 1).otherwise(0)
+        + F.when(avg_word_len.between(3, 6), 1).otherwise(0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        quality.alias("quality"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# token counting (whitespace + regex tokenizer)
+# --------------------------------------------------------------------------
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(str_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS re_tokens,
+           len(list_distinct(str_split(text, ' '))) AS distinct_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, regex-tokenizer tokens (BPE-ish
+    pre-tokenize regex), distinct vocab per doc (north-star text analysis).
+    Scale: JVM regexp, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("re_tokens"),
+        F.size(F.array_distinct(w)).alias("distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting (min-hash winnowing over 5-gram shingles)
+# --------------------------------------------------------------------------
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH words AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 3),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+        FROM words WHERE len(w) >= 5
+    )
+    SELECT doc_id, MIN(md5(shingle)) AS fingerprint, COUNT(DISTINCT shingle) AS n_shingles
+    FROM sh GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint = min md5 over 5-word rolling shingles (winnowing
+    lite; north-star text analysis). Deterministic md5 → oracle-checked.
+    Scale: explode + min-agg; partial agg keeps the shuffle at 1 row/doc."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(w) - 5)
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(5)]
+        ),
+    )
+    return (
+        docs.filter(F.size(w) >= 5)
+        .select("doc_id", F.explode(shingle).alias("shingle"))
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.md5("shingle")).alias("fingerprint"),
+            F.countDistinct("shingle").alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,701 @@
+"""Relational engine surface R1-R20 (SURVEY.md §2.8).
+
+The reference delegates its whole relational surface to DuckDB's general SQL
+engine (``core_processor.rs:391-438``); these queries re-declare that surface
+on Spark DataFrame/Catalyst.  Every query is registered with a DuckDB oracle
+(same column names, exact-arithmetic money aggregates per functions/num.py).
+
+Scale notes are attached per-query: each states the expected physical plan at
+100 TB (broadcast vs shuffle, pushdown, AQE reliance) — the test suite
+additionally asserts the plan shape for the broadcast star join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_postgis_spark.catalog import register_views, table
+from duckdb_postgis_spark.functions.num import davg, dec, dsum, sql_davg, sql_dsum
+from duckdb_postgis_spark.registry import query
+
+
+# --------------------------------------------------------------------------
+# R1 scan + projection
+# --------------------------------------------------------------------------
+@query(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber, l_extendedprice AS price,
+           l_returnflag AS flag
+    FROM lineitem
+    """,
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan + column projection + alias (ref: the SELECT * loads,
+    core_processor.rs:419-424, narrowed). Scale: column pruning reaches the
+    parquet reader (ReadSchema shows only 5 cols); no shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R2 predicates
+# --------------------------------------------------------------------------
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 25
+      AND l_returnflag IN ('A', 'R')
+      AND l_discount > 0.02
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive / range / IN predicates (ref's only filters are IS NOT NULL,
+    geo_strategy.rs:328; this is the general form). Scale: all four predicates
+    push to parquet row-group stats (PushedFilters); no shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 25)
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_discount") > 0.02)
+        & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# R3 pricing summary (TPC-H Q1 shape) — the flagship
+# --------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+                AS DOUBLE) AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate, 2 group keys, 9 aggregates, sort (TPC-H Q1 shape).
+    Scale: partial aggregation map-side collapses 6 groups before the
+    exchange — shuffle moves ~6 rows/partition regardless of input size."""
+    li = table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price * (one + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# R4 inner hash join
+# --------------------------------------------------------------------------
+@query(
+    "join_inner_hash",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           {sql_dsum('l.l_extendedprice')} AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join fact-to-fact + aggregate. Scale: both sides shuffle on
+    l_orderkey/o_orderkey (sort-merge); at 100 TB pre-bucketing both tables
+    on orderkey makes this a zero-shuffle join. AQE handles skew."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# R5 broadcast star join (4-way)
+# --------------------------------------------------------------------------
+@query(
+    "join_broadcast_4way",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast_4way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join orders⋈customer⋈nation⋈region, dims broadcast (SURVEY R5).
+    Scale: the fact table never shuffles — all three dims are broadcast hash
+    joins, so the plan is scan→3×BHJ→partial agg→tiny exchange. This is the
+    plan that survives 100 TB; tests assert BroadcastHashJoin appears."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# R6 outer joins
+# --------------------------------------------------------------------------
+@query(
+    "join_left_right_full",
+    oracle="""
+    SELECT 'left' AS how, c.c_mktsegment,
+           COUNT(*) AS n_rows, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    UNION ALL
+    SELECT 'right' AS how, c.c_mktsegment,
+           COUNT(*) AS n_rows, COUNT(o.o_orderkey) AS n_orders
+    FROM orders o RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    UNION ALL
+    SELECT 'full' AS how, c.c_mktsegment,
+           COUNT(*) AS n_rows, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left / right / full outer joins with null-preserving counts.
+    Scale: outer joins can't broadcast the null-producing side; left/right
+    broadcast the other side, full outer is SMJ. COUNT(col) vs COUNT(*)
+    exercises null semantics."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+
+    def agg_of(j: DataFrame, how: str) -> DataFrame:
+        return j.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_rows"), F.count("o_orderkey").alias("n_orders")
+        ).select(F.lit(how).alias("how"), "c_mktsegment", "n_rows", "n_orders")
+
+    on = customer.c_custkey == orders.o_custkey
+    left = agg_of(customer.join(orders, on, "left"), "left")
+    right = agg_of(orders.join(customer, on, "right"), "right")
+    full = agg_of(customer.join(orders, on, "full"), "full")
+    return left.union(right).union(full)
+
+
+# --------------------------------------------------------------------------
+# R7 semi / anti joins
+# --------------------------------------------------------------------------
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT 'semi' AS kind, c_mktsegment, COUNT(*) AS n
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'anti' AS kind, c_mktsegment, COUNT(*) AS n
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS via left_semi / left_anti joins.
+    Scale: semi/anti need only the join keys of the right side — Spark
+    broadcasts the deduped key set when small; at 100 TB a bloom-filter
+    pre-pass (Spark runtime row-level filtering) keeps it one-pass."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    on = customer.c_custkey == orders.o_custkey
+
+    def agg_of(j: DataFrame, kind: str) -> DataFrame:
+        return j.groupBy("c_mktsegment").agg(F.count("*").alias("n")).select(
+            F.lit(kind).alias("kind"), "c_mktsegment", "n"
+        )
+
+    semi = agg_of(customer.join(orders, on, "left_semi"), "semi")
+    anti = agg_of(customer.join(orders, on, "left_anti"), "anti")
+    return semi.union(anti)
+
+
+# --------------------------------------------------------------------------
+# R8 theta / range join
+# --------------------------------------------------------------------------
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT a.event_type, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.event_type = b.event_type
+     AND a.event_id < b.event_id
+     AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.event_type
+    ORDER BY a.event_type
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) self-join: event pairs of the same type within ±5 min.
+    Scale: the equi part (event_type) hash-partitions; the time band is
+    evaluated inside each partition. For 100 TB, bucketize ts into 5-min
+    buckets and join on (type, bucket±1) to bound the per-key cross
+    product — same results, linear work."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    cond = (
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & F.col("b.ts").between(
+            F.col("a.ts") - F.expr("INTERVAL 5 MINUTES"),
+            F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"),
+        )
+    )
+    return (
+        a.join(b, cond, "inner")
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# R9 as-of join
+# --------------------------------------------------------------------------
+@query(
+    "join_asof",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, last_event_ts, last_event_value
+    FROM (
+        SELECT o.o_orderkey, o.o_orderdate,
+               e.ts AS last_event_ts, e.value AS last_event_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o.o_orderkey
+                   ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST
+               ) AS rn
+        FROM orders o
+        LEFT JOIN events e
+          ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    ) t
+    WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest event at-or-before each order's date for that
+    customer (Spark has no native ASOF — window rewrite, SURVEY R9).
+    Scale: the inequality join fans out per (user, order) before rn=1 prunes;
+    at 100 TB replace with the union-merge pattern (union both streams,
+    window last_value over user ordered by ts) — one shuffle, no fan-out."""
+    orders = table(spark, sf_dir, "orders")
+    events = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    j = orders.join(
+        events,
+        (events.user_id == orders.o_custkey) & (events.ts <= orders.o_orderdate),
+        "left",
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ts").desc_nulls_last(), F.col("event_id").desc_nulls_last()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("ts").alias("last_event_ts"),
+            F.col("value").alias("last_event_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# R10 distinct aggregates
+# --------------------------------------------------------------------------
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS nd_part,
+           COUNT(DISTINCT l_suppkey) AS nd_supp,
+           COUNT(DISTINCT l_orderkey) AS nd_order
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT DISTINCT. Scale: Spark expands multi-distinct via
+    grouping-id, one shuffle per distinct set; for 100 TB prefer
+    approx_count_distinct (R11) or pre-aggregated sketches."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_part"),
+            F.countDistinct("l_suppkey").alias("nd_supp"),
+            F.countDistinct("l_orderkey").alias("nd_order"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# R11 approximate distinct (HLL) — rows-only (approximation differs by engine)
+# --------------------------------------------------------------------------
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate count-distinct. No oracle: sketch estimates
+    are engine-specific (driver records rows-only). Scale: this IS the
+    100 TB answer to R10 — mergeable sketch, single shuffle of tiny state."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd_part"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_nd_order"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# R12 rollup / cube
+# --------------------------------------------------------------------------
+@query(
+    "grouping_sets_cube_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def grouping_sets_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping sets incl. grand
+    total. Scale: Spark expands the cube map-side (4× rows into the partial
+    agg) then one shuffle of ~4×|groups| rows — constant for 6 groups."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# R13 ranking window, top-N per group
+# --------------------------------------------------------------------------
+@query(
+    "window_rank_topn",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               RANK() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via ranking window (SURVEY R13; baseline
+    'window rank'). o_orderkey tiebreak makes row_number deterministic.
+    Scale: one hash shuffle on o_custkey + per-partition sort; AQE coalesces.
+    Spark 3.5+ inserts WindowGroupLimit so each partition keeps only 3 rows
+    pre-sort — no full materialization."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# R14 analytic window (lag/lead/running sum)
+# --------------------------------------------------------------------------
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / running sum with an explicit ROWS frame (SURVEY R14).
+    Running sum uses the exact-decimal convention so the cumulative doubles
+    match DuckDB bit-for-bit. Scale: single shuffle on o_custkey."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(dec("o_totalprice")).over(wf).cast("double").alias("running_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R15 global top-k
+# --------------------------------------------------------------------------
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (SURVEY R15; baseline 'top-k').
+    Scale: Catalyst compiles to TakeOrderedAndProject — per-partition heap of
+    10 rows, no global sort; the only data movement is k rows per task."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# R16 set operations
+# --------------------------------------------------------------------------
+@query(
+    "set_ops",
+    oracle="""
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    SELECT 'union_all' AS op, o_custkey FROM (SELECT o_custkey FROM a UNION ALL SELECT o_custkey FROM b) u
+    UNION ALL
+    SELECT 'intersect' AS op, o_custkey FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b) i
+    UNION ALL
+    SELECT 'except' AS op, o_custkey FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b) e
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL / INTERSECT / EXCEPT (distinct semantics like SQL).
+    Scale: INTERSECT/EXCEPT compile to aggregate+join shuffles on the full
+    row; keep projections narrow before set ops."""
+    orders = table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "o_custkey")  # noqa: E731
+    return (
+        tag(a.union(b), "union_all")
+        .union(tag(a.intersect(b), "intersect"))
+        .union(tag(a.subtract(b), "except"))
+    )
+
+
+# --------------------------------------------------------------------------
+# R17 scalar expression surface
+# --------------------------------------------------------------------------
+@query(
+    "scalar_string_date_math",
+    oracle="""
+    SELECT o_orderkey,
+           UPPER(o_orderstatus) AS status_u,
+           SUBSTRING(o_orderpriority, 1, 3) AS prio3,
+           CONCAT_WS('-', o_orderstatus, o_orderpriority) AS status_prio,
+           LENGTH(o_orderpriority) AS prio_len,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS oyear,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS omonth,
+           CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS oday,
+           ABS(o_totalprice) AS abs_price,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS floor_price,
+           CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_class
+    FROM orders
+    """,
+)
+def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface: string / date / math / CASE (SURVEY R17 —
+    generalizes the reference's only scalar usage, CAST + string mangling at
+    geo_strategy.rs:174-175, core_processor.rs:86-94). All whole-stage
+    codegen; no shuffle."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_u"),
+        F.substring("o_orderpriority", 1, 3).alias("prio3"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").cast("int").alias("oyear"),
+        F.month("o_orderdate").cast("int").alias("omonth"),
+        F.dayofmonth("o_orderdate").cast("int").alias("oday"),
+        F.abs("o_totalprice").alias("abs_price"),
+        F.floor("o_totalprice").cast("bigint").alias("floor_price"),
+        F.when(F.col("o_totalprice") > 200000, "big").otherwise("small").alias("size_class"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R18 array ops + JSON extraction
+# --------------------------------------------------------------------------
+@query(
+    "array_map_json",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 6) AS sumsq
+    FROM embeddings
+    """,
+)
+def array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over embedding vectors (SURVEY R18a):
+    size / element_at / transform+aggregate fold. Stays entirely JVM-side —
+    no Python UDF. Scale: narrow map, no shuffle."""
+    emb = table(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        F.round(sumsq, 6).alias("sumsq"),
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY k
+    ORDER BY k
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from events.props (SURVEY R18b) + aggregate.
+    Scale: get_json_object is codegen'd JVM-side; the groupBy shuffles only
+    ~100 distinct k groups after partial agg."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# R19 subqueries (scalar + IN) — same SQL text runs on both engines
+# --------------------------------------------------------------------------
+_R19_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                 / COUNT(*) FROM orders)
+      AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("subquery_scalar_in", oracle=_R19_SQL)
+def subquery_scalar_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + IN subquery (SURVEY R19), identical SQL text on both
+    engines. Catalyst decorrelates: scalar subquery → broadcast single-row,
+    IN → left-semi join. Scale: both rewrites are broadcast-friendly."""
+    register_views(spark, sf_dir)
+    return spark.sql(_R19_SQL)
+
+
+# --------------------------------------------------------------------------
+# R20 DISTINCT dedup
+# --------------------------------------------------------------------------
+@query(
+    "distinct_dedup_exact",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus,
+           CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year
+    FROM lineitem
+    """,
+)
+def distinct_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (exact row dedup, SURVEY R20). Scale: partial distinct
+    map-side then shuffle of unique triples only."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).distinct()
