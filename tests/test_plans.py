@@ -1,0 +1,91 @@
+"""Physical-plan shape assertions — the 100 TB design gates.
+
+Correct results with the wrong plan don't survive a 1000× scale-up; these
+tests pin the plan properties SURVEY.md §4 commits to: pushdown reaching the
+scan, broadcast joins for dims, TakeOrderedAndProject for top-k,
+WindowGroupLimit for rank-filter, partial aggregation before exchanges.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def plan_of(df) -> str:
+    df.collect()  # finalize the AQE plan so codegen ids / join picks are real
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    from duckdb_postgis_spark import registry
+
+    registry.load_all()
+
+    def get(name):
+        return plan_of(registry.QUERIES[name](spark, sf_dir))
+
+    return get
+
+
+def test_filter_pushdown_reaches_parquet(plans):
+    p = plans("filter_pred")
+    assert "PushedFilters: [" in p
+    # at least the range + IN predicates must push down
+    assert "GreaterThanOrEqual" in p or "GreaterThan" in p
+    assert "In(l_returnflag" in p
+
+
+def test_column_pruning_scan_project(plans):
+    p = plans("scan_project")
+    # ReadSchema must carry only the 5 projected columns — no l_shipdate etc.
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_shipdate" not in read and "l_quantity" not in read
+
+
+def test_star_join_broadcasts_dims(plans):
+    p = plans("join_broadcast_4way")
+    assert p.count("BroadcastHashJoin") >= 3, p
+
+
+def test_topk_is_take_ordered(plans):
+    p = plans("sort_limit_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p  # no global sort shuffle
+
+
+def test_rank_topn_uses_window_group_limit(plans):
+    # Spark 3.5+/4 prunes each partition to k rows before the full window
+    p = plans("window_rank_topn")
+    assert "WindowGroupLimit" in p
+
+
+def test_pricing_summary_partial_agg(plans):
+    p = plans("pricing_summary")
+    # partial then final hash aggregate around a single hash exchange
+    # (the second exchange is the final orderBy's range partitioning)
+    # node details live below both plan trees; structural count on the
+    # final-plan tree only (AQE explain prints final + initial trees)
+    final_tree = p.split("== Initial Plan ==")[0]
+    assert final_tree.count("HashAggregate") >= 2
+    assert "partial_sum" in p
+    # exactly 2 exchanges: one hash (groupBy), one range (orderBy)
+    assert final_tree.count("Exchange") == 2
+
+
+def test_semi_anti_join_types(plans):
+    p = plans("join_semi_anti")
+    assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_whole_stage_codegen_everywhere(plans):
+    # formatted explain marks codegen'd operators with [codegen id : N]
+    for name in ("pricing_summary", "filter_pred", "scalar_string_date_math"):
+        assert "codegen id" in plans(name)
+
+
+def test_dedup_exact_partial_agg(plans):
+    p = plans("dedup_exact_hash")
+    assert p.count("HashAggregate") >= 2  # map-side partial dedup
