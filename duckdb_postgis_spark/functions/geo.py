@@ -34,28 +34,28 @@ def classify_crs_from_ranges(
       4. fallback → EPSG:4326
     """
     if (
-        -180.0 <= min_x <= 180.0
-        and -180.0 <= max_x <= 180.0
-        and -90.0 <= min_y <= 90.0
-        and -90.0 <= max_y <= 90.0
+        min_x >= -180.0
+        and max_x <= 180.0
+        and min_y >= -90.0
+        and max_y <= 90.0
         and (max_x - min_x) < 10.0
         and (max_y - min_y) < 10.0
     ):
         return "4326"
     if (
-        0.0 <= min_x <= 800000.0
-        and 0.0 <= max_x <= 800000.0
-        and 0.0 <= min_y <= 1400000.0
-        and 0.0 <= max_y <= 1400000.0
+        min_x >= 0.0
+        and max_x <= 800000.0
+        and min_y >= 0.0
+        and max_y <= 1400000.0
         and min_x > 1000.0
         and min_y > 1000.0
     ):
         return "27700"
     if (
-        -20037508.34 <= min_x <= 20037508.34
-        and -20037508.34 <= max_x <= 20037508.34
-        and -20048966.1 <= min_y <= 20048966.1
-        and -20048966.1 <= max_y <= 20048966.1
+        -20037508.0 <= min_x
+        and max_x <= 20037508.0
+        and -20037508.0 <= min_y
+        and max_y <= 20037508.0
         and ((max_x - min_x) > 10000.0 or (max_y - min_y) > 10000.0)
     ):
         return "3857"

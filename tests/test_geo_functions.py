@@ -1,0 +1,152 @@
+"""Geo math + detection unit tests: reference thresholds exactly
+(geo_strategy.rs:228-253, :22-44), published OSGB accuracy, WKB codec."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from duckdb_postgis_spark.functions.geo import (
+    bng_to_wgs84,
+    classify_crs_from_ranges,
+    crs_from_prj_text,
+    parse_wkt_point,
+    probe_geometry_encoding,
+    webmercator_to_wgs84,
+    wgs84_to_webmercator,
+    wkb_point_encode,
+    wkb_point_decode,
+    transform_xy,
+)
+from duckdb_postgis_spark.functions.geo_detect import (
+    find_coordinate_pair,
+    sanitize_geom_name,
+    synthesized_geom_name,
+)
+
+
+# --- CRS range classifier: the reference decision ladder ------------------
+def test_classify_lonlat_small_extent():
+    assert classify_crs_from_ranges(-0.5, 0.5, 51.0, 52.0) == "4326"
+
+
+def test_classify_bng():
+    assert classify_crs_from_ranges(400000, 600000, 100000, 500000) == "27700"
+
+
+def test_classify_bng_rejects_sub_1000_min():
+    # min must exceed 1000 (geo_strategy.rs:240-242) → BNG rejected; large
+    # extent inside Web-Mercator bounds then matches rule 3 (rs:245-249)
+    assert classify_crs_from_ranges(500, 600000, 100000, 500000) == "3857"
+
+
+def test_classify_web_mercator():
+    assert classify_crs_from_ranges(-8_000_000, -7_900_000, 5_000_000, 5_100_000) == "3857"
+
+
+def test_classify_fallback():
+    # >10° lon/lat extent fails rule 1; not in BNG/3857 envelopes → 4326
+    assert classify_crs_from_ranges(-170, 170, -80, 80, ) == "4326"
+
+
+def test_prj_text():
+    assert crs_from_prj_text('PROJCS["British_National_Grid",GEOGCS["GCS_OSGB 1936"...') == "27700"
+    assert crs_from_prj_text("...OSGB_1936...") == "27700"
+    assert crs_from_prj_text("EPSG 27700 something") == "27700"
+    assert crs_from_prj_text('GEOGCS["WGS 84"]') == "4326"
+
+
+# --- OSGB36/BNG → WGS84, published Ordnance Survey test point -------------
+def test_bng_to_wgs84_published_point():
+    # OS Guide worked example: E 651409.903 N 313177.270
+    # ≈ WGS84 lat 52.65797, lon 1.71605 (±~5m Helmert accuracy)
+    lon, lat = bng_to_wgs84(651409.903, 313177.270)
+    assert abs(lat - 52.65797) < 5e-4
+    assert abs(lon - 1.71605) < 5e-4
+
+
+def test_bng_london():
+    # Greenwich Observatory approx E 538890 N 177320 → lon ~0.0008, lat ~51.477
+    lon, lat = bng_to_wgs84(538890, 177320)
+    assert abs(lat - 51.477) < 2e-3
+    assert abs(lon - 0.0) < 5e-3
+
+
+# --- Web Mercator round trip ----------------------------------------------
+def test_webmercator_roundtrip():
+    x, y = wgs84_to_webmercator(-3.7, 40.4)
+    lon, lat = webmercator_to_wgs84(x, y)
+    assert abs(lon + 3.7) < 1e-9
+    assert abs(lat - 40.4) < 1e-9
+
+
+def test_transform_dispatch():
+    assert transform_xy(1.5, 52.0, "4326") == (1.5, 52.0)  # skip same-CRS
+    with pytest.raises(ValueError):
+        transform_xy(0, 0, "9999")
+
+
+# --- WKB codec + probe ladder ---------------------------------------------
+def test_wkb_roundtrip():
+    b = wkb_point_encode(-1.5, 53.25)
+    assert wkb_point_decode(b) == (-1.5, 53.25)
+
+
+def test_probe_ladder_wkb_bytes():
+    assert probe_geometry_encoding(wkb_point_encode(1.0, 2.0)) == ("wkb", 1.0, 2.0)
+
+
+def test_probe_ladder_hex():
+    hx = wkb_point_encode(3.0, 4.0).hex()
+    assert probe_geometry_encoding(hx) == ("hexwkb", 3.0, 4.0)
+
+
+def test_probe_ladder_wkt():
+    assert probe_geometry_encoding("POINT (5 6)") == ("wkt", 5.0, 6.0)
+
+
+def test_probe_ladder_garbage():
+    assert probe_geometry_encoding("not a geometry") is None
+    assert probe_geometry_encoding(b"\x00\x01") is None
+
+
+def test_parse_wkt_point():
+    assert parse_wkt_point("POINT (1.5 -2.5)") == (1.5, -2.5)
+    assert parse_wkt_point("LINESTRING (0 0, 1 1)") is None
+
+
+# --- coordinate-pair detection (core_processor.rs:213-267) ----------------
+def test_pair_longitude_latitude():
+    assert find_coordinate_pair(["id", "Longitude", "Latitude"]) == ("Longitude", "Latitude")
+
+
+def test_pair_easting_northing():
+    assert find_coordinate_pair(["Easting", "Northing", "v"]) == ("Easting", "Northing")
+
+
+def test_pair_precedence_lonlat_before_xy():
+    # longitude/latitude pattern precedes the bare x/y pattern
+    cols = ["x", "y", "longitude", "latitude"]
+    assert find_coordinate_pair(cols) == ("longitude", "latitude")
+
+
+def test_pair_bare_xy_last_resort():
+    assert find_coordinate_pair(["x", "y", "value"]) == ("x", "y")
+
+
+def test_pair_none():
+    assert find_coordinate_pair(["id", "name", "amount"]) is None
+
+
+def test_pair_substring_needs_guard():
+    # 'pt_x'-style substring matches require coord/axis guard chars
+    assert find_coordinate_pair(["POINT_X", "POINT_Y"]) == ("POINT_X", "POINT_Y")
+
+
+def test_sanitize_and_geom_name():
+    assert sanitize_geom_name("X-coord (m)") == "X_coord_m"
+    assert (
+        synthesized_geom_name("X-coordinate", "Y-coordinate")
+        == "geom_from_X_coordinate_Y_coordinate"
+    )

@@ -1,0 +1,170 @@
+"""End-to-end pipeline tests: process_file on synthesized fixture files of
+every supported format (the reference's integration surface, exercised
+without a live PostGIS — sink DDL is asserted as SQL text)."""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_postgis_spark.pipeline import process_file
+from duckdb_postgis_spark.sinks.postgis import (
+    clean_table_name,
+    create_schema_sql,
+    drop_table_sql,
+    geometry_rebuild_sql,
+    postgis_uri_to_jdbc,
+)
+
+
+def test_csv_with_lonlat(spark, tmp_path):
+    p = tmp_path / "cities.csv"
+    p.write_text(
+        "name,longitude,latitude\nLondon,-0.1276,51.5072\nParis,2.3522,48.8566\nNull,,\n"
+    )
+    res = process_file(spark, str(p))
+    assert res.file_type == "CSV"
+    assert res.coordinate_pair == ("longitude", "latitude")
+    assert res.geom_columns == ["geom_from_longitude_latitude"]
+    assert res.source_crs == "4326"
+    rows = res.dataframe.collect()
+    assert len(rows) == 2  # null coords filtered (geo_strategy.rs:328)
+    wkts = {r["geom_from_longitude_latitude_wkt"] for r in rows}
+    assert "POINT (-0.1276 51.5072)" in wkts
+
+
+def test_csv_with_bng_reprojects(spark, tmp_path):
+    p = tmp_path / "uk.csv"
+    p.write_text("site,Easting,Northing\nGreenwich,538890,177320\nYork,460150,452150\n")
+    res = process_file(spark, str(p))
+    assert res.source_crs == "27700"
+    wkt = res.dataframe.collect()[0]["geom_from_Easting_Northing_wkt"]
+    x, y = map(float, wkt[len("POINT (") : -1].split())
+    assert abs(y - 51.477) < 2e-3  # Greenwich latitude after reprojection
+
+
+def test_csv_no_coordinates_non_geo(spark, tmp_path):
+    p = tmp_path / "plain.csv"
+    p.write_text("id,name,amount\n1,a,10\n2,b,20\n")
+    res = process_file(spark, str(p))
+    assert res.geom_columns == []
+    assert res.dataframe.count() == 2
+
+
+def test_geojson_points(spark, tmp_path):
+    p = tmp_path / "pts.geojson"
+    p.write_text(
+        '{"type": "FeatureCollection", "features": ['
+        '{"type": "Feature", "geometry": {"type": "Point", "coordinates": [102.0, 0.5]},'
+        ' "properties": {"name": "A"}},'
+        '{"type": "Feature", "geometry": {"type": "Point", "coordinates": [103.5, 1.25]},'
+        ' "properties": {"name": "B"}}]}'
+    )
+    res = process_file(spark, str(p))
+    assert res.file_type == "GeoJSON"
+    df = res.dataframe
+    assert "geometry_wkt_wkt" in df.columns or "geometry_wkt" in df.columns
+    vals = [r for r in df.collect()]
+    assert len(vals) == 2
+
+
+def test_parquet_passthrough(spark, tmp_path):
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    path = str(tmp_path / "t.parquet")
+    src.coalesce(1).write.parquet(path)
+    import glob
+
+    part = glob.glob(f"{path}/*.parquet")[0]
+    res = process_file(spark, part)
+    assert res.file_type == "Parquet"
+    assert res.geom_columns == []
+    assert res.dataframe.count() == 2
+
+
+def test_zipped_shapefile_end_to_end(spark, tmp_path):
+    from duckdb_postgis_spark.sources.readers import write_sample_zip_shapefile
+
+    p = str(tmp_path / "layer.zip")
+    write_sample_zip_shapefile(
+        p, [(530000.0, 180000.0), (460150.0, 452150.0)], prj="OSGB_1936 British_National_Grid"
+    )
+    res = process_file(spark, str(p))
+    assert res.file_type == "Shapefile"
+    df = res.dataframe
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[0]["crs_epsg"] == "27700"
+
+
+def test_gpkg_reader(spark, tmp_path):
+    import sqlite3
+
+    from duckdb_postgis_spark.functions.geo import wkb_point_encode
+    from duckdb_postgis_spark.sources.readers import read_geopackage
+
+    p = str(tmp_path / "x.gpkg")
+    con = sqlite3.connect(p)
+    con.execute(
+        "CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)"
+    )
+    con.execute("INSERT INTO gpkg_contents VALUES ('pts', 'features')")
+    con.execute(
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT)"
+    )
+    con.execute("INSERT INTO gpkg_geometry_columns VALUES ('pts', 'geom')")
+    con.execute("CREATE TABLE pts (fid INTEGER, name TEXT, geom BLOB)")
+    # GPKG binary: magic GP, version 0, flags 0x01 (little-endian, no envelope), srid 4326
+    header = b"GP\x00\x01" + (4326).to_bytes(4, "little")
+    con.execute(
+        "INSERT INTO pts VALUES (1, 'a', ?)",
+        (header + wkb_point_encode(-0.1, 51.5),),
+    )
+    con.commit()
+    con.close()
+    df = read_geopackage(spark, p)
+    row = df.collect()[0]
+    assert row["name"] == "a"
+    from duckdb_postgis_spark.functions.geo import wkb_point_decode
+
+    assert wkb_point_decode(bytes(row["geom"])) == (-0.1, 51.5)
+
+
+def test_excel_stub_raises_cleanly(spark, tmp_path):
+    from duckdb_postgis_spark.sources.readers import read_excel
+
+    p = tmp_path / "t.xlsx"
+    p.write_bytes(b"PK\x03\x04" + b"xl/worksheets" + b"\x00" * 50)
+    with pytest.raises((NotImplementedError, ValueError, Exception)):
+        read_excel(spark, str(p))
+
+
+# --- sink SQL text (byte-compatible with geo_strategy.rs:370-414) ---------
+def test_clean_table_name():
+    assert clean_table_name("/data/My File.geojson") == "My File"
+    assert clean_table_name("plain") == "plain"
+
+
+def test_schema_sql_escaping():
+    assert create_schema_sql("it's") == 'CREATE SCHEMA IF NOT EXISTS "it\'\'s";'
+
+
+def test_drop_sql():
+    assert drop_table_sql("s", "t") == 'DROP TABLE IF EXISTS "s"."t";'
+
+
+def test_geometry_rebuild_sql_shape():
+    sql = geometry_rebuild_sql("s", "t", "geom")
+    assert sql.startswith("BEGIN TRANSACTION;")
+    assert 'ALTER TABLE "s"."t" ADD COLUMN "geom" geometry;' in sql
+    assert "safe_geom_from_text" in sql
+    assert "RETURN NULL;" in sql  # bad WKT swallowed as NULL
+    assert 'WHERE "geom_wkt" IS NOT NULL AND "geom_wkt" != \'\';' in sql
+    assert "DROP FUNCTION safe_geom_from_text(text, integer);" in sql
+    assert 'DROP COLUMN "geom_wkt";' in sql
+    assert sql.rstrip().endswith("COMMIT;")
+
+
+def test_jdbc_uri():
+    assert (
+        postgis_uri_to_jdbc("postgresql://u:p@h:5432/db")
+        == "jdbc:postgresql://u:p@h:5432/db"
+    )

@@ -1,0 +1,94 @@
+"""File-type detection tests — port of the reference's entire test suite
+(tests/duckdb_tests.rs:9-127), byte-for-byte fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_postgis_spark.sources.sniffer import (
+    FileType,
+    UnknownFileTypeError,
+    determine_file_type,
+    find_shapefile_path,
+)
+
+
+def w(tmp_path, name: str, data: bytes) -> str:
+    p = tmp_path / name
+    p.write_bytes(data)
+    return str(p)
+
+
+def test_detect_geojson_content(tmp_path):
+    # duckdb_tests.rs:10-25
+    content = b'{"type": "FeatureCollection", "features": [{"type": "Feature", "geometry": {"type": "Point", "coordinates": [102.0, 0.5]}, "properties": {"name": "Test Point"}}]}'
+    assert determine_file_type(w(tmp_path, "t.geojson", content)) is FileType.GEOJSON
+
+
+def test_detect_csv_by_extension(tmp_path):
+    # duckdb_tests.rs:27-37
+    content = b"id,name,value\n1,test,100\n2,sample,200"
+    assert determine_file_type(w(tmp_path, "t.csv", content)) is FileType.CSV
+
+
+def test_detect_geopackage_sqlite_header(tmp_path):
+    # duckdb_tests.rs:39-52
+    content = b"SQLite format 3\x00" + b"\x00" * 100
+    assert determine_file_type(w(tmp_path, "t.gpkg", content)) is FileType.GEOPACKAGE
+
+
+def test_detect_xlsx_pkzip_inner_names(tmp_path):
+    # duckdb_tests.rs:54-68
+    content = b"PK\x03\x04" + b"xl/worksheets/sheet1.xml" + b"\x00" * 50
+    assert determine_file_type(w(tmp_path, "t.xlsx", content)) is FileType.EXCEL
+
+
+def test_detect_legacy_xls_cfbf(tmp_path):
+    # duckdb_tests.rs:70-83
+    content = bytes([0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1]) + b"\x00" * 100
+    assert determine_file_type(w(tmp_path, "t.xls", content)) is FileType.EXCEL
+
+
+def test_detect_zipped_shapefile(tmp_path):
+    # duckdb_tests.rs:85-101
+    content = b"PK\x03\x04" + b"layer.shp" + b"\x00" * 50
+    assert determine_file_type(w(tmp_path, "t.zip", content)) is FileType.SHAPEFILE
+
+
+def test_detect_parquet_magic(tmp_path):
+    # duckdb_tests.rs:103-116
+    content = b"PAR1" + b"\x00" * 100
+    assert determine_file_type(w(tmp_path, "t.parquet", content)) is FileType.PARQUET
+
+
+def test_display_formatting():
+    # duckdb_tests.rs:118-127
+    assert str(FileType.GEOPACKAGE) == "Geopackage"
+    assert str(FileType.SHAPEFILE) == "Shapefile"
+    assert str(FileType.GEOJSON) == "GeoJSON"
+    assert str(FileType.EXCEL) == "Excel"
+    assert str(FileType.CSV) == "CSV"
+    assert str(FileType.PARQUET) == "Parquet"
+
+
+def test_unknown_type_raises(tmp_path):
+    with pytest.raises(UnknownFileTypeError):
+        determine_file_type(w(tmp_path, "t.bin", b"\x01\x02\x03\x04" * 10))
+
+
+def test_zip_both_patterns_ambiguous(tmp_path):
+    # core_processor.rs:365-369: both excel and shapefile patterns → None →
+    # falls through to unknown
+    content = b"PK\x03\x04" + b"xl/worksheets" + b".shp" + b"\x00" * 30
+    with pytest.raises(UnknownFileTypeError):
+        determine_file_type(w(tmp_path, "t.zip", content))
+
+
+def test_find_shapefile_path(tmp_path):
+    import zipfile
+
+    p = tmp_path / "a.zip"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("dir/layer.shp", b"x")
+        zf.writestr("dir/layer.dbf", b"y")
+    assert find_shapefile_path(str(p)) == "dir/layer.shp"
