@@ -1,0 +1,300 @@
+"""Multimodal (image/audio/video) binary-column operators.
+
+North-star surface (BASELINE.json: "multimodal columns") absent from the
+reference — the closest reference analogue is its treatment of geometry as an
+opaque BLOB probed by encodings (``geo_strategy.rs:135-183``): bytes in a
+relational column, interpreted by scalar functions.  We generalize that to
+media: an opaque ``payload: binary`` column plus a typed metadata struct,
+processed by Arrow-batched ``mapInPandas`` stages.
+
+Container constraint: no PIL/librosa/av are installed, so the *codec* step is
+stubbed — ``decode_media_real`` raises ``NotImplementedError`` and the
+pipelines run a clearly-marked deterministic fake decode
+(``_fake_decode_frame``) instead.  Everything Spark-side is real and load-
+bearing: binary schema, Arrow batch shapes, partition balance, per-batch
+vectorized NumPy, explode of variable-length frame samples.
+
+Scale design (100 TB of media):
+- payloads live in parquet binary columns (or file pointers); the synth here
+  stands in for ``spark.read.format("binaryFile")``;
+- decode/feature-extract is a *narrow* mapInPandas — no shuffle, scales
+  linearly with executors; ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  bounds decoder memory (a real 4K frame batch would otherwise OOM);
+- per-media-type stats are a partial-agg groupBy on a low-cardinality key —
+  shuffle volume is O(media types), not O(rows).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from duckdb_postgis_spark.catalog import table
+from duckdb_postgis_spark.registry import query
+
+# --------------------------------------------------------------------------
+# Synthetic media table (deterministic on BOTH engines → oracle-able)
+# --------------------------------------------------------------------------
+#: number of 32-byte sha256 chunks concatenated into each payload
+_CHUNKS = 4
+PAYLOAD_BYTES = 32 * _CHUNKS
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents dressed as media rows: opaque ``payload`` binary + typed
+    metadata, the schema a ``binaryFile``-sourced corpus would carry.
+
+    payload = unhex(sha256(text) ‖ sha256(text‖'1') ‖ …) — deterministic
+    bytes derivable identically in DuckDB (``from_hex(sha256(..))``), so
+    metadata queries keep a value-level oracle despite fake media.
+    """
+    docs = table(spark, sf_dir, "documents")
+    hex_chunks = F.concat(
+        *[F.sha2(F.concat(F.col("text"), F.lit(str(i) if i else "")), 256) for i in range(_CHUNKS)]
+    )
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.unhex(hex_chunks).alias("payload"),
+        F.struct(
+            (16 * (1 + F.col("doc_id") % 8)).cast("int").alias("width"),
+            (16 * (1 + F.col("doc_id") % 6)).cast("int").alias("height"),
+            (1 + F.col("doc_id") % 15).cast("int").alias("n_frames"),
+            F.lit(16000).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+#: DuckDB twin of media_table (CTE text), kept in lockstep with the above.
+_HEX_EXPR = " || ".join(
+    "sha256(text || '" + (str(i) if i else "") + "')" for i in range(_CHUNKS)
+)
+_MEDIA_CTE = f"""
+    WITH media AS (
+      SELECT doc_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+             lower({_HEX_EXPR}) AS hex,
+             from_hex({_HEX_EXPR}) AS payload,
+             CAST(16 * (1 + doc_id % 8) AS INT) AS width,
+             CAST(16 * (1 + doc_id % 6) AS INT) AS height,
+             CAST(1 + doc_id % 15 AS INT) AS n_frames
+      FROM documents
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# codec stub — the ONLY unimplemented piece, clearly marked
+# --------------------------------------------------------------------------
+def decode_media_real(payload: bytes, media_type: str):
+    """Real decode (JPEG/WAV/H.264 → arrays). STUB: the image/audio codecs
+    (PIL, librosa, av) are not in this container. The fake below exercises the
+    identical Spark plumbing (schema, batch shape, memory profile)."""
+    raise NotImplementedError(
+        "media codecs unavailable in this environment; "
+        "swap _fake_decode_frame for PIL.Image.open / librosa.load / av.open"
+    )
+
+
+def _fake_decode_frame(payload: bytes, width: int, height: int):
+    """Deterministic fake decode: tile payload bytes into an HxW uint8
+    'pixel' array — stands in for a codec, preserving dtype/shape semantics."""
+    import numpy as np
+
+    px = np.frombuffer(payload, dtype=np.uint8)
+    return np.resize(px, (height, width))
+
+
+# --------------------------------------------------------------------------
+# metadata / byte-level stats (exact oracle — no decode involved)
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_meta_stats",
+    oracle=_MEDIA_CTE
+    + """
+    SELECT media_type,
+           COUNT(*) AS n,
+           SUM(octet_length(payload)) AS total_bytes,
+           SUM(width * height) AS total_pixels,
+           SUM(n_frames) AS total_frames
+    FROM media
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
+)
+def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality corpus stats over binary payloads + typed metadata.
+    All JVM-side built-ins (octet_length on binary, struct field access);
+    partial agg on a 3-value key → negligible shuffle at any scale."""
+    m = media_table(spark, sf_dir)
+    return (
+        m.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.sum((F.col("meta.width") * F.col("meta.height")).cast("long")).alias(
+                "total_pixels"
+            ),
+            F.sum(F.col("meta.n_frames").cast("long")).alias("total_frames"),
+        )
+        .orderBy("media_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# image: decode → feature-extract → resize (pooled grid)
+# --------------------------------------------------------------------------
+_IMG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_intensity", DoubleType()),
+        StructField("std_intensity", DoubleType()),
+        StructField("grid2x2", ArrayType(DoubleType())),
+    ]
+)
+
+
+@query("multimodal_image_features")  # rows-only: features exist past the codec stub
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image pipeline: binary payload → (fake) decode to HxW uint8 → global
+    mean/std features → 2x2 average-pool 'resize'.  mapInPandas, narrow, one
+    NumPy pass per Arrow batch; this is the shape a real thumbnailer takes at
+    100 TB (decode cost dominates, so it must sit executor-side, batched)."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    cols = m.select("doc_id", "payload", "meta.width", "meta.height")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload, w, h in pdf.itertuples(index=False):
+                img = _fake_decode_frame(payload, int(w), int(h)).astype("float64")
+                hh, ww = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
+                pooled = img[:hh, :ww].reshape(2, hh // 2, 2, ww // 2).mean(axis=(1, 3))
+                out.append(
+                    (
+                        doc_id,
+                        int(w),
+                        int(h),
+                        round(float(img.mean()), 6),
+                        round(float(img.std()), 6),
+                        [round(float(v), 6) for v in pooled.ravel()],
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in _IMG_SCHEMA.fields])
+
+    return cols.mapInPandas(extract, schema=_IMG_SCHEMA).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# video: frame-sample (explode variable-length samples)
+# --------------------------------------------------------------------------
+_FRAME_BYTES = 8
+_FRAME_STRIDE = 2  # sample every 2nd frame
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_mean", DoubleType()),
+    ]
+)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=_MEDIA_CTE
+    + f"""
+    , frames AS (
+      SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
+             substring(hex, CAST(u.i AS INT) * {2 * _FRAME_BYTES} + 1,
+                       {2 * _FRAME_BYTES}) AS fh
+      FROM media, LATERAL unnest(range(0, n_frames)) AS u(i)
+      WHERE media_type = 'video' AND u.i % {_FRAME_STRIDE} = 0
+    )
+    SELECT doc_id, frame_idx,
+           ROUND(list_sum(list_transform(range(0, {_FRAME_BYTES}),
+                 j -> CAST((strpos('0123456789abcdef', substring(fh, CAST(j AS INT)*2+1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substring(fh, CAST(j AS INT)*2+2, 1)) - 1)
+                      AS DOUBLE))) / {_FRAME_BYTES}, 6)
+               AS frame_mean
+    FROM frames ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pipeline: payload treated as n_frames x 8-byte frames; sample
+    every 2nd frame (fake keyframe extraction) and emit per-frame mean byte.
+    mapInPandas explodes one row → ceil(n/2) rows inside the Arrow batch —
+    the row-amplifying shape of real frame sampling, still shuffle-free."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
+    cols = m.select("doc_id", "payload", "meta.n_frames")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, means = [], [], []
+            for doc_id, payload, n_frames in pdf.itertuples(index=False):
+                px = np.frombuffer(payload, dtype=np.uint8)
+                for i in range(0, int(n_frames), _FRAME_STRIDE):
+                    fb = px[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    means.append(round(float(fb.astype("float64").mean()), 6))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_mean": means})
+
+    return cols.mapInPandas(sample, schema=_FRAME_SCHEMA).orderBy("doc_id", "frame_idx")
+
+
+# --------------------------------------------------------------------------
+# audio: windowed energy over fake PCM
+# --------------------------------------------------------------------------
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_windows", IntegerType()),
+        StructField("rms_energy", DoubleType()),
+        StructField("peak", DoubleType()),
+    ]
+)
+
+
+@query("multimodal_audio_energy")  # rows-only (codec stubbed)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline: payload as fake 8-bit PCM → 16-sample windows → RMS
+    energy + peak. Same mapInPandas decode shape as image/video; per-row
+    output (no amplification)."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "audio")
+    cols = m.select("doc_id", "payload")
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in pdf.itertuples(index=False):
+                pcm = (np.frombuffer(payload, dtype=np.uint8).astype("float64") - 128.0) / 128.0
+                wins = pcm.reshape(-1, 16)
+                rms = float(np.sqrt((wins**2).mean()))
+                out.append((doc_id, wins.shape[0], round(rms, 6), round(float(np.abs(pcm).max()), 6)))
+            yield pd.DataFrame(out, columns=[f.name for f in _AUDIO_SCHEMA.fields])
+
+    return cols.mapInPandas(energy, schema=_AUDIO_SCHEMA).orderBy("doc_id")

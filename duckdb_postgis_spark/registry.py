@@ -37,9 +37,11 @@ def load_all() -> None:
     from duckdb_postgis_spark.operators import (  # noqa: F401
         geo,
         llm,
+        multimodal,
         relational,
         streaming,
     )
+    from duckdb_postgis_spark.streaming import streams  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

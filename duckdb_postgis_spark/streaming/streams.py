@@ -1,0 +1,339 @@
+"""Real Structured Streaming over the ``events`` table (SURVEY.md §2.9).
+
+File-source replay: ``spark.readStream.parquet`` over the testdata events
+parquet, one file = one micro-batch under ``Trigger.AvailableNow``.  At 100 TB
+the same plans run unchanged against a Kafka/file-drop source — the streaming
+logical plan is source-agnostic; state size is bounded by the watermark
+(per-window / per-key state evicted once the watermark passes), never by the
+input size.
+
+Design notes per stream:
+- Watermarks use event-time column ``ts``; ``availableNow`` replays emit every
+  window in append/update mode once input is exhausted, making the output
+  comparable to the batch twins in ``operators/streaming.py``.
+- Aggregations are partial (map-side) before the state-store shuffle, so the
+  shuffle volume is |windows x keys|, not |events| — the property that keeps
+  these plans viable at 1000 executors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_postgis_spark.functions.num import dsum, sql_dsum
+from duckdb_postgis_spark.registry import query
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Raw parquet schema of events (ts is TIMESTAMP(NANOS) in the file; Spark's
+# streaming reader needs the same nanosAsLong escape hatch as the batch
+# catalog — see catalog.py — so we declare ts as LONG and rebuild micros).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` file-source over the events parquet.
+
+    maxFilesPerTrigger=1 keeps micro-batches bounded; at scale the same call
+    points at a landing directory receiving continuous file drops.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        # the source path is the whole testdata dir; glob-filter to events
+        # only (a file stream source needs a directory, not a file path)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+# --------------------------------------------------------------------------
+# S1 tumbling window — streaming twin of operators/streaming.py::stream_tumbling
+# --------------------------------------------------------------------------
+def stream_tumbling_live(events: DataFrame) -> DataFrame:
+    """1-hour tumbling count/sum per event_type with a 10-min watermark.
+
+    State: one row per (window, event_type); evicted when watermark passes
+    window end → O(active windows) state regardless of input volume.
+    """
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# S2 sliding window
+# --------------------------------------------------------------------------
+def stream_sliding_live(events: DataFrame) -> DataFrame:
+    """1-hour window sliding every 15 min: 4x state amplification, same
+    watermark eviction; partial agg collapses the 4x before the shuffle."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# S3 session window
+# --------------------------------------------------------------------------
+def stream_session_live(events: DataFrame) -> DataFrame:
+    """Native session windows (30-min gap) per user. Session state merges
+    adjacent windows server-side; watermark closes sessions whose
+    (last event + gap) < watermark."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# S4 watermark + late-data drop
+# --------------------------------------------------------------------------
+def stream_watermark_late_live(events: DataFrame) -> DataFrame:
+    """Hourly counts under a 10-minute watermark. Late rows (event time more
+    than 10 min behind max seen) are dropped by the state store — the rule the
+    batch twin reproduces with a running-max window."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# S5 stateful dedup within watermark
+# --------------------------------------------------------------------------
+def stream_dedup_live(events: DataFrame) -> DataFrame:
+    """First event per (user_id, event_type, minute) via
+    ``dropDuplicatesWithinWatermark`` — state holds one key per group and is
+    watermark-bounded, unlike plain dropDuplicates whose state grows forever."""
+    keyed = events.withWatermark("ts", "10 minutes").withColumn(
+        "minute_bucket", F.date_trunc("minute", "ts")
+    )
+    return keyed.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "minute_bucket"]
+    ).select("user_id", "event_type", "minute_bucket", "event_id", "ts")
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+# --------------------------------------------------------------------------
+# state carries only the accumulators — the group key (user_id) is implicit.
+# The sum is kept in integer cents (values carry exactly 2 decimals, see
+# functions/num.py) so the running total is exact regardless of arrival
+# order and value-hash-matches the DuckDB decimal-sum oracle.
+USER_STATE_SCHEMA = "n_events LONG, total_cents LONG"
+USER_STATE_OUTPUT = "user_id LONG, n_events LONG, total_value DOUBLE"
+
+
+def stream_user_state_live(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful per-user running totals via applyInPandasWithState
+    (SURVEY §2.9/§2.12): the custom-operator escape hatch for semantics the
+    built-in windows can't express. State is (count, sum) per user — O(users),
+    Arrow-batched, grouped so each task owns a hash range of users."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(np.rint(pdf["value"].to_numpy() * 100).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_STATE_OUTPUT,
+            stateStructType=USER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Runner
+# --------------------------------------------------------------------------
+def run_available_now(
+    sdf: DataFrame, name: str, output_mode: str = "append", timeout: int = 120
+) -> DataFrame:
+    """Drain a streaming DataFrame through Trigger.AvailableNow into an
+    in-memory table and return it as a batch DataFrame.
+
+    availableNow processes all currently-available files then stops — the
+    deterministic replay mode that makes streaming results comparable to the
+    batch twins. In production the same query runs with a continuous trigger
+    and a durable sink; only this runner changes.
+    """
+    import tempfile
+
+    spark = sdf.sparkSession
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .start()
+    )
+    q.awaitTermination(timeout)
+    if q.isActive:
+        q.stop()
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Registered live queries — real Structured Streaming through the driver's
+# correctness gate. AvailableNow replay of the events parquet is
+# deterministic, so S1/S2/S4/S5-keys and the custom stateful operator keep
+# full DuckDB value oracles; the session window (append mode withholds
+# unclosed tail sessions) stays rows-only.
+# --------------------------------------------------------------------------
+@query(
+    "stream_tumbling_live",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY win_start, event_type
+    """,
+)
+def q_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 via readStream+AvailableNow (twin: operators/streaming.py S1)."""
+    return run_available_now(
+        stream_tumbling_live(events_stream(spark, sf_dir)), "q_tumbling", "update"
+    )
+
+
+@query(
+    "stream_sliding_live",
+    oracle="""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - g.i * 900) * INTERVAL 1 SECOND
+             AS win_start,
+           COUNT(*) AS n
+    FROM events
+    CROSS JOIN (SELECT unnest(range(4)) AS i) g
+    WHERE TIMESTAMP '1970-01-01 00:00:00'
+            + (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - g.i * 900) * INTERVAL 1 SECOND
+          > ts - INTERVAL 1 HOUR
+    GROUP BY win_start
+    ORDER BY win_start
+    """,
+)
+def q_stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 via readStream+AvailableNow (twin: operators/streaming.py S2)."""
+    return run_available_now(
+        stream_sliding_live(events_stream(spark, sf_dir)), "q_sliding", "update"
+    )
+
+
+@query("stream_session_live")  # rows-only: append mode withholds tail sessions
+def q_stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 via readStream+AvailableNow; emitted sessions are a verified subset
+    of the batch twin (tests/test_streaming_live.py)."""
+    return run_available_now(
+        stream_session_live(events_stream(spark, sf_dir)), "q_session", "append"
+    )
+
+
+@query(
+    "stream_watermark_late_live",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, COUNT(*) AS n
+    FROM events GROUP BY 1 ORDER BY win_start
+    """,
+)
+def q_stream_watermark_late_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 via readStream+AvailableNow. Single-file replay admits no late rows,
+    so the watermarked hourly counts equal the plain rollup — the late-drop
+    rule itself is oracle-checked via the batch twin (stream_watermark_late)."""
+    return run_available_now(
+        stream_watermark_late_live(events_stream(spark, sf_dir)), "q_watermark", "update"
+    )
+
+
+@query(
+    "stream_dedup_live",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute_bucket
+    FROM events ORDER BY user_id, event_type, minute_bucket
+    """,
+)
+def q_stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 dropDuplicatesWithinWatermark; survivor row choice is
+    arrival-order-dependent, so the oracle-checked surface is the key set
+    (which is exact); the full row twin is stream_dedup."""
+    out = run_available_now(
+        stream_dedup_live(events_stream(spark, sf_dir)), "q_dedup", "append"
+    )
+    return out.select("user_id", "event_type", "minute_bucket").orderBy(
+        "user_id", "event_type", "minute_bucket"
+    )
+
+
+@query(
+    "stream_user_state",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) — per-user running
+    totals in exact integer-cent state; final emission per user equals the
+    batch aggregate."""
+    out = run_available_now(
+        stream_user_state_live(events_stream(spark, sf_dir)), "q_user_state", "update"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
