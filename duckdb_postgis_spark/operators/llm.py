@@ -12,6 +12,7 @@ to 6 dp AFTER identical-formula computation on both engines.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -815,4 +816,132 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("shingle").alias("n_shingles"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN scale path: sign-LSH bucketed approximate KNN (IVF-style cell search)
+# --------------------------------------------------------------------------
+# Band/bit trade-off: collision prob for cosine s is 1-(1-p^bits)^bands with
+# p = 1-acos(s)/pi. The testdata embeddings are near-uniform (top pairs at
+# s~0.5), so recall needs many short bands (16x4 -> ~0.97 @ s=0.5). Real
+# corpora are clustered (near-dups at s>0.9, p>0.9) — there, RAISE _LSH_BITS
+# (e.g. 16) to shrink cells/candidates while keeping recall; the constants
+# are the tuning surface, the plan shape is unchanged.
+_LSH_BANDS = 16
+_LSH_BITS = 4
+
+
+def _lsh_planes(dim: int):
+    """Deterministic random hyperplanes (seeded) — the 'coarse quantizer'.
+    bands x bits planes; a vector's band code = sign-bit pack of its
+    projections, so cosine-close vectors collide with high probability."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((_LSH_BANDS * _LSH_BITS, dim))
+
+
+def _bucketize(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding) -> (band, bucket, vec_id, embedding): one row per
+    band. Arrow-vectorized projection; no shuffle here — the join shuffles
+    on (band, bucket), moving |V| x bands rows instead of the |V|^2 pairs a
+    naive self-join needs. Hot buckets at scale: raise _LSH_BITS (cell count)
+    or salt the join key; AQE skew-split handles residual imbalance."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    planes = _lsh_planes(64)
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def band_codes(vs: pd.Series) -> pd.Series:
+        P = b_planes.value
+        M = np.stack(vs.to_numpy()).astype("float64")
+        bits = (M @ P.T) > 0  # |batch| x (bands*bits)
+        weights = 1 << np.arange(_LSH_BITS)
+        codes = bits.reshape(len(vs), _LSH_BANDS, _LSH_BITS) @ weights
+        return pd.Series(list(codes.astype("int32")))
+
+    return emb.select(
+        "vec_id", "embedding", F.posexplode(band_codes("embedding")).alias("band", "bucket")
+    )
+
+
+@query("knn_ivf_lsh")  # rows-only: approximate by design; recall tested vs exact
+def knn_ivf_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-20 cosine pairs via sign-LSH banding (SURVEY L6 scale
+    path; the 'IVF or LSH-bucketed variant' of the north star). Candidates =
+    pairs sharing any band bucket; exact cosine re-rank JVM-side; global
+    top-20. At 100 TB the only shuffle is the (band,bucket) co-location —
+    candidate volume is sum of C(bucket,2), tunable via _LSH_BITS, vs the
+    impossible C(n,2) of the exact path."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucketed = _bucketize(spark, emb)
+    a = bucketed.select("band", "bucket", F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = bucketed.select("band", "bucket", F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])  # a pair may collide in >1 band
+    )
+    sumsq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.sqrt(sumsq("va")) * F.sqrt(sumsq("vb")))
+    return (
+        cand.withColumn("cosine_raw", cos)
+        .orderBy(F.col("cosine_raw").desc(), "a_id", "b_id")
+        .limit(20)
+        .select("a_id", "b_id", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+@query("similarity_search_ann")  # rows-only: probes only the query's LSH cells
+def similarity_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-vector top-10 via LSH cell probing (L7 scale path): compute the
+    query's band codes driver-side, scan only matching cells (partition-
+    prunable at scale when the corpus is bucket-partitioned), exact re-rank.
+    vs similarity_search_query's full scan: touches ~bands/2^bits of the
+    corpus."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0], dtype="float64"
+    )
+    planes = _lsh_planes(len(qv))
+    bits = (planes @ qv) > 0
+    weights = 1 << np.arange(_LSH_BITS)
+    q_codes = bits.reshape(_LSH_BANDS, _LSH_BITS) @ weights
+    probe = [(int(bd), int(ct)) for bd, ct in enumerate(q_codes)]
+
+    bucketed = _bucketize(spark, emb.select("vec_id", "embedding"))
+    cells = spark.createDataFrame(probe, "band INT, bucket INT")
+    cand = (
+        bucketed.join(F.broadcast(cells), ["band", "bucket"])
+        .filter(F.col("vec_id") != 0)
+        .dropDuplicates(["vec_id"])
+    )
+    b_q = spark.sparkContext.broadcast(qv / np.sqrt((qv * qv).sum()))
+
+    @F.pandas_udf("double")
+    def qcos(vs: pd.Series) -> pd.Series:
+        Q = b_q.value
+        M = np.stack(vs.to_numpy()).astype("float64")
+        M = M / np.sqrt((M * M).sum(axis=1, keepdims=True))
+        return pd.Series(M @ Q)
+
+    return (
+        cand.withColumn("cosine_raw", qcos("embedding"))
+        .orderBy(F.col("cosine_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cosine_raw", 6).alias("cosine"))
     )

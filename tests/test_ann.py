@@ -1,0 +1,36 @@
+"""ANN scale-path quality: LSH-bucketed approximate results vs exact.
+
+The approximate operators are rows-only at the driver gate (approximation is
+by design); these tests pin their quality — recall against the exact
+operators — and their determinism (seeded hyperplanes, tie-broken ordering).
+"""
+
+from __future__ import annotations
+
+from duckdb_postgis_spark import registry
+
+registry.load_all()
+
+
+def _pairs(df):
+    return {(r.a_id, r.b_id) for r in df.collect()}
+
+
+def test_knn_ivf_lsh_recall(spark, sf_dir):
+    exact = _pairs(registry.QUERIES["knn_cosine_topk"](spark, sf_dir))
+    approx = _pairs(registry.QUERIES["knn_ivf_lsh"](spark, sf_dir))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"pair recall@20 {recall}"
+
+
+def test_similarity_search_ann_recall(spark, sf_dir):
+    exact = {r.vec_id for r in registry.QUERIES["similarity_search_query"](spark, sf_dir).collect()}
+    approx = {r.vec_id for r in registry.QUERIES["similarity_search_ann"](spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"query recall@10 {recall}"
+
+
+def test_knn_ivf_lsh_deterministic(spark, sf_dir):
+    a = registry.QUERIES["knn_ivf_lsh"](spark, sf_dir).collect()
+    b = registry.QUERIES["knn_ivf_lsh"](spark, sf_dir).collect()
+    assert a == b
