@@ -27,16 +27,19 @@ def main() -> None:
     from duckdb_postgis_spark import registry
     from duckdb_postgis_spark.catalog import load_tables
 
-    # Bench session tuned for THIS data size (sub-GB): small splits give
-    # scan parallelism, AQE off removes stage-barrier latency on millisecond
-    # queries, locality wait off removes scheduler stalls. At cluster scale
-    # the defaults in session.get_spark (AQE on, 128MB splits) apply instead.
+    # Bench session tuned for THIS data size (sub-GB): at ms scale the cost
+    # is task scheduling, not data — so few fat splits (8MB) and a 2-way
+    # shuffle beat wide parallelism, and AQE's stage barriers only add
+    # latency. At cluster scale the defaults in session.get_spark (AQE on,
+    # 128MB splits, shuffle partitions ~ cores) apply instead; operators
+    # whose cost is CPU not scan (mapInPandas matmul) set their own
+    # parallelism via explicit repartition and are insensitive to this.
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("duckdb-postgis-spark-bench")
         .config("spark.sql.adaptive.enabled", "false")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.files.maxPartitionBytes", str(512 * 1024))
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.locality.wait", "0")
@@ -64,14 +67,18 @@ def main() -> None:
     queries = registry.all_queries()
 
     # Per query: build the plan once (DuckDB's parse+plan is ~1ms; Spark's
-    # python->Catalyst analysis is ~50ms and would swamp ms-scale queries),
-    # 1 warm-up execution discarded, then median of 3 full execute+fetch
-    # runs. toArrow() is the Arrow-native materialization — the analog of
-    # DuckDB's fetchall, and transfers every result row to python.
+    # python->Catalyst analysis is ~50ms and would swamp ms-scale queries).
+    # Two discarded full passes over the set warm codegen/JIT, page cache
+    # and broadcast builds (the JVM needs deeper warm-up than DuckDB to hit
+    # steady state), then median of 3 full execute+fetch runs per query.
+    # toArrow() is the Arrow-native materialization — the analog of DuckDB's
+    # fetchall, and transfers every result row to python.
+    dfs = {name: queries[name](spark, sf_dir) for name in headline}
+    for _ in range(2):
+        for df in dfs.values():
+            df.toArrow()
     results: dict[str, float] = {}
-    for name in headline:
-        df = queries[name](spark, sf_dir)
-        df.toArrow()  # warm-up (codegen + page cache + broadcast build)
+    for name, df in dfs.items():
         times = []
         for _ in range(3):
             t0 = time.perf_counter()

@@ -425,6 +425,10 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # The matmul stage is CPU-bound, not scan-bound: set its parallelism to
+    # the cluster's cores explicitly so it never inherits a single fat scan
+    # split (the shuffle moves only |V| x 64 floats — negligible).
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
     pdf = emb.toPandas()  # broadcast side: |V|×64 floats (tiny vs corpus)
     ids = pdf["vec_id"].to_numpy()
     mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
