@@ -1,0 +1,133 @@
+"""Physical table layouts: date-partitioning and hash-bucketing (M5).
+
+The reference has no storage layout at all — it materializes one in-memory
+DuckDB table per file (``core_processor.rs:391-428``). At 100 TB, layout IS
+the optimizer: a date-partitioned events table turns a time predicate into
+partition pruning (the scan never opens non-matching directories), and
+bucketed fact tables turn the biggest join's shuffle into a zero-Exchange
+co-located merge join. These writers materialize the layouts; the queries
+registered here run against them and their plans are asserted in
+tests/test_layout_plans.py (PartitionFilters / no Exchange).
+
+Local testdata stands in for the cluster's object store: layouts are written
+once per scale factor under /tmp and reused. On a real deployment the same
+code targets the warehouse path; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_postgis_spark.catalog import table
+from duckdb_postgis_spark.functions.num import dsum, sql_dsum
+from duckdb_postgis_spark.registry import query
+
+_LAYOUT_ROOT = "/tmp/duckdb_postgis_spark_layout"
+
+
+def _token(sf_dir: str) -> str:
+    return re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/"))
+
+
+# --------------------------------------------------------------------------
+# date-partitioned events
+# --------------------------------------------------------------------------
+def ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events re-laid-out as parquet partitioned by event_date.
+
+    At scale this is the landing layout (one directory per day); the write
+    itself is a narrow pass. _SUCCESS marks completion so concurrent/repeat
+    callers reuse the materialization.
+    """
+    path = f"{_LAYOUT_ROOT}/events_by_day_{_token(sf_dir)}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        ev = table(spark, sf_dir, "events")
+        (
+            ev.withColumn("event_date", F.to_date("ts"))
+            .repartition("event_date")  # one output file per partition dir
+            .write.partitionBy("event_date")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
+@query(
+    "events_partition_pruned",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-day rollup against the date-partitioned layout. The literal date
+    predicate becomes a PartitionFilter: the scan touches 1 of 30 partition
+    directories (at 100 TB: 1 of ~3000) — asserted on the physical plan in
+    tests. Semantics oracle-checked against the unpartitioned original."""
+    ev = ensure_events_partitioned(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_date") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# hash-bucketed facts (co-located join)
+# --------------------------------------------------------------------------
+def ensure_bucketed_table(
+    spark: SparkSession, sf_dir: str, name: str, key: str, buckets: int = 8
+) -> DataFrame:
+    """Materialize a testdata table bucketed+sorted by ``key``.
+
+    Both sides of a fact-fact join bucketed the same way join with NO
+    Exchange and NO Sort — the shuffle happened once at write time and is
+    amortized over every subsequent join. This is the single biggest lever
+    for a recurring 100 TB join pipeline."""
+    tbl = f"{name}_b{buckets}_{_token(sf_dir)}"
+    if not spark.catalog.tableExists(tbl):
+        df = table(spark, sf_dir, name)
+        (
+            df.write.bucketBy(buckets, key)
+            .sortBy(key)
+            .option("path", f"{_LAYOUT_ROOT}/{tbl}")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    return spark.table(tbl)
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders on the bucket key — the merge hint + identical
+    bucketing yields a shuffle-free, sort-free SortMergeJoin (asserted in
+    tests: no Exchange below the join). The aggregation after it is the only
+    shuffle in the plan, carrying 5 rows."""
+    li = ensure_bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    od = ensure_bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    return (
+        li.hint("merge")
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("revenue"))
+        .orderBy("o_orderpriority")
+    )

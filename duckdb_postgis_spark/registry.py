@@ -41,6 +41,7 @@ def load_all() -> None:
         relational,
         streaming,
     )
+    from duckdb_postgis_spark.plans import layout  # noqa: F401
     from duckdb_postgis_spark.streaming import streams  # noqa: F401
 
 
