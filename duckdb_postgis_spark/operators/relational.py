@@ -702,3 +702,73 @@ def distinct_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         F.year("l_shipdate").cast("int").alias("ship_year"),
     ).distinct()
+
+
+# --------------------------------------------------------------------------
+# R21 skew-salted distinct aggregation
+# --------------------------------------------------------------------------
+_SALT = 16
+
+
+@query(
+    "agg_skew_salted",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) under key skew via explicit salting (SURVEY §7 M5,
+    'skewed keys -> salting'). A plain groupBy('event_type') hashes ALL rows
+    of a hot key to one reducer; salting by hash(user_id)%16 first spreads
+    each key over 16 reducers computing disjoint partial distincts (same
+    user always lands in the same salt bucket, so the counts add exactly),
+    then a 16-rows-per-key merge. At 100 TB this turns the hottest-reducer
+    bound from |hot key| to |hot key|/16 — the same rewrite AQE's skew-join
+    handling applies to joins, expressed for aggregation."""
+    ev = table(spark, sf_dir, "events")
+    partial = (
+        ev.groupBy(
+            "event_type", F.pmod(F.hash("user_id"), F.lit(_SALT)).alias("salt")
+        )
+        .agg(F.countDistinct("user_id").alias("du"), F.count("*").alias("nn"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("du").alias("n_users"), F.sum("nn").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# R22 exact percentiles (ordered-set aggregate)
+# --------------------------------------------------------------------------
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (ordered-set aggregate; the
+    engine-surface twin of DuckDB's quantile_cont). Spark's `percentile` is
+    exact with linear interpolation — same definition. Scale: exact
+    percentiles need the full value multiset per group (one shuffle);
+    at 100 TB swap to approx_percentile (t-digest sketch, mergeable,
+    partial-agg friendly) when the tolerance allows."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias(
+                "price_p99"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
