@@ -949,3 +949,49 @@ def similarity_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("cosine_raw", 6).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF: shingle expansion (SURVEY §2.12 UDTF surface)
+# --------------------------------------------------------------------------
+@query(
+    "text_shingle_udtf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id, CAST(u.i AS INT) AS pos,
+           array_to_string(t[CAST(u.i AS INT) + 1 : CAST(u.i AS INT) + 3], ' ') AS shingle
+    FROM toks, LATERAL unnest(range(0, len(t) - 2)) AS u(i)
+    WHERE len(t) >= 3 AND doc_id % 50 = 0
+    ORDER BY doc_id, pos
+    """,
+)
+def text_shingle_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingles via a Python UDTF in a SQL LATERAL join — the
+    table-function API surface (§2.12). Row-at-a-time Python is the slow
+    path: the scale implementation is the JVM-side transform+explode in
+    _shingle_df; this exists to cover the UDTF extension point (and is
+    restricted to 1/50th of docs to keep the Python cost honest-but-small).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, shingle STRING")
+    class Shingle:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            for i in range(len(toks) - 2):
+                yield i, " ".join(toks[i : i + 3])
+
+    spark.udtf.register("shingle3", Shingle)
+    docs = table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 50 == 0).createOrReplaceTempView(
+        "docs_for_shingle"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.shingle
+        FROM docs_for_shingle d, LATERAL shingle3(d.text) s
+        ORDER BY d.doc_id, s.pos
+        """
+    )

@@ -337,3 +337,35 @@ def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_static_join",
+    oracle=f"""
+    SELECT date_trunc('hour', e.ts) AS win_start, c.c_mktsegment,
+           COUNT(*) AS n, {sql_dsum('e.value')} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2 ORDER BY win_start, c_mktsegment
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the events stream joined to the
+    static customer table (broadcast — stateless, no watermark state for the
+    join side), then a windowed rollup per market segment. This is the
+    canonical streaming-ETL enrichment shape: at 100 TB/day the dim table is
+    broadcast (or a slowly-changing Delta lookup) and the join adds zero
+    shuffle to the stream."""
+    from duckdb_postgis_spark.catalog import table as _t
+
+    ev = events_stream(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = (
+        joined.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "c_mktsegment", "n", "sum_value")
+    )
+    return run_available_now(agg, "q_static_join", "update").orderBy(
+        "win_start", "c_mktsegment"
+    )
