@@ -772,3 +772,98 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# R23 bucketized range join (the scale path promised by R8)
+# --------------------------------------------------------------------------
+_BAND_SECONDS = 300
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT a.event_type, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.event_type = b.event_type
+     AND a.event_id < b.event_id
+     AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.event_type
+    ORDER BY a.event_type
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as join_theta_range, built the way it must be at
+    100 TB: quantize ts into 5-min buckets, replicate the probe side to its
+    bucket and both neighbors (explode of a 3-element array — bounded 3x),
+    equi-join on (event_type, bucket) — hash join, no per-type cross
+    product — then apply the exact band predicate. A pair can match in at
+    most one probe bucket (b's bucket is a function of its row), so no
+    dedup is needed. Work is O(sum of bucket-pair sizes), linear for
+    time-uniform streams, vs R8's O(per-type^2)."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "bucket", F.floor(F.unix_timestamp("ts") / _BAND_SECONDS)
+    )
+    a = ev.select(
+        F.col("event_type"),
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("bucket"),
+    )
+    b = ev.select(
+        F.col("event_type"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+        "bucket",
+    )
+    pairs = a.join(b, ["event_type", "bucket"]).filter(
+        (F.col("a_id") < F.col("b_id"))
+        & F.col("b_ts").between(
+            F.col("a_ts") - F.expr("INTERVAL 5 MINUTES"),
+            F.col("a_ts") + F.expr("INTERVAL 5 MINUTES"),
+        )
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# R24 pivot (wide aggregation)
+# --------------------------------------------------------------------------
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@query(
+    "pivot_lang_counts",
+    oracle="""
+    SELECT source,
+           COUNT(*) FILTER (WHERE lang = 'de') AS de,
+           COUNT(*) FILTER (WHERE lang = 'en') AS en,
+           COUNT(*) FILTER (WHERE lang = 'es') AS es,
+           COUNT(*) FILTER (WHERE lang = 'fr') AS fr,
+           COUNT(*) FILTER (WHERE lang = 'zh') AS zh
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: doc counts per source x language. Explicit pivot values
+    keep the plan single-pass (no extra distinct scan to discover columns)
+    and the schema stable — the only safe form at 100 TB. Equivalent to
+    conditional aggregation (the oracle's FILTER form)."""
+    docs = table(spark, sf_dir, "documents")
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", _LANGS)
+        .agg(F.count(F.lit(1)))
+        .orderBy("source")
+    )
+    # pivot leaves null where a (source, lang) cell is empty; the FILTER
+    # twin yields 0 — align on 0
+    return out.select(
+        "source", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _LANGS]
+    )
