@@ -995,3 +995,71 @@ def text_shingle_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.pos
         """
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms (log-free exact variant)
+# --------------------------------------------------------------------------
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(str_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS token
+      FROM documents
+    ), tok2 AS (
+      SELECT doc_id, token FROM tok WHERE token != ''
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok2
+      WHERE doc_id % 25 = 0 GROUP BY doc_id, token
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, ROUND(score, 6) AS score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    ORDER BY doc_id, score DESC, token
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf-idf. The idf here is the
+    log-free rational form tf*N/df — a single IEEE division, bit-identical
+    across engines, so the ranking (not just the values) is oracle-exact;
+    the classic ln(N/df) differs across libm implementations in the last
+    ulp and would make rank ties engine-dependent. Scale: df is a partial
+    agg over tokens; the per-doc top-k is a WindowGroupLimit, not a full
+    sort."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), " ")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    tf = (
+        tok.filter(F.col("doc_id") % 25 == 0)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = tf.join(df_, "token").withColumn(
+        "score", (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", F.round("score", 6).alias("score"))
+        .orderBy("doc_id", F.col("score").desc(), "token")
+    )

@@ -867,3 +867,85 @@ def pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "source", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _LANGS]
     )
+
+
+# --------------------------------------------------------------------------
+# R25 histogram via width_bucket
+# --------------------------------------------------------------------------
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CASE WHEN l_extendedprice < 0 THEN 0
+                WHEN l_extendedprice >= 110000 THEN 23
+                ELSE CAST(floor(l_extendedprice / 5000) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi
+    FROM lineitem GROUP BY 1 ORDER BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of prices (width_bucket, identical semantics on
+    both engines). Scale: single partial-agg pass, 24 output rows."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.width_bucket("l_extendedprice", F.lit(0), F.lit(110000), F.lit(22)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# R26 multi-grain time rollup (hypertable-style continuous aggregate)
+# --------------------------------------------------------------------------
+@query(
+    "events_multigrain_rollup",
+    oracle=f"""
+    SELECT grain, win_start, n, sum_value FROM (
+      SELECT 'hour' AS grain, date_trunc('hour', ts) AS win_start,
+             COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP),
+             COUNT(*), {sql_dsum('value')}
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'total', TIMESTAMP '1970-01-01 00:00:00',
+             COUNT(*), {sql_dsum('value')}
+      FROM events
+    ) ORDER BY grain, win_start
+    """,
+)
+def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour/day/total rollups in one pass via GROUPING SETS over pre-computed
+    grain columns (the hypertable continuous-aggregate shape). Spark computes
+    all three grains in a single Expand+partial-agg — one scan, one shuffle
+    of |hours|+|days|+1 rows; at 100 TB the day/total grains re-aggregate the
+    hourly partials, not the raw events."""
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        "value",
+    )
+    ev.createOrReplaceTempView("ev_grains")
+    return spark.sql(
+        """
+        SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                    WHEN d IS NOT NULL THEN 'day'
+                    ELSE 'total' END AS grain,
+               COALESCE(h, d, TIMESTAMP '1970-01-01 00:00:00') AS win_start,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM ev_grains
+        GROUP BY GROUPING SETS ((h), (d), ())
+        ORDER BY grain, win_start
+        """
+    )
