@@ -1063,3 +1063,59 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "tf", "df", F.round("score", 6).alias("score"))
         .orderBy("doc_id", F.col("score").desc(), "token")
     )
+
+
+# --------------------------------------------------------------------------
+# Cogrouped applyInPandas: reconcile documents vs embeddings per bucket
+# --------------------------------------------------------------------------
+@query(
+    "cogroup_reconcile",
+    oracle="""
+    WITH d AS (SELECT doc_id % 20 AS bucket, doc_id AS id FROM documents),
+         e AS (SELECT vec_id % 20 AS bucket, vec_id AS id FROM embeddings)
+    SELECT bucket,
+           COUNT(DISTINCT CASE WHEN src = 'd' THEN id END) AS n_docs,
+           COUNT(DISTINCT CASE WHEN src = 'e' THEN id END) AS n_vecs,
+           COUNT(DISTINCT CASE WHEN matched THEN id END) AS n_matched
+    FROM (
+      SELECT bucket, id, 'd' AS src, id IN (SELECT id FROM e e2 WHERE e2.bucket = d.bucket) AS matched FROM d
+      UNION ALL
+      SELECT bucket, id, 'e', id IN (SELECT id FROM d d2 WHERE d2.bucket = e.bucket) AS matched FROM e
+    )
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map reconciliation (the §2.12 cogroup API surface): docs and
+    embeddings cogrouped on a hash bucket, each group pair handed to ONE
+    pandas function computing set overlap — the shape of cross-source
+    reconciliation/entity-matching jobs. Scale: both sides shuffle once on
+    the bucket key; group pairs are processed independently, Arrow-batched;
+    perfect horizontal scaling as long as buckets are balanced (hash of a
+    high-cardinality id — they are)."""
+    docs = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 20).alias("bucket"), F.col("doc_id").alias("id")
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 20).alias("bucket"), F.col("vec_id").alias("id")
+    )
+
+    def reconcile(key, dpdf: pd.DataFrame, epdf: pd.DataFrame) -> pd.DataFrame:
+        dset, eset = set(dpdf["id"]), set(epdf["id"])
+        return pd.DataFrame(
+            {
+                "bucket": [key[0]],
+                "n_docs": [len(dset)],
+                "n_vecs": [len(eset)],
+                "n_matched": [len(dset & eset)],
+            }
+        )
+
+    out = (
+        docs.groupBy("bucket")
+        .cogroup(emb.groupBy("bucket"))
+        .applyInPandas(
+            reconcile, "bucket LONG, n_docs LONG, n_vecs LONG, n_matched LONG"
+        )
+    )
+    return out.orderBy("bucket")
