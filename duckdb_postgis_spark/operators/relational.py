@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from duckdb_postgis_spark.catalog import register_views, table
 from duckdb_postgis_spark.functions.num import davg, dec, dsum, sql_davg, sql_dsum
+from duckdb_postgis_spark.functions.order import sorted_small
 from duckdb_postgis_spark.registry import query
 
 
@@ -119,7 +120,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(sorted_small, "l_returnflag", "l_linestatus")
     )
 
 
