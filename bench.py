@@ -80,7 +80,7 @@ def main() -> None:
     results: dict[str, float] = {}
     for name, df in dfs.items():
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df.toArrow()
             times.append(time.perf_counter() - t0)

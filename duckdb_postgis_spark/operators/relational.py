@@ -950,3 +950,99 @@ def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY grain, win_start
         """
     )
+
+
+# --------------------------------------------------------------------------
+# R27 null-safe equality join
+# --------------------------------------------------------------------------
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey % 50 END AS k,
+             COUNT(*) AS n_a
+      FROM orders GROUP BY 1
+    ), b AS (
+      SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_custkey % 50 END AS k,
+             COUNT(*) AS n_b
+      FROM customer GROUP BY 1
+    )
+    SELECT a.k, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY a.k NULLS FIRST
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other — semantics a plain equi join silently drops. Scale: Spark
+    hash-partitions null-safe keys like any other (nulls form one key — a
+    known skew hazard; salt if the null class is hot)."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    a = (
+        orders.select(
+            F.when(F.col("o_custkey") % 7 == 0, None)
+            .otherwise(F.col("o_custkey") % 50)
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        cust.select(
+            F.when(F.col("c_custkey") % 11 == 0, None)
+            .otherwise(F.col("c_custkey") % 50)
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n_b"))
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(b.k))
+        .select(a.k.alias("k"), "n_a", "n_b")
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# R28 correlated EXISTS / NOT EXISTS subqueries
+# --------------------------------------------------------------------------
+@query(
+    "subquery_exists_correlated",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+           )) AS n_big_spenders,
+           COUNT(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+           )) AS n_no_orders,
+           COUNT(*) AS n_customers
+    FROM customer c GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS decorrelated by Catalyst into
+    semi/anti joins (RewriteCorrelatedScalarSubquery et al.) — written in
+    SQL to exercise the subquery path end-to-end rather than hand-written
+    semi joins. Scale: both rewrites are hash joins on o_custkey."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(CASE WHEN has_big THEN 1 END) AS n_big_spenders,
+               COUNT(CASE WHEN NOT has_any THEN 1 END) AS n_no_orders,
+               COUNT(*) AS n_customers
+        FROM (
+          SELECT c.c_mktsegment,
+                 EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 150000) AS has_big,
+                 EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey) AS has_any
+          FROM customer c
+        )
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
