@@ -95,23 +95,27 @@ def wkb_point_decode(wkb: bytes) -> tuple[float, float]:
 
 def probe_geometry_encoding(value: object) -> tuple[str, float, float] | None:
     """Probe ladder (geo_strategy.rs:105-183): WKB bytes → hex WKB → WKT
-    text, first that yields finite coordinates wins. Returns
+    text, first that yields finite coordinates wins. Arbitrary geometry
+    types are probed by geometric centroid (the reference's ST_Centroid,
+    geo_strategy.rs:140,157,174 — functions/wkb.py). Returns
     (encoding, x, y) or None."""
+    from duckdb_postgis_spark.functions.wkb import centroid, wkb_decode
+
     if isinstance(value, (bytes, bytearray)):
         try:
-            x, y = wkb_point_decode(bytes(value))
+            x, y = centroid(wkb_decode(bytes(value)))
             if math.isfinite(x) and math.isfinite(y):
                 return ("wkb", x, y)
-        except (ValueError, struct.error):
+        except (ValueError, struct.error, IndexError, ZeroDivisionError):
             return None
         return None
     if isinstance(value, str):
         s = value.strip()
         try:
-            x, y = wkb_point_decode(bytes.fromhex(s))
+            x, y = centroid(wkb_decode(bytes.fromhex(s)))
             if math.isfinite(x) and math.isfinite(y):
                 return ("hexwkb", x, y)
-        except (ValueError, struct.error):
+        except (ValueError, struct.error, IndexError, ZeroDivisionError):
             pass
         xy = parse_wkt_point(s)
         if xy is not None and all(map(math.isfinite, xy)):

@@ -204,28 +204,44 @@ def transform_geom_columns(
 ) -> DataFrame:
     """``SELECT * EXCLUDE(geoms), ST_AsText(ST_Force2D(ST_Transform(...)))``
     (geo_strategy.rs:256-311): every geometry column becomes a 2D WKT
-    EPSG:4326 ``<col>_wkt`` via the probe ladder + closed-form transforms in
-    one Arrow-batched pass; original geometry columns are dropped."""
+    EPSG:4326 ``<col>_wkt`` in one Arrow-batched pass; original geometry
+    columns are dropped. Full geometry shape is preserved — WKB of any
+    standard type decodes, reprojects coordinate-by-coordinate and re-emits
+    as WKT (functions/wkb.py); unparseable values become NULL like the
+    Postgres-side safe_geom_from_text (geo_strategy.rs:373-381)."""
+    from duckdb_postgis_spark.functions.wkb import to_wkt, transform_geom, wkb_decode
 
     def convert(it):
         import pandas as pd
 
+        def to_wkt_4326(val):
+            geom = None
+            if isinstance(val, (bytes, bytearray)):
+                try:
+                    geom = wkb_decode(bytes(val))
+                except Exception:
+                    return None
+            elif isinstance(val, str):
+                try:
+                    geom = wkb_decode(bytes.fromhex(val.strip()))
+                except Exception:
+                    xy = parse_wkt_point(val)
+                    if xy is None:
+                        return None
+                    geom = ("Point", xy)
+            if geom is None:
+                return None
+            if src_crs != _TARGET_CRS:
+                geom = transform_geom(
+                    geom, lambda x, y: transform_xy(x, y, src_crs, _TARGET_CRS)
+                )
+            return to_wkt(geom)
+
         for pdf in it:
             for g in geom_cols:
-                wkts = []
-                for val in pdf[g]:
-                    probe = probe_geometry_encoding(val) if val is not None else None
-                    if probe is None and isinstance(val, str):
-                        xy = parse_wkt_point(val)
-                        probe = ("wkt", xy[0], xy[1]) if xy else None
-                    if probe is None:
-                        wkts.append(None)
-                        continue
-                    x, y = probe[1], probe[2]
-                    if src_crs != _TARGET_CRS:
-                        x, y = transform_xy(x, y, src_crs, _TARGET_CRS)
-                    wkts.append(wkt_point(x, y))
-                pdf[f"{g}_wkt"] = wkts
+                pdf[f"{g}_wkt"] = [
+                    to_wkt_4326(val) if val is not None else None for val in pdf[g]
+                ]
             yield pdf.drop(columns=list(geom_cols))
 
     keep = [f for f in df.schema.fields if f.name not in geom_cols]
