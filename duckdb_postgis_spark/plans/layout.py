@@ -29,8 +29,17 @@ from duckdb_postgis_spark.registry import query
 _LAYOUT_ROOT = "/tmp/duckdb_postgis_spark_layout"
 
 
-def _token(sf_dir: str) -> str:
-    return re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/"))
+def _token(sf_dir: str, *tables: str) -> str:
+    """Cache key for a materialized layout: path + source file size/mtime,
+    so a regenerated testdata directory can never serve a stale layout."""
+    sig = [re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/"))]
+    for t in tables:
+        try:
+            st = os.stat(f"{sf_dir}/{t}.parquet")
+            sig.append(f"{st.st_size}_{int(st.st_mtime)}")
+        except OSError:
+            sig.append("missing")
+    return "_".join(sig)
 
 
 # --------------------------------------------------------------------------
@@ -43,7 +52,7 @@ def ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is a narrow pass. _SUCCESS marks completion so concurrent/repeat
     callers reuse the materialization.
     """
-    path = f"{_LAYOUT_ROOT}/events_by_day_{_token(sf_dir)}"
+    path = f"{_LAYOUT_ROOT}/events_by_day_{_token(sf_dir, 'events')}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         ev = table(spark, sf_dir, "events")
         (
@@ -92,7 +101,7 @@ def ensure_bucketed_table(
     Exchange and NO Sort — the shuffle happened once at write time and is
     amortized over every subsequent join. This is the single biggest lever
     for a recurring 100 TB join pipeline."""
-    tbl = f"{name}_b{buckets}_{_token(sf_dir)}"
+    tbl = f"{name}_b{buckets}_{_token(sf_dir, name)}"
     if not spark.catalog.tableExists(tbl):
         df = table(spark, sf_dir, name)
         (
