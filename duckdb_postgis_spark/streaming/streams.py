@@ -369,3 +369,59 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, "q_static_join", "update").orderBy(
         "win_start", "c_mktsegment"
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.event_type, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.event_type = b.event_type
+     AND a.event_id < b.event_id
+     AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.event_type ORDER BY a.event_type
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on both sides and an
+    event-time band in the join condition (same semantics as the batch
+    join_theta_range / join_range_bucketed). The time bound is what makes
+    the state finite: each side buffers only rows inside
+    watermark + band — without it, stream-stream join state grows forever.
+    Under AvailableNow replay every pair is emitted, so the batch theta
+    join is an exact oracle; the output is re-aggregated per type to keep
+    the driver comparison small."""
+    a = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_type").alias("a_type"),
+            F.col("event_id").alias("a_id"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    b = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_type").alias("b_type"),
+            F.col("event_id").alias("b_id"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = a.join(
+        b,
+        (F.col("a_type") == F.col("b_type"))
+        & (F.col("a_id") < F.col("b_id"))
+        & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    )
+    out = run_available_now(
+        joined.select(F.col("a_type").alias("event_type")), "q_ss_join", "append"
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("event_type")
+    )
