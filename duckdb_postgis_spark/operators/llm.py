@@ -151,9 +151,9 @@ def _shingle_df(docs: DataFrame, n: int) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+#: shared candidate-pair CTE chain (shingles -> minhash -> bands -> cand),
+#: reused by the clustering oracle so both stay in lockstep
+_MINHASH_CAND_CTE = f"""
     WITH words AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
     sh AS (
         SELECT DISTINCT doc_id,
@@ -177,6 +177,13 @@ def _shingle_df(docs: DataFrame, n: int) -> DataFrame:
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
     )
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_CAND_CTE
+    + """
     SELECT c.doc_a, c.doc_b,
            ROUND(AVG(CASE WHEN x.mh = y.mh THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
     FROM cand c
@@ -1125,3 +1132,70 @@ def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# near-dup clustering: connected components over MinHash candidate pairs
+# --------------------------------------------------------------------------
+@query(
+    "dedup_cluster_components",
+    oracle=_MINHASH_CAND_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach(id, x) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.x
+    )
+    SELECT id AS doc_id, MIN(x) AS cluster_rep FROM reach
+    GROUP BY id ORDER BY doc_id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship for near-dup dedup: connected components over the L4
+    candidate pairs via min-label propagation — every doc mapped to the
+    smallest doc_id reachable through near-dup edges (singletons map to
+    themselves). The iterative-algorithm pattern done Spark-style: persist
+    each round to truncate lineage, stop when no label changes; round count
+    is bounded by component diameter (near-dup clusters are shallow). The
+    oracle is a recursive-CTE transitive closure over the same edges.
+    Scale: each round is one join + min-agg on (id); at 100 TB this is the
+    standard large-graph CC layout (GraphFrames does the same joins)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("id"))
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(20):  # >= max component diameter; converges far earlier
+        prop = (
+            edges.join(labels, edges.doc_a == labels.id)
+            .select(F.col("doc_b").alias("id"), "label")
+        )
+        new_labels = (
+            labels.select("id", "label")
+            .union(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep"))
+    edges.unpersist()
+    return out.orderBy("doc_id")
