@@ -204,9 +204,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets are tiny by construction. No all-pairs product ever forms."""
     docs = table(spark, sf_dir, "documents")
     sh = _shingle_df(docs, 3)
-    seeds = spark.range(_MINHASH_SEEDS).select(F.col("id").alias("seed"))
+    # seed expansion via explode(sequence(...)) stays inside whole-stage
+    # codegen — no join node at all (a broadcast cross join against a
+    # 32-row seed table plans as BroadcastNestedLoopJoin and breaks the
+    # codegen span in two)
     mh = (
-        sh.crossJoin(F.broadcast(seeds))
+        sh.withColumn(
+            "seed",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(_MINHASH_SEEDS - 1).cast("long"))
+            ),
+        )
         .select(
             "doc_id",
             "seed",

@@ -1,0 +1,47 @@
+"""Registry-wide plan lint: no query may silently plan a cross product or a
+row-at-a-time Python UDF. The three whitelisted exceptions are each the
+*documented* semantics of their operator, not an accident:
+
+- ``similarity_search_query``: cross join against a ONE-row broadcast query
+  vector — a BroadcastNestedLoopJoin whose build side is a single row is a
+  constant-attach, not a pair explosion (SURVEY L7).
+- ``dedup_embedding_cosine``: the exact cosine-threshold pair semantics ARE
+  all-pairs; the bounded-scale swap is ``knn_ivf_lsh`` (SURVEY 2.12d — the
+  docstring commits to the LSH variant at scale).
+- ``text_shingle_udtf``: exercises the Python UDTF API surface on purpose
+  (SURVEY §2.12); UDTFs evaluate row-at-a-time by design.
+
+Everything else must be equi-join + codegen only. This caught a
+BroadcastNestedLoopJoin hiding under the MinHash seed expansion
+(crossJoin against a 32-row seed table) that explode(sequence(...))
+eliminates.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_postgis_spark import registry
+
+registry.load_all()
+
+ALLOWED_BNLJ = {"similarity_search_query", "dedup_embedding_cosine"}
+ALLOWED_ROW_PY = {"text_shingle_udtf"}
+
+CASES = sorted(registry.QUERIES)
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_plan_has_no_silent_cross_or_row_udf(spark, sf_dir, name):
+    df = registry.QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    assert "CartesianProduct" not in plan, f"{name}: CartesianProduct in plan"
+    if name not in ALLOWED_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected BroadcastNestedLoopJoin (cross product?)"
+        )
+    if name not in ALLOWED_ROW_PY:
+        assert "BatchEvalPython" not in plan, (
+            f"{name}: row-at-a-time Python UDF in plan (use pandas UDF)"
+        )
