@@ -326,58 +326,111 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SimHash near-dup (pandas-UDF; rows-only — python-side bit ops)
+# SimHash near-dup — pure JVM-side bit arithmetic, exact DuckDB oracle
 # --------------------------------------------------------------------------
-@query("dedup_simhash")
+_SIMHASH_ORACLE = """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id, i,
+               CASE WHEN
+                   (CAST(floor(
+                       (strpos('0123456789abcdef',
+                               substr(md5(tok), CAST(16 - floor(i / 4) AS INT), 1)) - 1)
+                       / power(2, i % 4)) AS INT) % 2) = 1
+               THEN 1 ELSE -1 END AS vote
+        FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS i) bitpos
+    ),
+    bits AS (
+        SELECT doc_id, i, CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS bit
+        FROM votes GROUP BY doc_id, i
+    ),
+    sigs AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN i < 32 THEN bit * CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo,
+               CAST(SUM(CASE WHEN i >= 32 THEN bit * CAST(power(2, i - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi
+        FROM bits GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        FROM sigs a JOIN sigs b
+          ON CAST(floor(a.hi / 65536) AS BIGINT) = CAST(floor(b.hi / 65536) AS BIGINT)
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs
+    WHERE hamming <= 8
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs (hamming ≤ 8) (north-star dedup set).
-    Signatures via an Arrow-batched mapInPandas (md5-derived token hashes,
-    bitwise majority vote); pair generation via banding on the top-16 bits so
-    candidate buckets stay small. Rows-only check: python bit-twiddling has
-    no SQL twin. Scale: signature pass is linear; the band join bounds pair
-    work exactly like LSH."""
-    import pandas as pd  # noqa: F401 (imported for executors)
 
+    Token hash = first 8 bytes (big-endian) of md5(token), decoded hex-digit
+    by hex-digit with built-in arithmetic so the entire pipeline — bit votes,
+    majority signature, top-16-bit banding, bit_count(xor) hamming — runs
+    JVM-side in whole-stage codegen, and an exact DuckDB oracle replays the
+    identical arithmetic (no python in the loop, unlike the usual
+    mapInPandas simhash). Signature carried as two 32-bit halves (lo, hi) to
+    stay in non-negative BIGINT space on both engines.
+
+    Scale: linear signature pass (64 bit-rows per distinct token is a
+    map-side explode); candidate pairs bounded by the 16-bit band join
+    exactly like LSH banding — no all-pairs product."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def sig_batches(it):
-        import hashlib
-
-        import numpy as np
-        import pandas as pd
-
-        for pdf in it:
-            out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                votes = np.zeros(64, dtype=np.int64)
-                for tok in set(str(text).split(" ")):
-                    h = int.from_bytes(
-                        hashlib.md5(tok.encode()).digest()[:8], "big"
-                    )
-                    bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-                    votes += np.where(bits == 1, 1, -1)
-                sig = 0
-                for i in range(64):
-                    if votes[i] > 0:
-                        sig |= 1 << i
-                out.append((doc_id, sig - (1 << 64) if sig >= (1 << 63) else sig))
-            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
-
-    schema = StructType(
-        [StructField("doc_id", LongType()), StructField("simhash", LongType())]
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
-    sigs = docs.mapInPandas(sig_batches, schema=schema)
-    banded = sigs.withColumn("band", F.shiftrightunsigned("simhash", 48))
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band"
+    # bit i (LSB order) of the 64-bit hash lives in hex digit 15 - i/4
+    # (0-indexed from the left), at bit position i % 4 within that digit
+    digit = F.conv(
+        F.substring(
+            F.md5("tok"), (F.lit(16) - F.floor(F.col("i") / 4)).cast("int"), F.lit(1)
+        ),
+        16,
+        10,
+    ).cast("int")
+    bit_of_digit = (
+        F.floor(digit / F.pow(F.lit(2.0), F.col("i") % 4)).cast("int") % 2
     )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band"
+    votes = toks.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.lit(63)))
+    ).select(
+        "doc_id", "i", F.when(bit_of_digit == 1, 1).otherwise(-1).alias("vote")
     )
+    bits = votes.groupBy("doc_id", "i").agg(
+        F.when(F.sum("vote") > 0, 1).otherwise(0).alias("bit")
+    )
+    sigs = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("i") < 32, F.col("bit") * F.pow(F.lit(2.0), F.col("i")))
+            .otherwise(0.0)
+        ).cast("long").alias("lo"),
+        F.sum(
+            F.when(F.col("i") >= 32, F.col("bit") * F.pow(F.lit(2.0), F.col("i") - 32))
+            .otherwise(0.0)
+        ).cast("long").alias("hi"),
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")
+    ).withColumn("band", F.floor(F.col("hi_a") / 65536))
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b")
+    ).withColumn("band", F.floor(F.col("hi_b") / 65536))
     return (
         a.join(b, ["band"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+                + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            ).cast("long"),
+        )
         .filter(F.col("hamming") <= 8)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
