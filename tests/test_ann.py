@@ -34,3 +34,19 @@ def test_knn_ivf_lsh_deterministic(spark, sf_dir):
     a = registry.QUERIES["knn_ivf_lsh"](spark, sf_dir).collect()
     b = registry.QUERIES["knn_ivf_lsh"](spark, sf_dir).collect()
     assert a == b
+
+
+def test_similarity_search_ivf_recall(spark, sf_dir):
+    # testdata embeddings are near-uniform random — the worst case for a
+    # coarse quantizer — so nprobe=12/16 for a deterministic 0.9 recall
+    # (observed at sf0.001/0.01/0.1); clustered embeddings prune far harder
+    exact = {r.vec_id for r in registry.QUERIES["similarity_search_query"](spark, sf_dir).collect()}
+    approx = {r.vec_id for r in registry.QUERIES["similarity_search_ivf"](spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"query recall@10 {recall}"
+
+
+def test_similarity_search_ivf_deterministic(spark, sf_dir):
+    a = registry.QUERIES["similarity_search_ivf"](spark, sf_dir).collect()
+    b = registry.QUERIES["similarity_search_ivf"](spark, sf_dir).collect()
+    assert a == b
