@@ -69,6 +69,29 @@ def test_every_survey_operator_is_registered():
     assert not missing, f"SURVEY-declared but unregistered: {missing}"
 
 
+def test_driver_window_covers_required_families():
+    """The driver verifies only the first DRIVER_WINDOW entries of
+    queries() — §2.8, §2.9 (+stateful streams), §2.10 and §2.12b must all
+    land inside it (round-1 lesson: 25 finished operators got no verdict)."""
+    window = list(registry.all_queries())[: registry.DRIVER_WINDOW]
+    required = (
+        RELATIONAL
+        + ["json_extract_events"]  # R18b, registered with §2.12d
+        + [n for n in STREAMING if not n.endswith("_live")]
+        + LLM
+        + SCALE
+    )
+    missing = [n for n in required if n not in window]
+    assert not missing, f"outside driver window: {missing}"
+
+
+def test_priority_names_all_registered():
+    unknown = [n for n in registry.PRIORITY if n not in registry.QUERIES]
+    assert not unknown, f"PRIORITY names not in registry: {unknown}"
+    assert len(registry.PRIORITY) == len(set(registry.PRIORITY))
+    assert len(registry.PRIORITY) <= registry.DRIVER_WINDOW
+
+
 def test_oracle_coverage_floor():
     # every query has an oracle except the eight with a documented reason
     # (approximate by design, codec stub, offline-spatial, append-mode tail)
