@@ -37,9 +37,9 @@ from duckdb_postgis_spark.registry import query
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-           SUM(len(str_split(text, ' '))) AS sum_tokens
+           CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -695,7 +695,7 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
            MAX(len(str_split(text, ' '))) AS max_tokens
     FROM documents

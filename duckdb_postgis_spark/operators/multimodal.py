@@ -32,11 +32,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
@@ -129,9 +127,9 @@ def _fake_decode_frame(payload: bytes, width: int, height: int):
     + """
     SELECT media_type,
            COUNT(*) AS n,
-           SUM(octet_length(payload)) AS total_bytes,
-           SUM(width * height) AS total_pixels,
-           SUM(n_frames) AS total_frames
+           CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+           CAST(SUM(width * height) AS BIGINT) AS total_pixels,
+           CAST(SUM(n_frames) AS BIGINT) AS total_frames
     FROM media
     GROUP BY media_type
     ORDER BY media_type
@@ -166,7 +164,13 @@ _IMG_SCHEMA = StructType(
         StructField("height", IntegerType()),
         StructField("mean_intensity", DoubleType()),
         StructField("std_intensity", DoubleType()),
-        StructField("grid2x2", ArrayType(DoubleType())),
+        # 2x2 pooled grid as four scalars: the driver's result canon cannot
+        # hash array cells (round-1 harness crash) — no array columns may
+        # appear in any query's FINAL output (lint: test_plan_lint.py)
+        StructField("g00", DoubleType()),
+        StructField("g01", DoubleType()),
+        StructField("g10", DoubleType()),
+        StructField("g11", DoubleType()),
     ]
 )
 
@@ -189,6 +193,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img = _fake_decode_frame(payload, int(w), int(h)).astype("float64")
                 hh, ww = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
                 pooled = img[:hh, :ww].reshape(2, hh // 2, 2, ww // 2).mean(axis=(1, 3))
+                g = [round(float(v), 6) for v in pooled.ravel()]
                 out.append(
                     (
                         doc_id,
@@ -196,7 +201,10 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         int(h),
                         round(float(img.mean()), 6),
                         round(float(img.std()), 6),
-                        [round(float(v), 6) for v in pooled.ravel()],
+                        g[0],
+                        g[1],
+                        g[2],
+                        g[3],
                     )
                 )
             yield pd.DataFrame(out, columns=[f.name for f in _IMG_SCHEMA.fields])

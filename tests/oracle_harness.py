@@ -25,8 +25,48 @@ def run_oracle(sql: str, sf_dir: str):
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()
+    # driver fidelity: the driver canons results through pandas, so the
+    # pandas dtype DuckDB materializes (e.g. HUGEINT → float64!) is part of
+    # the contract even when Python-level values compare equal
+    odf = con.execute(sql).df()
     con.close()
-    return cols, rows
+    return cols, rows, odf
+
+
+def _kind_class(series) -> str:
+    """Collapse a pandas series dtype to the class the driver's value hash
+    distinguishes: int vs float vs text vs bytes vs datetime vs bool.
+
+    Round-1 lesson: DuckDB 1.0 SUM(INTEGER) → HUGEINT → pandas float64,
+    which hash-mismatches Spark's int64 ("19525.0" vs "19525") while plain
+    Python comparison says 10 == 10.0 — type classes must be asserted."""
+    k = series.dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    # object column: classify by first non-null value
+    for v in series:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, (float, Decimal)):
+            return "float"
+        if isinstance(v, str):
+            return "text"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return "datetime"
+        return type(v).__name__
+    return "all-null"
 
 
 def _norm_cell(v):
@@ -60,9 +100,32 @@ def compare_query(spark, name: str, fn, oracle: str, sf_dir: str) -> None:
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
-    o_cols, o_rows = run_oracle(oracle, sf_dir)
+    o_cols, o_rows, odf = run_oracle(oracle, sf_dir)
     assert sorted(s_cols) == sorted(o_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    )
+    # dtype-class fidelity (see _kind_class): compare what pandas sees on
+    # both sides, since that is what the driver hashes
+    spdf = sdf.toPandas()
+    kind_mismatch = {}
+    for c in s_cols:
+        sk, ok = _kind_class(spdf[c]), _kind_class(odf[c])
+        # a column that is nullable-int on one side surfaces as float64 in
+        # pandas on BOTH sides (Spark toPandas and duckdb .df() upgrade the
+        # same way), so int-vs-float here is a real engine-type divergence —
+        # except when either side has no non-null value to classify
+        if "all-null" in (sk, ok):
+            continue
+        if {sk, ok} == {"int", "float"} and (
+            spdf[c].isna().any() or odf[c].isna().any()
+        ):
+            continue
+        if sk != ok:
+            kind_mismatch[c] = (sk, ok)
+    assert not kind_mismatch, (
+        f"{name}: pandas dtype-class mismatch (spark, oracle): {kind_mismatch} — "
+        "driver value-hash will fail even if Python values compare equal "
+        "(e.g. CAST(SUM(int) AS BIGINT) missing in oracle)"
     )
     ns_cols, ns = normalize(s_cols, s_rows)
     _, no = normalize(o_cols, o_rows)

@@ -45,3 +45,19 @@ def test_plan_has_no_silent_cross_or_row_udf(spark, sf_dir, name):
         assert "BatchEvalPython" not in plan, (
             f"{name}: row-at-a-time Python UDF in plan (use pandas UDF)"
         )
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_no_array_or_map_in_final_output(spark, sf_dir, name):
+    """The driver's result canon (pandas sort + hash) crashes on unhashable
+    list cells — round 1 lost multimodal_image_features' verdict to this.
+    No query may emit array/map/struct columns in its FINAL schema."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = registry.QUERIES[name](spark, sf_dir)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name}: non-scalar output columns {bad}"

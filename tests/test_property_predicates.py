@@ -75,7 +75,7 @@ def test_random_predicate_parity(spark, sf_dir, seed):
         FROM lineitem WHERE {where} GROUP BY l_returnflag
     """
     s_cols, s_rows = got.columns, [tuple(r) for r in got.collect()]
-    o_cols, o_rows = run_oracle(sql, sf_dir)
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
     _, ns = normalize(s_cols, s_rows)
     _, no = normalize(o_cols, o_rows)
     assert ns == no, f"seed={seed} where={where}"
