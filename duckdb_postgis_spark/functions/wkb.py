@@ -205,7 +205,12 @@ def transform_geom(g: Geom, fn) -> Geom:
 
 
 def _fmt(v: float) -> str:
-    return f"{v:g}" if v != int(v) else str(int(v))
+    # shortest round-trip repr, NOT %g: %g keeps only 6 significant digits,
+    # which shifts a lon like 121.123456 by ~40 m on the way to the PostGIS
+    # sink (ST_AsText keeps full double precision)
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite coordinate {v!r} in geometry")
+    return str(int(v)) if v == int(v) else repr(v)
 
 
 def to_wkt(g: Geom) -> str:

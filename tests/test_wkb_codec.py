@@ -89,3 +89,27 @@ def test_probe_ladder_uses_centroid_for_lines():
     wkb = _le(2, _coords([(0, 0), (10, 0)]))
     assert probe_geometry_encoding(wkb) == ("wkb", 5.0, 0.0)
     assert probe_geometry_encoding(wkb.hex()) == ("hexwkb", 5.0, 0.0)
+
+
+def test_wkt_full_double_precision():
+    # ADVICE round 1: %g truncated to 6 significant digits (~40 m lon shift);
+    # WKT must round-trip the exact double, like ST_AsText
+    wkb = struct.pack("<BIdd", 1, 1, 121.123456, 31.2304)
+    wkt = to_wkt(wkb_decode(wkb))
+    assert wkt == "POINT (121.123456 31.2304)"
+    body = wkt[wkt.index("(") + 1 : -1].split()
+    assert float(body[0]) == 121.123456 and float(body[1]) == 31.2304
+    # 17-sig-digit value survives exactly
+    x = 0.1 + 0.2  # 0.30000000000000004
+    wkb2 = struct.pack("<BIdd", 1, 1, x, -0.0000123456789012345)
+    b2 = to_wkt(wkb_decode(wkb2))
+    p = b2[b2.index("(") + 1 : -1].split()
+    assert float(p[0]) == x and float(p[1]) == -0.0000123456789012345
+    # integral doubles stay integer-formatted (canonical form unchanged)
+    assert to_wkt(("Point", (1.0, -2.0))) == "POINT (1 -2)"
+
+
+def test_wkt_rejects_non_finite():
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="non-finite"):
+            to_wkt(("Point", (bad, 0.0)))
