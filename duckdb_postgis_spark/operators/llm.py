@@ -12,6 +12,8 @@ to 6 dp AFTER identical-formula computation on both engines.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -491,48 +493,95 @@ _SQL_COS = (
 )
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 cosine-similar embedding pairs (SURVEY L6; baseline 'pairwise
-    cosine'). Implementation is the 100 TB block pattern: one side broadcast
-    as a NumPy matrix, the other streamed through mapInPandas, BLAS matmul
-    per Arrow batch, per-batch top-k, then a global TakeOrdered of 20 rows.
-    Nothing quadratic ever materializes.
+    cosine'). Implementation is the distributed block-pair pattern: hash the
+    corpus into B blocks, enumerate the B(B+1)/2 unordered block pairs via
+    explode(sequence(...)), cogroup the two sides on the pair id, and run one
+    BLAS matmul + per-pair top-k per (block_i, block_j) Arrow group; a global
+    TakeOrdered of 20 finishes. Nothing touches the driver: shuffle volume is
+    ~(B+1)x the skinny (vec_id, embedding) projection, each task holds two
+    ~_BLOCK_TARGET_BYTES matrices, and no executor or driver ever sees the
+    whole corpus. (Round 1 shipped a toPandas() of the full table here —
+    banned since; see tests/test_plan_lint.py::test_no_unbounded_driver_collect.)
     """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _block_pair_topk(emb, k=20)
+
+
+# one block's unit-normalized matrix should fit comfortably in a task: at
+# 100 TB this bounds per-task memory while B^2/2 pairs >> cores keeps every
+# executor busy (B grows as corpus_bytes / _BLOCK_TARGET_BYTES)
+_BLOCK_TARGET_BYTES = 64 << 20
+
+
+def _block_pair_topk(emb: DataFrame, k: int) -> DataFrame:
+    """All-pairs cosine top-k without any driver-side materialization."""
     import numpy as np
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # The matmul stage is CPU-bound, not scan-bound: set its parallelism to
-    # the cluster's cores explicitly so it never inherits a single fat scan
-    # split (the shuffle moves only |V| x 64 floats — negligible).
-    emb = emb.repartition(spark.sparkContext.defaultParallelism)
-    pdf = emb.toPandas()  # broadcast side: |V|×64 floats (tiny vs corpus)
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-    mat_unit = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
-    sc = spark.sparkContext
-    b_ids = sc.broadcast(ids)
-    b_mat = sc.broadcast(mat_unit)
-    k = 20
+    # B from corpus size: one count() scalar (metadata-cheap on parquet) and
+    # a single-row peek for the dimension — O(1) driver data, not a collect
+    # of the corpus. Floor of 4 keeps tests exercising the multi-block path.
+    n = emb.count()
+    first = emb.select(F.size("embedding").alias("d")).head(1)
+    if not first:
+        return emb.sparkSession.createDataFrame(
+            [], "a_id bigint, b_id bigint, cosine double"
+        )
+    dim = first[0]["d"]
+    nblocks = max(4, math.ceil(n * dim * 8 / _BLOCK_TARGET_BYTES))
 
-    def batches(it):
-        import numpy as np
+    blk = F.pmod(F.hash("vec_id"), F.lit(nblocks)).cast("int")
+    # side A: block i joins every pair (i, j), j >= i; side B: block j joins
+    # every pair (i, j), i <= j — each unordered pair materializes exactly once
+    left = (
+        emb.withColumn("pi", blk)
+        .withColumn("pj", F.explode(F.sequence("pi", F.lit(nblocks - 1))))
+    )
+    right = (
+        emb.withColumn("pj", blk)
+        .withColumn("pi", F.explode(F.sequence(F.lit(0), "pj")))
+    )
+
+    def pair_topk(key, lpdf, rpdf):
         import pandas as pd
 
-        B, BI = b_mat.value, b_ids.value
-        for p in it:
-            aid = p["vec_id"].to_numpy()
-            A = np.stack(p["embedding"].to_numpy()).astype("float64")
-            A = A / np.sqrt((A * A).sum(axis=1, keepdims=True))
-            sims = A @ B.T
-            mask = aid[:, None] < BI[None, :]
-            sims = np.where(mask, sims, -np.inf)
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+            {"a_id": "int64", "b_id": "int64", "cosine": "float64"}
+        )
+        if lpdf.empty or rpdf.empty:
+            return empty
+        aid = lpdf["vec_id"].to_numpy()
+        bid = rpdf["vec_id"].to_numpy()
+        A = np.stack(lpdf["embedding"].to_numpy()).astype("float64")
+        B = np.stack(rpdf["embedding"].to_numpy()).astype("float64")
+        A /= np.sqrt((A * A).sum(axis=1, keepdims=True))
+        B /= np.sqrt((B * B).sum(axis=1, keepdims=True))
+        sims = A @ B.T
+        if key[0] == key[1]:
+            # diagonal group: both sides are the same block — keep each
+            # unordered pair once and drop self-pairs
+            mask = aid[:, None] < bid[None, :]
+            flat = np.where(mask, sims, -np.inf).ravel()
+            navail = int(mask.sum())
+        else:
+            # disjoint blocks: every (left, right) is a distinct unordered
+            # pair already (ids canonicalized to min/max below) — masking by
+            # id order here would drop pairs whose smaller id hashed into
+            # the higher-numbered block
             flat = sims.ravel()
-            take = min(k, int(mask.sum()))
-            if take == 0:
-                continue
-            top = np.argpartition(flat, -take)[-take:]
-            rows, cols = np.unravel_index(top, sims.shape)
-            yield pd.DataFrame(
-                {"a_id": aid[rows], "b_id": BI[cols], "cosine": flat[top]}
-            )
+            navail = flat.size
+        take = min(k, navail)
+        if take == 0:
+            return empty
+        top = np.argpartition(flat, -take)[-take:]
+        rows, cols = np.unravel_index(top, sims.shape)
+        ai, bi = aid[rows], bid[cols]
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(ai, bi),
+                "b_id": np.maximum(ai, bi),
+                "cosine": flat[top],
+            }
+        )
 
     schema = StructType(
         [
@@ -541,9 +590,13 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("cosine", DoubleType()),
         ]
     )
+    candidates = (
+        left.groupBy("pi", "pj")
+        .cogroup(right.groupBy("pi", "pj"))
+        .applyInPandas(pair_topk, schema=schema)
+    )
     return (
-        emb.mapInPandas(batches, schema=schema)
-        .orderBy(F.col("cosine").desc(), "a_id", "b_id")
+        candidates.orderBy(F.col("cosine").desc(), "a_id", "b_id")
         .limit(k)
         .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
     )

@@ -120,12 +120,10 @@ def infer_crs_from_xy(df: DataFrame, x_col: str, y_col: str) -> str:
     """Coordinate-range CRS inference on a probe sample
     (geo_strategy.rs:186-253): collect ≤10 non-null (x,y), fold min/max,
     classify by the reference's range ladder."""
-    rows = (
-        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-        .select(F.col(x_col).cast("double"), F.col(y_col).cast("double"))
-        .limit(_PROBE_ROWS)
-        .collect()
+    probe = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        F.col(x_col).cast("double"), F.col(y_col).cast("double")
     )
+    rows = probe.limit(_PROBE_ROWS).collect()
     xs = [r[0] for r in rows if r[0] is not None]
     ys = [r[1] for r in rows if r[1] is not None]
     if not xs or not ys:

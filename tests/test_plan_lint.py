@@ -61,3 +61,34 @@ def test_no_array_or_map_in_final_output(spark, sf_dir, name):
         if isinstance(f.dataType, (ArrayType, MapType, StructType))
     ]
     assert not bad, f"{name}: non-scalar output columns {bad}"
+
+
+def test_no_unbounded_driver_collect():
+    """No operator may materialize a table on the driver (round 1:
+    knn_cosine_topk toPandas'd the whole embeddings corpus — OOM by design
+    at scale). ``.toPandas(`` is banned outright in package source;
+    ``.collect(`` is allowed only at sites that are provably bounded
+    (limit()-guarded probes, fixed-size training samples), each listed here
+    with the substring that pins its context."""
+    import pathlib
+
+    pkg = pathlib.Path(registry.__file__).parent
+    allowed_collect = [
+        # schema/geometry probes, bounded by limit(_PROBE_ROWS) / limit(1)
+        ("pipeline.py", ".limit(_PROBE_ROWS).collect()"),
+        ("pipeline.py", ".limit(1)"),
+        # IVF coarse quantizer trains on a fixed-size sample, not the corpus
+        ("operators/llm.py", ".limit(_IVF_TRAIN_SAMPLE).select"),
+    ]
+    offenders = []
+    for p in sorted(pkg.rglob("*.py")):
+        rel = p.relative_to(pkg).as_posix()
+        for ln, line in enumerate(p.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".toPandas(" in code:
+                offenders.append(f"{rel}:{ln} toPandas")
+            if ".collect(" in code and not any(
+                rel == f and marker in code for f, marker in allowed_collect
+            ):
+                offenders.append(f"{rel}:{ln} collect")
+    assert not offenders, f"unbounded driver materialization: {offenders}"
