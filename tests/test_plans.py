@@ -92,3 +92,16 @@ def test_whole_stage_codegen_everywhere(plans):
 def test_dedup_exact_partial_agg(plans):
     p = plans("dedup_exact_hash")
     assert p.count("HashAggregate") >= 2  # map-side partial dedup
+
+
+def test_asof_union_merge_single_exchange_no_join(plans):
+    """R9 as-of join is the union-merge rewrite: one hash Exchange (the
+    window's partitioning on user), no join operator, no per-(user, order)
+    fan-out (round-1 verdict, What's wrong #5)."""
+    p = plans("join_asof")
+    assert "Join" not in p, "as-of must not plan a join node"
+    # AQE explain repeats the tree as Final + Initial: count the final only
+    final = p.split("== Initial Plan ==")[0]
+    n_exchange = final.count("- Exchange")
+    assert n_exchange == 1, f"expected exactly 1 Exchange, plan:\n{final}"
+    assert "Union" in final and "Window" in final
