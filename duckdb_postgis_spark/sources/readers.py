@@ -153,17 +153,20 @@ def _gpkg_geom_to_wkb(blob: bytes) -> bytes:
 
 
 # --------------------------------------------------------------------------
-# Zipped Shapefile — minimal pure-python codec (point geometry + DBF attrs)
+# Zipped Shapefile — minimal pure-python codec (all geometry types + DBF)
 # --------------------------------------------------------------------------
 
 
 def read_zipped_shapefile(spark: SparkSession, zip_path: str) -> DataFrame:
     """Zipped-shapefile reader (reference: GDAL vsizip st_read,
     core_processor.rs:399-406 + member discovery :270-283). Pure-python
-    parser for Point (type 1) .shp records joined with .dbf attributes;
-    .prj CRS text is surfaced as the ``crs_epsg`` column via the reference's
-    PRJ sniff (geo_strategy.rs:22-44)."""
+    parser for every ESRI shape class — Point(Z/M), MultiPoint(Z/M),
+    PolyLine(Z/M), Polygon(Z/M), Z/M forced to 2D — emitting standard WKB
+    (``geometry_wkb``) decodable by functions/wkb.py, centroid ``x``/``y``
+    probe columns, .dbf attributes, and ``crs_epsg`` from the .prj sniff
+    (geo_strategy.rs:22-44)."""
     from duckdb_postgis_spark.functions.geo import crs_from_prj_text
+    from duckdb_postgis_spark.functions.wkb import centroid, wkb_decode
 
     shp_member = find_shapefile_path(zip_path)
     base = shp_member[: -len(".shp")]
@@ -172,36 +175,119 @@ def read_zipped_shapefile(spark: SparkSession, zip_path: str) -> DataFrame:
         names = set(zf.namelist())
         dbf = zf.read(base + ".dbf") if base + ".dbf" in names else None
         prj = zf.read(base + ".prj").decode("ascii", "ignore") if base + ".prj" in names else ""
-    points = _parse_shp_points(shp)
-    attrs = _parse_dbf(dbf) if dbf else [{} for _ in points]
+    geoms = _parse_shp_geoms(shp)
+    attrs = _parse_dbf(dbf) if dbf else [{} for _ in geoms]
     epsg = crs_from_prj_text(prj) if prj else "4326"
     records = []
-    for (x, y), a in zip(points, attrs):
+    for wkb, a in zip(geoms, attrs):
         rec = dict(a)
-        rec["x"] = x
-        rec["y"] = y
+        if wkb is None:  # Null shape (type 0)
+            rec["x"] = rec["y"] = None
+            rec["geometry_wkb"] = None
+        else:
+            cx, cy = centroid(wkb_decode(wkb))
+            rec["x"] = cx
+            rec["y"] = cy
+            rec["geometry_wkb"] = wkb
         rec["crs_epsg"] = epsg
         records.append(rec)
     if not records:
-        return spark.createDataFrame([], schema="x double, y double, crs_epsg string")
+        return spark.createDataFrame(
+            [], schema="x double, y double, geometry_wkb binary, crs_epsg string"
+        )
     return spark.createDataFrame(records)
 
 
-def _parse_shp_points(shp: bytes) -> list[tuple[float, float]]:
+def _parse_shp_geoms(shp: bytes) -> list[bytes | None]:
     """ESRI .shp main file: 100-byte header, then (record header, shape).
-    Point = type 1: two little-endian doubles."""
-    out = []
+    Returns one WKB geometry (or None for Null shapes) per record. Shape
+    types (ESRI spec): 1/11/21 Point, 8/18/28 MultiPoint, 3/13/23 PolyLine,
+    5/15/25 Polygon; the Z/M payloads trail the XY block and are skipped via
+    the record length (Force2D, matching geo_strategy.rs:283-291)."""
+    out: list[bytes | None] = []
     pos = 100
     n = len(shp)
     while pos + 8 <= n:
         (_recno, content_len) = struct.unpack(">ii", shp[pos : pos + 8])
         pos += 8
-        shape_type = struct.unpack("<i", shp[pos : pos + 4])[0]
-        if shape_type == 1:
-            x, y = struct.unpack("<dd", shp[pos + 4 : pos + 20])
-            out.append((x, y))
+        out.append(_shape_to_wkb(shp, pos))
         pos += content_len * 2  # content length is in 16-bit words
     return out
+
+
+def _shape_to_wkb(shp: bytes, pos: int) -> bytes | None:
+    shape_type = struct.unpack("<i", shp[pos : pos + 4])[0]
+    base = shape_type % 10  # 11→1 (PointZ), 23→3 (PolyLineM), ...
+    if shape_type == 0:
+        return None
+    if base == 1:  # Point
+        x, y = struct.unpack("<dd", shp[pos + 4 : pos + 20])
+        return _wkb_point(x, y)
+    if base == 8:  # MultiPoint: bbox, numPoints, points
+        (npts,) = struct.unpack("<i", shp[pos + 36 : pos + 40])
+        pts = _read_xy(shp, pos + 40, npts)
+        return _wkb_header(4, npts) + b"".join(_wkb_point(x, y) for x, y in pts)
+    if base in (3, 5):  # PolyLine / Polygon: bbox, numParts, numPoints, parts, points
+        nparts, npts = struct.unpack("<ii", shp[pos + 36 : pos + 44])
+        parts = list(struct.unpack(f"<{nparts}i", shp[pos + 44 : pos + 44 + 4 * nparts]))
+        pts = _read_xy(shp, pos + 44 + 4 * nparts, npts)
+        bounds = parts + [npts]
+        rings = [pts[bounds[i] : bounds[i + 1]] for i in range(nparts)]
+        if base == 3:
+            lines = [_wkb_path(2, r) for r in rings]
+            if len(lines) == 1:
+                return lines[0]
+            return _wkb_header(5, len(lines)) + b"".join(lines)
+        return _assemble_polygons(rings)
+    raise ValueError(f"unsupported shapefile shape type {shape_type}")
+
+
+def _read_xy(shp: bytes, pos: int, npts: int) -> list[tuple[float, float]]:
+    vals = struct.unpack(f"<{2 * npts}d", shp[pos : pos + 16 * npts])
+    return [(vals[2 * i], vals[2 * i + 1]) for i in range(npts)]
+
+
+def _wkb_header(geom_type: int, count: int) -> bytes:
+    return struct.pack("<BII", 1, geom_type, count)
+
+
+def _wkb_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, 1, x, y)
+
+
+def _wkb_path(geom_type: int, coords: list[tuple[float, float]]) -> bytes:
+    body = b"".join(struct.pack("<dd", x, y) for x, y in coords)
+    return _wkb_header(geom_type, len(coords)) + body
+
+
+def _ring_bytes(coords: list[tuple[float, float]]) -> bytes:
+    return struct.pack("<I", len(coords)) + b"".join(
+        struct.pack("<dd", x, y) for x, y in coords
+    )
+
+
+def _assemble_polygons(rings: list[list[tuple[float, float]]]) -> bytes:
+    """SHP polygon rings: outer rings wind clockwise (negative shoelace
+    area), holes counter-clockwise, holes follow their outer ring — the
+    standard GDAL grouping heuristic."""
+    polys: list[list[list[tuple[float, float]]]] = []
+    for ring in rings:
+        area = sum(
+            x1 * y2 - x2 * y1 for (x1, y1), (x2, y2) in zip(ring, ring[1:])
+        )
+        if area <= 0 or not polys:  # clockwise → new outer ring
+            polys.append([ring])
+        else:  # counter-clockwise → hole of the most recent outer
+            polys[-1].append(ring)
+    if len(polys) == 1:
+        return struct.pack("<BII", 1, 3, len(polys[0])) + b"".join(
+            _ring_bytes(r) for r in polys[0]
+        )
+    parts = [
+        struct.pack("<BII", 1, 3, len(p)) + b"".join(_ring_bytes(r) for r in p)
+        for p in polys
+    ]
+    return _wkb_header(6, len(parts)) + b"".join(parts)
 
 
 def _parse_dbf(dbf: bytes) -> list[dict]:
@@ -271,16 +357,56 @@ __all__ = [
 
 def write_sample_zip_shapefile(path: str, points: list[tuple[float, float]], prj: str = "") -> None:
     """Test helper: build a minimal zipped point shapefile."""
+    payloads = [struct.pack("<idd", 1, x, y) for x, y in points]
+    write_sample_zip_shapefile_records(path, payloads, prj)
+
+
+def shp_poly_payload(shape_type: int, parts: list[list[tuple[float, float]]]) -> bytes:
+    """Test helper: one PolyLine (3) / Polygon (5) record payload."""
+    pts = [p for part in parts for p in part]
+    xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+    starts, acc = [], 0
+    for part in parts:
+        starts.append(acc)
+        acc += len(part)
+    return (
+        struct.pack("<i", shape_type)
+        + struct.pack("<dddd", min(xs), min(ys), max(xs), max(ys))
+        + struct.pack("<ii", len(parts), len(pts))
+        + struct.pack(f"<{len(parts)}i", *starts)
+        + b"".join(struct.pack("<dd", x, y) for x, y in pts)
+    )
+
+
+def shp_multipoint_payload(points: list[tuple[float, float]]) -> bytes:
+    """Test helper: one MultiPoint (8) record payload."""
+    xs, ys = [p[0] for p in points], [p[1] for p in points]
+    return (
+        struct.pack("<i", 8)
+        + struct.pack("<dddd", min(xs), min(ys), max(xs), max(ys))
+        + struct.pack("<i", len(points))
+        + b"".join(struct.pack("<dd", x, y) for x, y in points)
+    )
+
+
+def write_sample_zip_shapefile_records(
+    path: str, shape_payloads: list[bytes], prj: str = ""
+) -> None:
+    """Test helper: zip a .shp (given raw record payloads) + minimal .dbf."""
     shp_records = b""
-    for i, (x, y) in enumerate(points, 1):
-        content = struct.pack("<i", 1) + struct.pack("<dd", x, y)
+    for i, content in enumerate(shape_payloads, 1):
         shp_records += struct.pack(">ii", i, len(content) // 2) + content
+    shape_type = (
+        struct.unpack("<i", shape_payloads[0][:4])[0] if shape_payloads else 1
+    )
     header = struct.pack(">i", 9994) + b"\x00" * 20 + struct.pack(
         ">i", (100 + len(shp_records)) // 2
-    ) + struct.pack("<ii", 1000, 1) + struct.pack("<dddddddd", 0, 0, 0, 0, 0, 0, 0, 0)
+    ) + struct.pack("<ii", 1000, shape_type) + struct.pack(
+        "<dddddddd", 0, 0, 0, 0, 0, 0, 0, 0
+    )
     shp = header + shp_records
     # minimal dbf with one N field 'id'
-    n = len(points)
+    n = len(shape_payloads)
     fields = struct.pack("<11sc4xBB14x", b"id", b"N", 10, 0)
     dbf_header = struct.pack("<BBBBIHH20x", 3, 24, 1, 1, n, 32 + 32 + 1, 11)
     records = b"".join(b" " + str(i).rjust(10).encode() for i in range(n))

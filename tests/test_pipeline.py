@@ -168,3 +168,76 @@ def test_jdbc_uri():
         postgis_uri_to_jdbc("postgresql://u:p@h:5432/db")
         == "jdbc:postgresql://u:p@h:5432/db"
     )
+
+
+def test_zipped_shapefile_polygon_roundtrip(spark, tmp_path):
+    """Polygon (type 5) with a hole → WKB → WKT round-trip through the codec
+    (round-1 gap: reader was Point-only; reference reads all types via GDAL
+    st_read, core_processor.rs:399-406)."""
+    from duckdb_postgis_spark.functions.wkb import to_wkt, wkb_decode
+    from duckdb_postgis_spark.sources.readers import (
+        read_zipped_shapefile,
+        shp_poly_payload,
+        write_sample_zip_shapefile_records,
+    )
+
+    outer = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)]  # CW
+    hole = [(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0)]  # CCW
+    p = str(tmp_path / "poly.zip")
+    write_sample_zip_shapefile_records(p, [shp_poly_payload(5, [outer, hole])])
+    rows = read_zipped_shapefile(spark, p).collect()
+    assert len(rows) == 1
+    wkt = to_wkt(wkb_decode(rows[0]["geometry_wkb"]))
+    assert wkt == (
+        "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"
+    )
+    # centroid probe columns: (5*100 - 3*4) / 96 — the 2x2 hole at (3,3)
+    # pulls the 10x10 square's centroid from 5 to 5.0833
+    assert rows[0]["x"] == pytest.approx((5 * 100 - 3 * 4) / 96)
+    assert rows[0]["y"] == pytest.approx((5 * 100 - 3 * 4) / 96)
+
+
+def test_zipped_shapefile_polyline_and_multipoint(spark, tmp_path):
+    from duckdb_postgis_spark.functions.wkb import to_wkt, wkb_decode
+    from duckdb_postgis_spark.sources.readers import (
+        read_zipped_shapefile,
+        shp_multipoint_payload,
+        shp_poly_payload,
+        write_sample_zip_shapefile_records,
+    )
+
+    p = str(tmp_path / "mixed.zip")
+    write_sample_zip_shapefile_records(
+        p,
+        [
+            shp_poly_payload(3, [[(0.0, 0.0), (4.0, 0.0)], [(0.0, 1.0), (4.0, 1.0)]]),
+            shp_poly_payload(3, [[(0.0, 0.0), (2.0, 2.0)]]),
+            shp_multipoint_payload([(1.0, 1.0), (3.0, 5.0)]),
+        ],
+    )
+    rows = read_zipped_shapefile(spark, p).orderBy("id").collect()
+    wkts = [to_wkt(wkb_decode(r["geometry_wkb"])) for r in rows]
+    assert wkts == [
+        "MULTILINESTRING ((0 0, 4 0), (0 1, 4 1))",
+        "LINESTRING (0 0, 2 2)",
+        "MULTIPOINT (1 1, 3 5)",
+    ]
+
+
+def test_zipped_shapefile_multipolygon(spark, tmp_path):
+    from duckdb_postgis_spark.functions.wkb import to_wkt, wkb_decode
+    from duckdb_postgis_spark.sources.readers import (
+        read_zipped_shapefile,
+        shp_poly_payload,
+        write_sample_zip_shapefile_records,
+    )
+
+    sq1 = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0), (0.0, 0.0)]  # CW
+    sq2 = [(5.0, 5.0), (5.0, 6.0), (6.0, 6.0), (6.0, 5.0), (5.0, 5.0)]  # CW
+    p = str(tmp_path / "mp.zip")
+    write_sample_zip_shapefile_records(p, [shp_poly_payload(5, [sq1, sq2])])
+    rows = read_zipped_shapefile(spark, p).collect()
+    wkt = to_wkt(wkb_decode(rows[0]["geometry_wkb"]))
+    assert wkt == (
+        "MULTIPOLYGON (((0 0, 0 1, 1 1, 1 0, 0 0)), ((5 5, 5 6, 6 6, 6 5, 5 5)))"
+    )
