@@ -190,6 +190,53 @@ def _weighted(kids, fn) -> tuple[float, float]:
 
 
 # --------------------------------------------------------------------------
+# GeoJSON geometry object → Geom (RFC 7946; Z/M dropped to 2D like decode)
+# --------------------------------------------------------------------------
+def from_geojson(obj: dict) -> Geom:
+    """Build a Geom from a parsed GeoJSON geometry object — the reader-side
+    normalization the reference gets from GDAL st_read
+    (geo_strategy.rs:283-291 normalizes every geometry to 2D WKT)."""
+    t = obj["type"]
+    if t == "Point":
+        c = obj["coordinates"]
+        return ("Point", (float(c[0]), float(c[1])))
+    if t == "LineString":
+        return ("LineString", [(float(x), float(y)) for x, y, *_ in obj["coordinates"]])
+    if t == "Polygon":
+        return (
+            "Polygon",
+            [[(float(x), float(y)) for x, y, *_ in ring] for ring in obj["coordinates"]],
+        )
+    if t == "MultiPoint":
+        return (
+            "MultiPoint",
+            [("Point", (float(c[0]), float(c[1]))) for c in obj["coordinates"]],
+        )
+    if t == "MultiLineString":
+        return (
+            "MultiLineString",
+            [
+                ("LineString", [(float(x), float(y)) for x, y, *_ in line])
+                for line in obj["coordinates"]
+            ],
+        )
+    if t == "MultiPolygon":
+        return (
+            "MultiPolygon",
+            [
+                (
+                    "Polygon",
+                    [[(float(x), float(y)) for x, y, *_ in ring] for ring in poly],
+                )
+                for poly in obj["coordinates"]
+            ],
+        )
+    if t == "GeometryCollection":
+        return ("GeometryCollection", [from_geojson(g) for g in obj["geometries"]])
+    raise ValueError(f"unsupported GeoJSON geometry type {t!r}")
+
+
+# --------------------------------------------------------------------------
 # coordinate transform + WKT encode
 # --------------------------------------------------------------------------
 def transform_geom(g: Geom, fn) -> Geom:

@@ -82,10 +82,10 @@ def process_file(
         crs = _TARGET_CRS
     elif pair is not None:
         x_col, y_col = pair
-        crs = infer_crs_from_xy(df, x_col, y_col)
+        crs = metadata_crs(df) or infer_crs_from_xy(df, x_col, y_col)
         out = synthesize_point_wkt(df, x_col, y_col, geom_cols[0], crs)
     else:
-        crs = infer_crs_from_geometry(df, geom_cols[0])
+        crs = metadata_crs(df) or infer_crs_from_geometry(df, geom_cols[0])
         out = transform_geom_columns(df, geom_cols, crs)
 
     if postgis_uri:
@@ -114,6 +114,17 @@ launch_process_file = process_file
 # --------------------------------------------------------------------------
 # CRS inference
 # --------------------------------------------------------------------------
+
+
+def metadata_crs(df: DataFrame) -> str | None:
+    """Authoritative CRS read by the format reader (GeoPackage
+    gpkg_spatial_ref_sys, shapefile .prj) — surfaced as a ``crs_epsg``
+    column; wins over range inference, mirroring the reference's
+    st_read_meta-first ladder (geo_strategy.rs:55-103)."""
+    if "crs_epsg" not in df.columns:
+        return None
+    rows = df.filter(F.col("crs_epsg").isNotNull()).select("crs_epsg").limit(1).collect()
+    return str(rows[0][0]) if rows else None
 
 
 def infer_crs_from_xy(df: DataFrame, x_col: str, y_col: str) -> str:

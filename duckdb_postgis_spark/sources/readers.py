@@ -63,33 +63,69 @@ def read_csv(spark: SparkSession, path: str) -> DataFrame:
 def read_geojson(spark: SparkSession, path: str) -> DataFrame:
     """GeoJSON FeatureCollection → one row per feature: properties flattened
     to columns + ``geometry_json`` (full geometry as JSON text) +
-    ``geometry_wkt`` for Point geometries (the reference reads via GDAL
-    st_read, core_processor.rs:393-398; WKT is its canonical interchange,
-    geo_strategy.rs:283-291)."""
+    ``geometry_wkt`` normalized for EVERY geometry type via the pure-python
+    codec (the reference reads via GDAL st_read, core_processor.rs:393-398,
+    and normalizes all geometries to 2D WKT, geo_strategy.rs:283-291).
+    Distributed end to end; the JSON→WKT step is an Arrow-batched pandas
+    UDF (geometry nesting depth varies by type, beyond builtin exprs)."""
     raw = spark.read.option("multiLine", True).json(path)
     if "features" not in raw.columns:
         return raw  # bare Feature / geometry object
+    # re-read with geometry as raw JSON text: inference would otherwise
+    # unify coordinates across Point/LineString/Polygon (different nesting
+    # depths) and corrupt the non-majority shapes
+    raw = spark.read.option("multiLine", True).schema(
+        _geometry_as_string(raw.schema)
+    ).json(path)
     feats = raw.select(F.explode("features").alias("f"))
     props = feats.select("f.properties.*") if _has_field(feats, "f.properties") else None
-    geom_json = F.to_json(F.col("f.geometry")).alias("geometry_json")
-    point_wkt = (
-        F.when(
-            F.col("f.geometry.type") == "Point",
-            F.concat(
-                F.lit("POINT ("),
-                F.element_at("f.geometry.coordinates", 1).cast("string"),
-                F.lit(" "),
-                F.element_at("f.geometry.coordinates", 2).cast("string"),
-                F.lit(")"),
-            ),
-        )
-        .otherwise(F.lit(None))
-        .alias("geometry_wkt")
-    )
+    geom_json = F.col("f.geometry").alias("geometry_json")
     cols = []
     if props is not None:
         cols = [F.col(f"f.properties.{c}").alias(c) for c in props.columns]
-    return feats.select(*cols, geom_json, point_wkt)
+    out = feats.select(*cols, geom_json)
+    # pandas_udf registration needs a live session → wrap at call time
+    wkt_udf = F.pandas_udf(_geojson_wkt_series, "string")
+    return out.withColumn("geometry_wkt", wkt_udf("geometry_json"))
+
+
+def _geojson_wkt_series(geom_json):  # pd.Series[str] -> pd.Series[str]
+    import json
+
+    from duckdb_postgis_spark.functions.wkb import from_geojson, to_wkt
+
+    def conv(s):
+        if s is None:
+            return None
+        try:
+            return to_wkt(from_geojson(json.loads(s)))
+        except (ValueError, KeyError, TypeError, IndexError):
+            return None
+
+    return geom_json.map(conv)
+
+
+def _geometry_as_string(schema):
+    """Rewrite features.element.geometry to StringType (the JSON source
+    returns the raw JSON text for StringType fields — lossless for any
+    geometry nesting depth)."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    fields = []
+    for f in schema.fields:
+        if f.name == "features" and isinstance(f.dataType, ArrayType) and isinstance(
+            f.dataType.elementType, StructType
+        ):
+            elem = StructType(
+                [
+                    StructField("geometry", StringType()) if g.name == "geometry" else g
+                    for g in f.dataType.elementType.fields
+                ]
+            )
+            fields.append(StructField(f.name, ArrayType(elem), f.nullable))
+        else:
+            fields.append(f)
+    return StructType(fields)
 
 
 def _has_field(df: DataFrame, field: str) -> bool:
@@ -128,6 +164,7 @@ def read_geopackage(
             (tbl,),
         ).fetchone()
         gcol = gcol_row[0] if gcol_row else None
+        epsg = _gpkg_epsg(con, tbl)
         rows = con.execute(f'SELECT * FROM "{tbl}"').fetchall()
         cols = [d[0] for d in con.execute(f'SELECT * FROM "{tbl}" LIMIT 0').description]
     finally:
@@ -137,8 +174,35 @@ def read_geopackage(
         rec = dict(zip(cols, r))
         if gcol and rec.get(gcol) is not None:
             rec[gcol] = _gpkg_geom_to_wkb(rec[gcol])
+        if epsg is not None:
+            rec["crs_epsg"] = epsg
         records.append(rec)
     return spark.createDataFrame(records) if records else spark.createDataFrame([], schema=", ".join(f"`{c}` string" for c in cols))
+
+
+def _gpkg_epsg(con: sqlite3.Connection, tbl: str) -> str | None:
+    """Authoritative CRS from GeoPackage metadata — gpkg_contents.srs_id
+    resolved through gpkg_spatial_ref_sys to the EPSG code (the reference
+    queries st_read_meta's auth_code, geo_strategy.rs:55-70). Returns None
+    when the tables are absent/unresolvable → caller falls back to range
+    inference."""
+    try:
+        row = con.execute(
+            "SELECT srs_id FROM gpkg_contents WHERE table_name=?", (tbl,)
+        ).fetchone()
+        if row is None or row[0] is None:
+            return None
+        srs_id = int(row[0])
+        ref = con.execute(
+            "SELECT organization, organization_coordsys_id "
+            "FROM gpkg_spatial_ref_sys WHERE srs_id=?",
+            (srs_id,),
+        ).fetchone()
+        if ref and ref[0] and str(ref[0]).upper() == "EPSG" and ref[1] is not None:
+            return str(int(ref[1]))
+        return str(srs_id) if srs_id > 0 else None
+    except sqlite3.Error:
+        return None
 
 
 def _gpkg_geom_to_wkb(blob: bytes) -> bytes:
@@ -322,27 +386,123 @@ def _parse_dbf(dbf: bytes) -> list[dict]:
 
 
 # --------------------------------------------------------------------------
-# Excel — gated on openpyxl (absent in this container → clear stub error)
+# Excel — pure-stdlib xlsx reader (zip + XML); legacy .xls needs xlrd
 # --------------------------------------------------------------------------
 
 
 def read_excel(spark: SparkSession, path: str) -> DataFrame:
     """Excel reader (reference: DuckDB ``read_xlsx``,
-    core_processor.rs:407-412). Driver-side pandas.read_excel →
-    spark.createDataFrame; the engine dependency (openpyxl/xlrd) is not in
-    this container, so the decode step raises a marked NotImplementedError
-    while the Spark-side plumbing stays real (tested via monkeypatched
-    pandas frames)."""
+    core_processor.rs:407-412; detection ported per duckdb_tests.rs:54-68).
+    An .xlsx is a zip of XML — parsed with stdlib zipfile + ElementTree
+    (first worksheet + sharedStrings), no openpyxl needed. First row =
+    header, like the reference's read_xlsx defaults. Legacy binary .xls
+    still needs xlrd (absent here → marked NotImplementedError). Driver-side
+    by design: spreadsheets arrive as single small files; at scale
+    pre-convert to parquet."""
+    if zipfile.is_zipfile(path):
+        header, data = _parse_xlsx(path)
+        if not data:
+            return spark.createDataFrame(
+                [], schema=", ".join(f"`{c}` string" for c in header) or "c0 string"
+            )
+        # xlsx stores every number as a double; cells that happened to be
+        # integral decoded as int — re-widen any column that mixes both so
+        # Spark's schema inference sees one type per column
+        for i in range(len(header)):
+            vals = [row[i] for row in data]
+            if any(isinstance(v, float) for v in vals) and any(
+                type(v) is int for v in vals
+            ):
+                for row in data:
+                    if type(row[i]) is int:
+                        row[i] = float(row[i])
+        return spark.createDataFrame(
+            [dict(zip(header, row)) for row in data]
+        ).select(*header)
+    # legacy BIFF .xls (magic D0 CF 11 E0) — no stdlib parser exists
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path)
-    except ImportError as e:  # openpyxl / xlrd missing
+    except ImportError as e:
         raise NotImplementedError(
-            "Excel decode requires openpyxl/xlrd (unavailable in this "
-            "environment); pre-convert to CSV/parquet or install the engine"
+            "legacy .xls decode requires xlrd (unavailable in this "
+            "environment); save as .xlsx or pre-convert to CSV/parquet"
         ) from e
     return spark.createDataFrame(pdf)
+
+
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _parse_xlsx(path: str) -> tuple[list[str], list[list]]:
+    """First worksheet of an .xlsx → (header, rows). Handles shared strings
+    (t=\"s\"), inline strings (t=\"inlineStr\"), booleans (t=\"b\"), and
+    numbers (int when integral); blank cells and ragged rows become None.
+    Column position is decoded from the cell reference (A1 style), so
+    sparse rows stay aligned."""
+    import xml.etree.ElementTree as ET
+
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{_XLSX_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+        sheet = next(
+            (
+                n
+                for n in sorted(names)
+                if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+            ),
+            None,
+        )
+        if sheet is None:
+            raise ValueError(f"no worksheet found in {path}")
+        root = ET.fromstring(zf.read(sheet))
+
+    rows: list[list] = []
+    for row_el in root.iter(f"{_XLSX_NS}row"):
+        cells: dict[int, object] = {}
+        for c in row_el.findall(f"{_XLSX_NS}c"):
+            ref = c.get("r", "")
+            col = 0
+            for ch in ref:
+                if ch.isalpha():
+                    col = col * 26 + (ord(ch.upper()) - 64)
+                else:
+                    break
+            idx = col - 1 if col else len(cells)
+            ctype = c.get("t", "n")
+            if ctype == "inlineStr":
+                cells[idx] = "".join(
+                    t.text or "" for t in c.iter(f"{_XLSX_NS}t")
+                )
+                continue
+            v = c.find(f"{_XLSX_NS}v")
+            if v is None or v.text is None:
+                continue
+            if ctype == "s":
+                cells[idx] = shared[int(v.text)]
+            elif ctype == "b":
+                cells[idx] = v.text == "1"
+            elif ctype == "str":  # formula cached string result
+                cells[idx] = v.text
+            else:
+                num = float(v.text)
+                cells[idx] = int(num) if num.is_integer() else num
+        width = max(cells, default=-1) + 1
+        rows.append([cells.get(i) for i in range(width)])
+
+    if not rows:
+        return [], []
+    width = max(len(r) for r in rows)
+    rows = [r + [None] * (width - len(r)) for r in rows]
+    header = [
+        str(h) if h is not None else f"c{i}" for i, h in enumerate(rows[0])
+    ]
+    return header, rows[1:]
 
 
 __all__ = [

@@ -128,11 +128,63 @@ def test_gpkg_reader(spark, tmp_path):
     assert wkb_point_decode(bytes(row["geom"])) == (-0.1, 51.5)
 
 
-def test_excel_stub_raises_cleanly(spark, tmp_path):
+def _write_min_xlsx(path, shared_strings, sheet_xml):
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>',
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook {ns}><sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>',
+        )
+        if shared_strings:
+            items = "".join(f"<si><t>{s}</t></si>" for s in shared_strings)
+            zf.writestr(
+                "xl/sharedStrings.xml",
+                f'<?xml version="1.0"?><sst {ns} count="{len(shared_strings)}">{items}</sst>',
+            )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet {ns}><sheetData>{sheet_xml}</sheetData></worksheet>',
+        )
+
+
+def test_xlsx_stdlib_reader_end_to_end(spark, tmp_path):
+    """Pure-stdlib xlsx decode (round-1 gap: stub behind missing openpyxl;
+    reference reads xlsx via DuckDB read_xlsx, core_processor.rs:407-412).
+    Covers shared strings, inline strings, booleans, int-vs-float numbers,
+    blank cells, and the sniffer → process_file dispatch."""
+    from duckdb_postgis_spark.pipeline import process_file
+
+    p = str(tmp_path / "t.xlsx")
+    _write_min_xlsx(
+        p,
+        ["name", "qty", "price", "alice", "bob"],
+        # header via shared strings; row2 sparse (qty missing), inline str,
+        # bool, integral + fractional numbers
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="s"><v>2</v></c><c r="D1" t="inlineStr"><is><t>ok</t></is></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>3</v></c>'
+        '<c r="C2"><v>1.5</v></c><c r="D2" t="b"><v>1</v></c></row>'
+        '<row r="3"><c r="A3" t="s"><v>4</v></c><c r="C3"><v>2</v></c></row>',
+    )
+    df = process_file(spark, p).dataframe
+    assert df.columns == ["name", "qty", "price", "ok"]
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["alice"]["qty"] == 3 and rows["alice"]["price"] == 1.5
+    assert rows["alice"]["ok"] is True
+    assert rows["bob"]["qty"] is None and rows["bob"]["price"] == 2
+
+
+def test_legacy_xls_still_raises_cleanly(spark, tmp_path):
     from duckdb_postgis_spark.sources.readers import read_excel
 
-    p = tmp_path / "t.xlsx"
-    p.write_bytes(b"PK\x03\x04" + b"xl/worksheets" + b"\x00" * 50)
+    p = tmp_path / "t.xls"
+    p.write_bytes(b"\xd0\xcf\x11\xe0" + b"\x00" * 60)
     with pytest.raises((NotImplementedError, ValueError, Exception)):
         read_excel(spark, str(p))
 
@@ -241,3 +293,76 @@ def test_zipped_shapefile_multipolygon(spark, tmp_path):
     assert wkt == (
         "MULTIPOLYGON (((0 0, 0 1, 1 1, 1 0, 0 0)), ((5 5, 5 6, 6 6, 6 5, 5 5)))"
     )
+
+
+def test_gpkg_srs_metadata_wins_over_range_inference(spark, tmp_path):
+    """CRS from gpkg_contents.srs_id → gpkg_spatial_ref_sys (reference reads
+    st_read_meta auth_code, geo_strategy.rs:55-70). The coords below LOOK
+    like lon/lat (range inference would say 4326) but metadata says 27700 —
+    metadata must win."""
+    import sqlite3
+
+    from duckdb_postgis_spark.pipeline import process_file
+
+    p = str(tmp_path / "meta.gpkg")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT, srs_id INTEGER)")
+    con.execute("INSERT INTO gpkg_contents VALUES ('pts', 'features', 27700)")
+    con.execute(
+        "CREATE TABLE gpkg_spatial_ref_sys (srs_id INTEGER, organization TEXT, organization_coordsys_id INTEGER)"
+    )
+    con.execute("INSERT INTO gpkg_spatial_ref_sys VALUES (27700, 'EPSG', 27700)")
+    con.execute("CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT)")
+    con.execute("INSERT INTO gpkg_geometry_columns VALUES ('pts', 'geom')")
+    con.execute("CREATE TABLE pts (fid INTEGER, geom BLOB)")
+    import struct as _s
+
+    wkb = _s.pack("<BIdd", 1, 1, 0.5, 51.5)  # in-4326-range on purpose
+    con.execute(
+        "INSERT INTO pts VALUES (1, ?)", (b"GP\x00\x01" + (4326).to_bytes(4, "little") + wkb,)
+    )
+    con.commit()
+    con.close()
+    res = process_file(spark, p)
+    assert res.source_crs == "27700"
+
+
+def test_geojson_all_geometry_types_to_wkt(spark, tmp_path):
+    """Round-1 gap: only Point got geometry_wkt; the reference normalizes
+    every geometry to 2D WKT (geo_strategy.rs:283-291)."""
+    import json
+
+    from duckdb_postgis_spark.sources.readers import read_geojson
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": "poly"},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0, 0], [0, 2], [2, 2], [2, 0], [0, 0]]],
+                },
+            },
+            {
+                "type": "Feature",
+                "properties": {"name": "line"},
+                "geometry": {
+                    "type": "LineString",
+                    "coordinates": [[0, 0], [1.5, 2.25]],
+                },
+            },
+            {
+                "type": "Feature",
+                "properties": {"name": "pt"},
+                "geometry": {"type": "Point", "coordinates": [121.123456, 31.2304]},
+            },
+        ],
+    }
+    p = tmp_path / "fc.geojson"
+    p.write_text(json.dumps(fc))
+    rows = {r["name"]: r["geometry_wkt"] for r in read_geojson(spark, str(p)).collect()}
+    assert rows["pt"] == "POINT (121.123456 31.2304)"
+    assert rows["line"] == "LINESTRING (0 0, 1.5 2.25)"
+    assert rows["poly"] == "POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))"
