@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame
 
 # (x_pattern, y_pattern) in reference precedence order (core_processor.rs:213-229)
 COORDINATE_PATTERNS: tuple[tuple[str, str], ...] = (
-    ("x-coordinate", "y-coordinate"),  # matched case-insensitively
+    # the reference lists upper- and lower-case "X-coordinate" rows
+    # separately (core_processor.rs:214-215); they collapse to one here
+    # because matching is case-insensitive
     ("x-coordinate", "y-coordinate"),
     ("x_coordinate", "y_coordinate"),
     ("longitude", "latitude"),

@@ -215,11 +215,16 @@ def test_geometry_rebuild_sql_shape():
     assert sql.rstrip().endswith("COMMIT;")
 
 
-def test_jdbc_uri():
-    assert (
-        postgis_uri_to_jdbc("postgresql://u:p@h:5432/db")
-        == "jdbc:postgresql://u:p@h:5432/db"
-    )
+def test_jdbc_uri_splits_credentials():
+    """pgJDBC rejects userinfo in the URL — credentials must become
+    connection properties (round-1 ADVICE)."""
+    url, props = postgis_uri_to_jdbc("postgresql://u:p%40ss@h:5432/db")
+    assert url == "jdbc:postgresql://h:5432/db"
+    assert props == {"user": "u", "password": "p@ss"}
+    # postgres:// scheme alias, no credentials, query params preserved
+    url, props = postgis_uri_to_jdbc("postgres://h/db?sslmode=require")
+    assert url == "jdbc:postgresql://h/db?sslmode=require"
+    assert props == {}
 
 
 def test_zipped_shapefile_polygon_roundtrip(spark, tmp_path):
