@@ -1,0 +1,466 @@
+"""Training-data-pipeline operators beyond L1-L9 (SURVEY §2.12e).
+
+The north-star asks for the operations a large-scale LLM training-data
+pipeline needs on top of dedup/similarity: quality filtering (Gopher-style
+rules, Rae et al. 2021 appendix A), repetition signals, deterministic
+sampling, sequence packing, and benchmark-contamination checks.  The
+reference (a DuckDB/PostGIS ETL bridge) has none of these; they are our
+extension surface, built on the same documents table and oracle discipline
+as operators/llm.py.
+
+Determinism convention (same as llm.py): hashing is md5 (identical hex on
+Spark and DuckDB); sampling decisions compare md5 hex strings against fixed
+hex thresholds instead of RNG draws, so "random" sampling is exactly
+reproducible cross-engine; every ratio is one double division of exact
+integers; every integer SUM in an oracle is CAST AS BIGINT (DuckDB 1.0
+SUM(INTEGER) -> HUGEINT -> pandas float64 otherwise).
+
+Scale notes are per-operator; the common theme: per-document metrics are
+computed IN-ROW with array higher-order functions (zero shuffle, perfect
+data parallelism) rather than explode+groupBy, and anything joined against
+a small reference set (stopword list, eval-benchmark shingles) broadcasts.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_postgis_spark.catalog import table
+from duckdb_postgis_spark.registry import query
+
+# Gopher-style stopword probe list (the published rule checks membership of
+# common English function words; the synthetic corpus contains 'the'/'a').
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "that")
+_SQL_STOPLIST = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+
+# Sequence-packing context length (tokens per training window).
+_CTX = 2048
+
+# Deterministic per-language sampling rates as md5-hex thresholds: a doc is
+# kept iff md5('strat:' || doc_id) < threshold(lang).  md5 hex is uniform
+# over [0, 16^32), so a 32-char hex threshold IS the sampling rate, and the
+# lexicographic compare is identical on both engines (lowercase hex, ASCII).
+_STRAT_RATES = {
+    "de": "8" + "0" * 31,  # 0.500
+    "en": "4" + "0" * 31,  # 0.250
+    "es": "c" + "0" * 31,  # 0.750
+    "fr": "2" + "0" * 31,  # 0.125
+    "zh": "a" + "0" * 31,  # 0.625
+}
+
+
+def _words(col: str = "text") -> F.Column:
+    return F.split(col, " ")
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rules
+# --------------------------------------------------------------------------
+@query(
+    "text_gopher_quality",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               str_split(text, ' ') AS w
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_len,
+               len(list_filter({_SQL_STOPLIST}, s -> list_contains(w, s))) AS n_stop_hits
+        FROM m
+    )
+    SELECT doc_id,
+           n_words,
+           CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+           n_stop_hits,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10
+                      AND n_stop_hits >= 2
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, appendix A subset):
+    word-count bounds [50, 100k], mean word length in [3, 10], >= 2 distinct
+    stopwords present.  Emits the metrics plus the keep decision so the
+    filter is auditable, not just applied.
+
+    Scale: every metric is computed in-row with array higher-order functions
+    (size / aggregate / filter over the split array) — zero shuffle, zero
+    Python; 100 TB of documents is an embarrassingly parallel map."""
+    docs = table(spark, sf_dir, "documents")
+    w = _words()
+    n_words = F.size(w)
+    sum_len = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop_hits = F.size(F.filter(stop_arr, lambda s: F.array_contains(w, s)))
+    mean_len = sum_len.cast("double") / n_words
+    keep = (
+        n_words.between(50, 100000) & mean_len.between(3, 10) & (n_stop_hits >= 2)
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        n_stop_hits.alias("n_stop_hits"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Repetition signals (Gopher repetition-removal family)
+# --------------------------------------------------------------------------
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, str_split(text, ' ') AS w FROM documents
+    ),
+    b AS (
+        SELECT doc_id, w,
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS bg
+        FROM m
+    ),
+    top AS (
+        SELECT doc_id, MAX(cnt) AS top_cnt
+        FROM (
+            SELECT doc_id, tok, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(w) AS tok FROM m) u
+            GROUP BY doc_id, tok
+        ) c
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(b.w) AS n_words,
+           CAST(len(b.w) - len(list_distinct(b.w)) AS DOUBLE) / len(b.w) AS dup_word_frac,
+           CAST(top.top_cnt AS DOUBLE) / len(b.w) AS top_word_frac,
+           CASE WHEN len(b.bg) > 0
+                THEN CAST(len(b.bg) - len(list_distinct(b.bg)) AS DOUBLE) / len(b.bg)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM b JOIN top ON b.doc_id = top.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher repetition-removal
+    family): duplicate-word fraction, most-frequent-word dominance, and
+    duplicate-bigram fraction.
+
+    Scale: all three signals are in-row array expressions — the top-word
+    count scans distinct-words x words per row (bounded by document length,
+    ~1e4 ops for a 100-word doc), which beats an explode + groupBy + window
+    plan by removing the shuffle entirely.  The oracle uses the explode
+    formulation; values are identical."""
+    docs = table(spark, sf_dir, "documents")
+    w = _words()
+    n_words = F.size(w)
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i.cast("int")), F.element_at(w, (i + 1).cast("int"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bg = F.size(bigrams)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda d: F.size(F.filter(w, lambda x: x == d)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        ((n_words - F.size(F.array_distinct(w))).cast("double") / n_words).alias(
+            "dup_word_frac"
+        ),
+        (top_cnt.cast("double") / n_words).alias("top_word_frac"),
+        F.when(
+            n_bg > 0,
+            (n_bg - F.size(F.array_distinct(bigrams))).cast("double") / n_bg,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling
+# --------------------------------------------------------------------------
+def _sql_strat_threshold() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{thr}'" for lang, thr in _STRAT_RATES.items()
+    )
+    return f"CASE lang {cases} ELSE '0' END"
+
+
+@query(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE md5('strat:' || CAST(doc_id AS VARCHAR)) < {_sql_strat_threshold()}
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-language rates — the standard
+    re-balancing step of a training-data mix (e.g. upweight low-resource
+    languages).  Deterministic: keep iff md5('strat:' || doc_id) < the
+    language's hex threshold; no RNG, so the sample is reproducible and
+    oracle-checkable, and re-runs of a 100 TB pipeline select identical
+    rows (critical for incremental / resumable builds).
+
+    Scale: a stateless filter — no shuffle, fully pushdown-friendly; the
+    md5 evaluates JVM-side in whole-stage codegen."""
+    docs = table(spark, sf_dir, "documents")
+    thr = F.lit(None).cast("string")
+    expr = None
+    for lang, threshold in _STRAT_RATES.items():
+        cond = F.col("lang") == lang
+        expr = F.when(cond, threshold) if expr is None else expr.when(cond, threshold)
+    thr = expr.otherwise("0")
+    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    return (
+        docs.filter(h < thr)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-group uniform sample (reservoir-style top-k by hash rank)
+# --------------------------------------------------------------------------
+@query(
+    "sample_reservoir_topk",
+    oracle="""
+    SELECT doc_id, source, rn
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('res:' || CAST(doc_id AS VARCHAR))
+               ) AS rn
+        FROM documents
+    ) t
+    WHERE rn <= 20
+    ORDER BY source, rn
+    """,
+)
+def sample_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-group sample (k=20 per source) via hash rank — the
+    deterministic equivalent of per-partition reservoir sampling, used to
+    build balanced eval/inspection slices from a skewed corpus.  md5 rank
+    is uniform and collision-free in practice, so the k winners per group
+    are an unbiased sample, identical on every run and engine.
+
+    Scale: one hash-partition shuffle on the group key; Spark rewrites the
+    rank filter to WindowGroupLimit, so each partition keeps only k rows
+    before the final exchange — no full sort of the corpus."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("res:"), F.col("doc_id").cast("string")))
+    rn = F.row_number().over(Window.partitionBy("source").orderBy(h))
+    return (
+        docs.select("doc_id", "source", rn.alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .orderBy("source", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (token-budget binning for training windows)
+# --------------------------------------------------------------------------
+@query(
+    "seq_pack_greedy",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(str_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           cum_before // {_CTX} AS bin_id,
+           cum_before % {_CTX} AS bin_offset
+    FROM c
+    ORDER BY source, doc_id
+    """,
+)
+def seq_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed {_CTX}-token training
+    windows by contiguous fill in deterministic (source, doc_id) order —
+    bin_id / bin_offset tell the tokenizer stage exactly where each doc
+    lands (boundary docs carry into the next window).  This is the layout
+    step before writing packed training shards.
+
+    Scale: packing is per-source-shard (PARTITION BY source), so the
+    running sum is a partitioned window — one shuffle on the shard key,
+    never a global ordered cumsum; 100 TB packs shard-parallel exactly as
+    real pipelines do."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(_words())
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(win), F.lit(0)).cast("long")
+    return (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("cum_before", cum_before)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(F.col("cum_before") / _CTX).alias("bin_id"),
+            (F.col("cum_before") % _CTX).alias("bin_offset"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination check (n-gram overlap vs a held-out eval set)
+# --------------------------------------------------------------------------
+@query(
+    "contamination_ngram_overlap",
+    oracle="""
+    WITH words AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(w) - 3),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+        FROM words WHERE len(w) >= 5
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM corpus c JOIN ev USING (shingle)
+        GROUP BY c.doc_id
+    ),
+    base AS (
+        SELECT doc_id, COUNT(*) AS n_shingles
+        FROM corpus GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           base.n_shingles,
+           COALESCE(hits.n_shared, 0) AS n_shared,
+           CAST(CASE WHEN COALESCE(hits.n_shared, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+    ORDER BY base.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: count how many distinct 5-word
+    shingles of each training doc also appear in a held-out eval set
+    (here the deterministic pseudo-benchmark doc_id % 97 = 0), the
+    standard n-gram-overlap decontamination step before training.
+
+    Scale: the eval side is tiny by nature (benchmarks are KBs, the corpus
+    is TBs) -> its distinct shingle set is broadcast; the corpus side is
+    one explode + broadcast-hash semi-join + partial-agg count — no
+    corpus-sized shuffle.  The zero-hit fill is a broadcast left join of
+    per-doc counts, also corpus-shuffle-free."""
+    docs = table(spark, sf_dir, "documents")
+    w = _words()
+    idx = F.sequence(F.lit(0), F.size(w) - 5)
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(5)]
+        ),
+    )
+    sh = (
+        docs.filter(F.size(w) >= 5)
+        .select("doc_id", F.explode(F.array_distinct(shingle)).alias("shingle"))
+    )
+    ev = F.broadcast(
+        sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        corpus.join(ev, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    base = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        base.join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# UDAF surface: pandas GROUPED_AGG (exact integer moments -> exact variance)
+# --------------------------------------------------------------------------
+@query(
+    "udaf_char_variance",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_chars * n_chars) AS BIGINT) AS sumsq_chars,
+           CAST(COUNT(*) * SUM(n_chars * n_chars) - SUM(n_chars) * SUM(n_chars) AS DOUBLE)
+               / CAST(COUNT(*) * COUNT(*) AS DOUBLE) AS var_pop
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def udaf_char_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF surface (SURVEY §2.12): a pandas GROUPED_AGG UDAF computes the
+    exact integer sum of squares per language; population variance is then
+    one double division of exact integers — bit-identical cross-engine
+    (naive var formulas in floating point are not).
+
+    Scale: Spark turns the pandas UDAF into AggregateInPandas with partial
+    Arrow batches per partition — the shuffle carries one row per group.
+    The built-in count/sum run in a separate hash aggregate (Spark cannot
+    mix pandas and JVM aggregates in one agg) and the two 5-row results
+    broadcast-join on lang."""
+
+    @F.pandas_udf("long")
+    def sumsq(v: pd.Series) -> int:
+        a = v.astype("int64")
+        return int((a * a).sum())
+
+    docs = table(spark, sf_dir, "documents")
+    basic = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    squares = docs.groupBy("lang").agg(sumsq("n_chars").alias("sumsq_chars"))
+    joined = basic.join(F.broadcast(squares), "lang")
+    var_pop = (
+        F.col("n_docs") * F.col("sumsq_chars") - F.col("sum_chars") * F.col("sum_chars")
+    ).cast("double") / (F.col("n_docs") * F.col("n_docs")).cast("double")
+    return joined.select(
+        "lang", "n_docs", "sum_chars", "sumsq_chars", var_pop.alias("var_pop")
+    ).orderBy("lang")

@@ -121,6 +121,7 @@ def load_all() -> None:
         multimodal,
         relational,
         streaming,
+        training,
     )
     from duckdb_postgis_spark.plans import layout  # noqa: F401
     from duckdb_postgis_spark.streaming import streams  # noqa: F401

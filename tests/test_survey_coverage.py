@@ -57,7 +57,16 @@ TEXT_EXT = [
     "join_null_safe", "subquery_exists_correlated",
 ]
 
-ALL_DECLARED = RELATIONAL + STREAMING + LLM + GEO + MULTIMODAL + SCALE + TEXT_EXT
+# §2.12e training-data-pipeline extensions
+TRAINING = [
+    "text_gopher_quality", "text_repetition_ratio", "sample_stratified_hash",
+    "sample_reservoir_topk", "seq_pack_greedy", "contamination_ngram_overlap",
+    "udaf_char_variance",
+]
+
+ALL_DECLARED = (
+    RELATIONAL + STREAMING + LLM + GEO + MULTIMODAL + SCALE + TEXT_EXT + TRAINING
+)
 
 
 def test_no_duplicate_declarations():
