@@ -150,13 +150,34 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics replayed deterministically (SURVEY S4): arrival
     order = event_id; an event is late (dropped) if its event time is more
     than 10 min behind the max event time already seen — exactly Spark's
-    ``withWatermark`` eviction rule, expressed with a running-max window so
-    the oracle can check it. The true streaming variant lives in
-    streaming/streams.py. Scale: running max is a single global-order window
-    — in batch sim only; the streaming path keeps O(1) state."""
+    ``withWatermark`` eviction rule. The true streaming variant lives in
+    streaming/streams.py.
+
+    Scale: the global running max is a distributed two-level prefix scan,
+    not a single-partition window: (1) per-chunk running max under a
+    PARTITIONED window (chunk = event_id DIV 8192 — arrival order is
+    preserved inside each chunk), (2) per-chunk maxima (rows/8192 of them)
+    get a tiny prefix-max window and broadcast back, (3) max_seen =
+    greatest(previous-chunk prefix, intra-chunk running max). Identical
+    values to the naive global window; the only ordered single-partition
+    work is over the chunk summary (1e12 events -> 1e8 rows; recurse the
+    same scan for another /8192 if that ever matters)."""
     ev = table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    arr = ev.withColumn("max_seen", F.max("ts").over(w))
+    chunk = F.floor(F.col("event_id") / 8192).alias("chunk")
+    ev = ev.withColumn("chunk", chunk)
+    w_intra = (
+        Window.partitionBy("chunk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    summary = ev.groupBy("chunk").agg(F.max("ts").alias("chunk_max"))
+    w_prefix = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
+    prev = summary.select(
+        "chunk", F.max("chunk_max").over(w_prefix).alias("prev_chunk_max")
+    )
+    arr = ev.join(F.broadcast(prev), "chunk").withColumn(
+        "max_seen", F.greatest(F.max("ts").over(w_intra), F.col("prev_chunk_max"))
+    )
     return (
         arr.filter(
             F.col("max_seen").isNull()
