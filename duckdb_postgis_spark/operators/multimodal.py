@@ -175,32 +175,85 @@ _IMG_SCHEMA = StructType(
 )
 
 
-@query("multimodal_image_features")  # rows-only: features exist past the codec stub
+@query(
+    "multimodal_image_features",
+    oracle=_MEDIA_CTE
+    + """
+    , px AS (
+      SELECT doc_id, width, height,
+             CAST(u.i AS BIGINT) AS i,
+             (strpos('0123456789abcdef',
+                     substring(hex, CAST(u.i % octet_length(payload) AS INT) * 2 + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substring(hex, CAST(u.i % octet_length(payload) AS INT) * 2 + 2, 1)) - 1) AS v
+      FROM media, LATERAL unnest(range(0, CAST(width AS BIGINT) * height)) AS u(i)
+      WHERE media_type = 'image'
+    ),
+    q AS (
+      SELECT doc_id, width, height, v,
+             i // width AS r, i % width AS c
+      FROM px
+    ),
+    s AS (
+      SELECT doc_id, width, height,
+             COUNT(*) AS n,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(v * v) AS BIGINT) AS svv,
+             CAST(SUM(CASE WHEN r < height // 2 AND c < width // 2 THEN v ELSE 0 END) AS BIGINT) AS s00,
+             CAST(SUM(CASE WHEN r < height // 2 AND c >= width // 2 THEN v ELSE 0 END) AS BIGINT) AS s01,
+             CAST(SUM(CASE WHEN r >= height // 2 AND c < width // 2 THEN v ELSE 0 END) AS BIGINT) AS s10,
+             CAST(SUM(CASE WHEN r >= height // 2 AND c >= width // 2 THEN v ELSE 0 END) AS BIGINT) AS s11
+      FROM q GROUP BY doc_id, width, height
+    )
+    SELECT doc_id, width, height,
+           CAST(sv AS DOUBLE) / n AS mean_intensity,
+           sqrt(CAST(n * svv - sv * sv AS DOUBLE) / CAST(n * n AS DOUBLE))
+               AS std_intensity,
+           CAST(s00 AS DOUBLE) / (n // 4) AS g00,
+           CAST(s01 AS DOUBLE) / (n // 4) AS g01,
+           CAST(s10 AS DOUBLE) / (n // 4) AS g10,
+           CAST(s11 AS DOUBLE) / (n // 4) AS g11
+    FROM s ORDER BY doc_id
+    """,
+)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image pipeline: binary payload → (fake) decode to HxW uint8 → global
     mean/std features → 2x2 average-pool 'resize'.  mapInPandas, narrow, one
     NumPy pass per Arrow batch; this is the shape a real thumbnailer takes at
-    100 TB (decode cost dominates, so it must sit executor-side, batched)."""
+    100 TB (decode cost dominates, so it must sit executor-side, batched).
+
+    Value-level oracle despite the fake codec: the fake decode is cyclic
+    byte tiling (pixel i = payload[i % len]), so DuckDB replays it from the
+    hex text.  All features are exact-integer moments surfaced through one
+    double division (std via (n·Σv² − (Σv)²)/n² then sqrt — both engines
+    IEEE-correctly-rounded), never order-dependent float accumulation, and
+    never ROUND()ed: n is a power-of-two multiple so means land on exact
+    binary ties where Python (half-even) and DuckDB (half-away) disagree."""
     m = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
     cols = m.select("doc_id", "payload", "meta.width", "meta.height")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         import numpy as np
 
         for pdf in batches:
             out = []
             for doc_id, payload, w, h in pdf.itertuples(index=False):
-                img = _fake_decode_frame(payload, int(w), int(h)).astype("float64")
-                hh, ww = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
-                pooled = img[:hh, :ww].reshape(2, hh // 2, 2, ww // 2).mean(axis=(1, 3))
-                g = [round(float(v), 6) for v in pooled.ravel()]
+                w, h = int(w), int(h)
+                img = _fake_decode_frame(payload, w, h).astype("int64")
+                n = h * w
+                sv = int(img.sum())
+                svv = int((img * img).sum())
+                quads = img.reshape(2, h // 2, 2, w // 2).sum(axis=(1, 3))
+                g = [int(s) / (n // 4) for s in quads.ravel()]
                 out.append(
                     (
                         doc_id,
-                        int(w),
-                        int(h),
-                        round(float(img.mean()), 6),
-                        round(float(img.std()), 6),
+                        w,
+                        h,
+                        sv / n,
+                        math.sqrt((n * svv - sv * sv) / (n * n)),
                         g[0],
                         g[1],
                         g[2],
