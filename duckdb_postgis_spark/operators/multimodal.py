@@ -338,24 +338,62 @@ _AUDIO_SCHEMA = StructType(
 )
 
 
-@query("multimodal_audio_energy")  # rows-only (codec stubbed)
+@query(
+    "multimodal_audio_energy",
+    oracle=_MEDIA_CTE
+    + f"""
+    , smp AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substring(hex, CAST(u.i AS INT) * 2 + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(hex, CAST(u.i AS INT) * 2 + 2, 1)) - 1)
+             - 128 AS d
+      FROM media, LATERAL unnest(range(0, {PAYLOAD_BYTES})) AS u(i)
+      WHERE media_type = 'audio'
+    ),
+    a AS (
+      SELECT doc_id, COUNT(*) AS n,
+             CAST(SUM(d * d) AS BIGINT) AS ss,
+             MAX(ABS(d)) AS mx
+      FROM smp GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n // 16 AS INT) AS n_windows,
+           sqrt(CAST(ss AS DOUBLE) / CAST(n * 16384 AS DOUBLE)) AS rms_energy,
+           CAST(mx AS DOUBLE) / 128 AS peak
+    FROM a ORDER BY doc_id
+    """,
+)
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio pipeline: payload as fake 8-bit PCM → 16-sample windows → RMS
     energy + peak. Same mapInPandas decode shape as image/video; per-row
-    output (no amplification)."""
+    output (no amplification).
+
+    Value-level oracle (was rows-only): rms² = Σ(b−128)² / (n·128²) is an
+    exact-integer ratio, peak = max|b−128|/128 an exact power-of-two
+    division — one correctly-rounded divide + sqrt on both engines, no
+    float accumulation, no ROUND (see image features for the tie hazard)."""
     m = media_table(spark, sf_dir).filter(F.col("media_type") == "audio")
     cols = m.select("doc_id", "payload")
 
     def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         import numpy as np
 
         for pdf in batches:
             out = []
             for doc_id, payload in pdf.itertuples(index=False):
-                pcm = (np.frombuffer(payload, dtype=np.uint8).astype("float64") - 128.0) / 128.0
-                wins = pcm.reshape(-1, 16)
-                rms = float(np.sqrt((wins**2).mean()))
-                out.append((doc_id, wins.shape[0], round(rms, 6), round(float(np.abs(pcm).max()), 6)))
+                d = np.frombuffer(payload, dtype=np.uint8).astype("int64") - 128
+                n = d.shape[0]
+                ss = int((d * d).sum())
+                out.append(
+                    (
+                        doc_id,
+                        n // 16,
+                        math.sqrt(ss / (n * 16384)),
+                        int(np.abs(d).max()) / 128,
+                    )
+                )
             yield pd.DataFrame(out, columns=[f.name for f in _AUDIO_SCHEMA.fields])
 
     return cols.mapInPandas(energy, schema=_AUDIO_SCHEMA).orderBy("doc_id")
