@@ -1,0 +1,120 @@
+"""Incremental-maintenance (lakehouse) operators (SURVEY §2.13).
+
+A user of the reference loads files into Postgres tables; at warehouse scale
+the same job becomes snapshot maintenance: apply a change stream to a base
+table (MERGE / upsert) and keep dimension history (SCD type 2).  Spark has
+no MERGE INTO on plain parquet, but both semantics are window + join
+compositions that Catalyst plans as ordinary shuffles — these queries pin
+that layout and its oracle.
+
+Scale notes: both operators shuffle once on the merge key (user/customer),
+which is the canonical MERGE layout — change capture is aggregated to one
+row per key BEFORE the join (WindowGroupLimit keeps per-partition state at
+k=1), so the join input is bounded by |keys|, not |changes|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_postgis_spark.catalog import table
+from duckdb_postgis_spark.registry import query
+
+
+@query(
+    "upsert_latest_wins",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts, value AS new_bal
+        FROM (
+            SELECT user_id, event_id, ts, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) t WHERE rn = 1
+    )
+    SELECT c.c_custkey,
+           c.c_acctbal AS base_bal,
+           latest.last_event_id,
+           latest.last_ts,
+           COALESCE(latest.new_bal, c.c_acctbal) AS effective_bal
+    FROM customer c
+    LEFT JOIN latest ON c.c_custkey = latest.user_id
+    ORDER BY c.c_custkey
+    """,
+)
+def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins upsert (the MERGE INTO shape): the newest purchase event
+    per user overwrites the customer's balance; untouched keys keep the
+    base row.  Change side is deduped to one row per key with a
+    deterministic (ts, event_id) tie-break BEFORE the join.
+
+    Scale: row_number-rank-1 compiles to WindowGroupLimit (per-partition
+    top-1 state, no full sort), then one hash-shuffle join on the merge
+    key — |keys| rows meet |keys| rows, never |changes| rows. This is the
+    exact plan a Delta/Iceberg MERGE lowers to for unpartitioned tables."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("new_bal"),
+        )
+    )
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.join(latest, cust.c_custkey == latest.user_id, "left")
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").alias("base_bal"),
+            "last_event_id",
+            "last_ts",
+            F.coalesce("new_bal", "c_acctbal").alias("effective_bal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    SELECT user_id, event_id, value AS bal, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CAST(CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history: each purchase event opens a validity
+    interval [valid_from, valid_to) per user; the open-ended row is flagged
+    current.  The standard dimension-history build of a warehouse load.
+
+    Scale: one lead() window partitioned by the dimension key — a single
+    hash shuffle; interval construction is per-key-local, so skew is
+    bounded by the hottest key's change count, not corpus size."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("value").alias("bal"),
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )

@@ -117,6 +117,7 @@ def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     from duckdb_postgis_spark.operators import (  # noqa: F401
         geo,
+        lakehouse,
         llm,
         multimodal,
         relational,

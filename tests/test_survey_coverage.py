@@ -64,8 +64,12 @@ TRAINING = [
     "udaf_char_variance",
 ]
 
+# §2.13 incremental-maintenance (lakehouse) surface
+LAKEHOUSE = ["upsert_latest_wins", "scd2_history"]
+
 ALL_DECLARED = (
     RELATIONAL + STREAMING + LLM + GEO + MULTIMODAL + SCALE + TEXT_EXT + TRAINING
+    + LAKEHOUSE
 )
 
 
