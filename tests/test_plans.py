@@ -105,3 +105,54 @@ def test_asof_union_merge_single_exchange_no_join(plans):
     n_exchange = final.count("- Exchange")
     assert n_exchange == 1, f"expected exactly 1 Exchange, plan:\n{final}"
     assert "Union" in final and "Window" in final
+
+
+def test_gopher_quality_is_shuffle_free(plans):
+    # per-doc metrics are in-row array expressions: scan → project → sort,
+    # no Exchange other than the final presentation orderBy
+    p = plans("text_gopher_quality")
+    assert "BatchEvalPython" not in p
+    body = p.split("Sort")[0]  # everything before the presentation sort
+    assert "Exchange" not in body, body
+
+
+def test_repetition_ratio_is_shuffle_free(plans):
+    p = plans("text_repetition_ratio")
+    assert "BatchEvalPython" not in p
+    body = p.split("Sort")[0]
+    assert "Exchange" not in body, body
+
+
+def test_stratified_sample_pushes_nothing_to_python(plans):
+    # md5-threshold sampling is a JVM-side filter in whole-stage codegen
+    p = plans("sample_stratified_hash")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "codegen id" in p
+
+
+def test_reservoir_topk_uses_window_group_limit(plans):
+    p = plans("sample_reservoir_topk")
+    assert "WindowGroupLimit" in p
+
+
+def test_upsert_dedups_before_join(plans):
+    # change side must collapse to 1 row/key via WindowGroupLimit BEFORE
+    # meeting the base table in the join
+    p = plans("upsert_latest_wins")
+    assert "WindowGroupLimit" in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_contamination_broadcasts_eval_side(plans):
+    # the eval shingle set joins broadcast — no corpus-sized shuffle join
+    p = plans("contamination_ngram_overlap")
+    assert "BroadcastHashJoin" in p
+
+
+def test_watermark_twin_has_no_global_single_partition_window(plans):
+    # the two-level prefix scan keeps the big side under a PARTITIONED
+    # window; only the tiny chunk summary may pass through SinglePartition
+    p = plans("stream_watermark_late")
+    assert "Window" in p
+    # the events-scale window must be hash-partitioned on chunk
+    assert "hashpartitioning(chunk" in p, p
