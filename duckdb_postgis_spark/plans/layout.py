@@ -140,3 +140,65 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("revenue"))
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# training-shard writer (the pipeline's write side)
+# --------------------------------------------------------------------------
+def ensure_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents written as the layout a tokenizer/training stage consumes:
+    parquet partitioned by lang (one directory per language), rows sorted by
+    doc_id inside every file, file size bounded by maxRecordsPerFile.
+
+    Scale: repartitionByRange(lang, doc_id) gives contiguous, balanced
+    output tasks (range boundaries from a sample, skew-resistant);
+    sortWithinPartitions orders rows without a global sort;
+    maxRecordsPerFile rolls files so no shard exceeds the training
+    loader's memory budget. At 100 TB this exact pipeline writes ~O(10^5)
+    uniformly-sized shards with no driver involvement."""
+    path = f"{_LAYOUT_ROOT}/training_shards_{_token(sf_dir, 'documents')}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        docs = table(spark, sf_dir, "documents")
+        (
+            docs.repartitionByRange(8, "lang", "doc_id")
+            .sortWithinPartitions("lang", "doc_id")
+            .write.partitionBy("lang")
+            .option("maxRecordsPerFile", 200)
+            .mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
+@query(
+    "shards_write_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def shards_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side correctness gate: the partitioned/sorted/size-bounded
+    shard layout (ensure_training_shards) must round-trip every row and
+    value of the source. Per-lang count/sum/min/max over the RE-READ shards
+    equals the same aggregate over the source table (oracle).
+
+    Scale: the check itself is a partial agg on the partition column —
+    pruned directory listing, 5 groups."""
+    shards = ensure_training_shards(spark, sf_dir)
+    return (
+        shards.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -42,3 +42,26 @@ def test_bucketed_scan_reports_buckets(spark, sf_dir):
 
     li = ensure_bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
     assert li.count() > 0
+
+
+def test_training_shards_layout(spark, sf_dir):
+    """The shard writer's physical promises: one directory per lang, no file
+    over maxRecordsPerFile rows, and doc_id ascending inside every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from duckdb_postgis_spark.plans.layout import ensure_training_shards
+
+    ensure_training_shards(spark, sf_dir)
+    from duckdb_postgis_spark.plans.layout import _LAYOUT_ROOT, _token
+
+    path = f"{_LAYOUT_ROOT}/training_shards_{_token(sf_dir, 'documents')}"
+    lang_dirs = sorted(glob.glob(f"{path}/lang=*"))
+    assert len(lang_dirs) == 5, lang_dirs
+    for d in lang_dirs:
+        for f in glob.glob(f"{d}/*.parquet"):
+            t = pq.read_table(f, columns=["doc_id"])
+            assert t.num_rows <= 200, (f, t.num_rows)
+            ids = t.column("doc_id").to_pylist()
+            assert ids == sorted(ids), f
