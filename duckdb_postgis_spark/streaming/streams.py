@@ -425,3 +425,115 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# foreachBatch incremental MERGE (streaming write side)
+# --------------------------------------------------------------------------
+@query(
+    "stream_upsert_live",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts, value AS new_bal
+        FROM (
+            SELECT user_id, event_id, ts, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) t WHERE rn = 1
+    )
+    SELECT c.c_custkey,
+           c.c_acctbal AS base_bal,
+           latest.last_event_id,
+           latest.last_ts,
+           COALESCE(latest.new_bal, c.c_acctbal) AS effective_bal
+    FROM customer c
+    LEFT JOIN latest ON c.c_custkey = latest.user_id
+    ORDER BY c.c_custkey
+    """,
+)
+def q_stream_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE via foreachBatch: each micro-batch of purchase
+    events is reduced to its latest row per user and merged latest-wins
+    onto a parquet customer snapshot (alternating A/B paths — the poor
+    man's Delta commit).  The merge is COMMUTATIVE over (ts, event_id)
+    max, so the final snapshot is independent of micro-batch slicing and
+    equals the batch upsert (operators/lakehouse.py) — which is the oracle.
+
+    Scale: per batch, one WindowGroupLimit pass over the delta + one
+    key-shuffle join against the snapshot; snapshot rewrite is the
+    standard copy-on-write MERGE cost (a real deployment swaps the parquet
+    A/B paths for Delta/Iceberg commits; the plan is identical)."""
+    import tempfile
+
+    from duckdb_postgis_spark.catalog import table as _btable
+    from pyspark.sql.window import Window
+
+    root = tempfile.mkdtemp(prefix="stream_upsert_")
+    paths = [f"{root}/a", f"{root}/b"]
+    cust = _btable(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("base_bal"),
+        F.lit(None).cast("long").alias("last_event_id"),
+        F.lit(None).cast("timestamp").alias("last_ts"),
+        F.col("c_acctbal").alias("effective_bal"),
+    )
+    cust.write.mode("overwrite").parquet(paths[0])
+    state = {"cur": 0}
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        delta = (
+            batch.filter(F.col("event_type") == "purchase")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("d_event_id"),
+                F.col("ts").alias("d_ts"),
+                F.col("value").alias("d_bal"),
+            )
+        )
+        snap = s.read.parquet(paths[state["cur"]])
+        # latest-wins: the delta row replaces the snapshot row iff its
+        # (ts, event_id) is strictly newer — commutative and idempotent
+        newer = F.col("last_ts").isNull() | (
+            F.struct("d_ts", "d_event_id")
+            > F.struct(F.col("last_ts").alias("d_ts"), F.col("last_event_id").alias("d_event_id"))
+        )
+        take_delta = F.col("d_event_id").isNotNull() & newer
+        merged = (
+            snap.join(delta, snap.c_custkey == delta.user_id, "left")
+            .select(
+                "c_custkey",
+                "base_bal",
+                F.when(take_delta, F.col("d_event_id"))
+                .otherwise(F.col("last_event_id"))
+                .alias("last_event_id"),
+                F.when(take_delta, F.col("d_ts"))
+                .otherwise(F.col("last_ts"))
+                .alias("last_ts"),
+                F.when(take_delta, F.col("d_bal"))
+                .otherwise(F.col("effective_bal"))
+                .alias("effective_bal"),
+            )
+        )
+        nxt = 1 - state["cur"]
+        merged.write.mode("overwrite").parquet(paths[nxt])
+        state["cur"] = nxt
+
+    ev = events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_upsert_"))
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    return spark.read.parquet(paths[state["cur"]]).orderBy("c_custkey")
