@@ -1071,3 +1071,80 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment ORDER BY c_mktsegment
         """
     )
+
+
+# --------------------------------------------------------------------------
+# time-series gap fill + forward fill (hypertable locf / time_bucket_gapfill)
+# --------------------------------------------------------------------------
+@query(
+    "events_gap_fill_locf",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM events WHERE user_id % 31 = 0),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n, {sql_davg('value')} AS hr_avg
+        FROM ev GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    span AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS h0,
+               CAST((epoch(date_trunc('hour', MAX(ts))) - epoch(date_trunc('hour', MIN(ts)))) // 3600 AS BIGINT) AS n_hours
+        FROM ev GROUP BY user_id
+    ),
+    grid AS (
+        SELECT span.user_id, span.h0 + CAST(u.i AS BIGINT) * INTERVAL 1 HOUR AS hour
+        FROM span, LATERAL unnest(range(0, span.n_hours + 1)) AS u(i)
+    )
+    SELECT g.user_id, g.hour,
+           COALESCE(h.n, 0) AS n_events,
+           last_value(h.hr_avg IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           CAST(CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+    ORDER BY g.user_id, g.hour
+    """,
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with forward fill (the hypertable
+    time_bucket_gapfill + locf pair): per user, a dense hourly grid from
+    first to last event hour, hourly averages where data exists, and the
+    last observation carried forward across gaps. A deterministic user
+    subset (user_id % 31 = 0) keeps the oracle compare bounded.
+
+    Scale: the grid is generated distributed (explode(sequence) per user —
+    one codegen span, no driver loop, no BNLJ); the grid⋈hourly join and
+    the locf window share the user_id hash partitioning, so AQE plans one
+    shuffle for both. Grid size is rows × avg-span-hours — bounded by the
+    time range, not the corpus."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 31 == 0)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"), davg("value").alias("hr_avg"))
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        joined.select(
+            "user_id",
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("hr_avg", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("n").isNull().cast("int").alias("is_gap"),
+        )
+        .orderBy("user_id", "hour")
+    )
