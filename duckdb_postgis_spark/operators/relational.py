@@ -1148,3 +1148,79 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+# --------------------------------------------------------------------------
+# event-time RANGE window (trailing interval aggregate)
+# --------------------------------------------------------------------------
+@query(
+    "window_trailing_range",
+    oracle=f"""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_7d_value,
+           COUNT(*) OVER w AS trail_7d_n
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user aggregate via an event-time RANGE frame —
+    the rolling-metrics shape (sessions, spend velocity, rate limits) that
+    ROWS frames cannot express when event spacing is irregular.
+
+    Exactness: the frame bound is integer microseconds (unix_micros /
+    epoch_us) on both engines — interval arithmetic via double epoch would
+    round vs truncate differently. The sum is the dsum decimal convention.
+    Scale: one hash shuffle on user_id; RANGE state is the in-frame row
+    set, bounded by events-per-key-per-week, not corpus size."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-604800000000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(dec("value")).over(w).cast("double").alias("trail_7d_value"),
+        F.count(F.lit(1)).over(w).alias("trail_7d_n"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (wide → long, the dual of A8's pivot)
+# --------------------------------------------------------------------------
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+          FROM lineitem)
+    UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    ORDER BY l_orderkey, l_linenumber, metric
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long unpivot (melt) of lineitem's numeric measures — the dual
+    of A8's pivot, the normalization step feeding generic metric pipelines.
+
+    Scale: unpivot is a zero-shuffle Expand (each input row emits 3 output
+    rows in-task); values pass through untouched so the oracle is exact."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "metric",
+            "val",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )

@@ -16,6 +16,7 @@ RELATIONAL = [
     "grouping_sets_cube_rollup", "window_rank_topn", "window_analytic",
     "sort_limit_topk", "set_ops", "scalar_string_date_math",
     "array_map_json", "subquery_scalar_in", "distinct_dedup_exact",
+    "window_trailing_range", "unpivot_metrics",
 ]
 # §2.9 streaming batch twins + §2.12c live streams
 STREAMING = [
@@ -91,9 +92,11 @@ def test_driver_window_covers_required_families():
     # operators added in round 2 after the 50-slot window was pinned: their
     # driver verdicts rotate in next round; until then the local oracle-parity
     # suite (same compare discipline) is their gate
-    new_this_round = {"events_gap_fill_locf"}
+    new_this_round = {
+        "events_gap_fill_locf", "window_trailing_range", "unpivot_metrics",
+    }
     required = (
-        RELATIONAL
+        [n for n in RELATIONAL if n not in new_this_round]
         + ["json_extract_events"]  # R18b, registered with §2.12d
         + [n for n in STREAMING if not n.endswith("_live")]
         + LLM
