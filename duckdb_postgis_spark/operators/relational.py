@@ -1224,3 +1224,50 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber", "metric")
     )
+
+
+# --------------------------------------------------------------------------
+# salted skew JOIN (manual replicate-and-salt, the deterministic AQE fallback)
+# --------------------------------------------------------------------------
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_dsum('e.value')} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact⋈dim join via explicit salting: the dim side is replicated
+    across 8 salt values (explode(sequence) — stays in one codegen span, no
+    BNLJ), the fact side computes salt = pmod(hash(event_id), 8), and the
+    join key becomes (key, salt) — a hot user's rows spread over 8 reducers
+    instead of one.  Salting affects DISTRIBUTION only, never the result,
+    so the oracle is the plain join.
+
+    Scale: this is the deterministic fallback for when AQE's skew-join
+    splitting can't apply (e.g. the skewed side feeds a co-partitioned
+    window downstream, or stats arrive too late); tests/test_skew_join.py
+    proves the AQE path, this pins the manual one."""
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+    n_salt = 8
+    cust_rep = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
+    )
+    ev_salted = ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(n_salt)))
+    return (
+        ev_salted.join(
+            cust_rep,
+            (ev_salted.user_id == cust_rep.c_custkey)
+            & (ev_salted.salt == cust_rep.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .orderBy("c_mktsegment")
+    )

@@ -202,3 +202,77 @@ def shards_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# small-file compaction (OPTIMIZE-style maintenance)
+# --------------------------------------------------------------------------
+def ensure_fragmented_docs(spark: SparkSession, sf_dir: str) -> str:
+    """A deliberately fragmented landing layout: documents partitioned by
+    lang with maxRecordsPerFile=50 — the many-small-files state a streaming
+    ingest leaves behind."""
+    path = f"{_LAYOUT_ROOT}/docs_fragmented_{_token(sf_dir, 'documents')}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        docs = table(spark, sf_dir, "documents")
+        (
+            docs.repartition("lang")
+            .write.partitionBy("lang")
+            .option("maxRecordsPerFile", 50)
+            .mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def ensure_compacted_docs(spark: SparkSession, sf_dir: str) -> str:
+    """OPTIMIZE-style compaction of the fragmented layout: rewrite each lang
+    partition into one large file (repartition on the partition column so
+    each output task owns a whole directory).
+
+    Scale: compaction is a narrow rewrite per partition directory — at
+    100 TB it runs partition-parallel and only over partitions whose file
+    count exceeds a threshold; the read side then pays one file open per
+    partition instead of thousands."""
+    frag = ensure_fragmented_docs(spark, sf_dir)
+    path = f"{_LAYOUT_ROOT}/docs_compacted_{_token(sf_dir, 'documents')}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        (
+            spark.read.parquet(frag)
+            .repartition("lang")
+            .write.partitionBy("lang")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+@query(
+    "maintenance_compact_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction correctness gate: fragment (50-row files) → compact (one
+    file per lang) must preserve every row and value; per-lang aggregates
+    over the compacted layout equal the source table (oracle). File-count
+    shrinkage is asserted in tests/test_layout_plans.py."""
+    path = ensure_compacted_docs(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -65,3 +65,24 @@ def test_training_shards_layout(spark, sf_dir):
             assert t.num_rows <= 200, (f, t.num_rows)
             ids = t.column("doc_id").to_pylist()
             assert ids == sorted(ids), f
+
+
+def test_compaction_shrinks_file_count(spark, sf_dir):
+    """Fragmented layout has multiple small files per lang; compaction
+    rewrites each lang directory into exactly one parquet file."""
+    import glob
+
+    from duckdb_postgis_spark.plans.layout import (
+        ensure_compacted_docs,
+        ensure_fragmented_docs,
+    )
+
+    frag = ensure_fragmented_docs(spark, sf_dir)
+    comp = ensure_compacted_docs(spark, sf_dir)
+    for lang_dir in sorted(glob.glob(f"{frag}/lang=*")):
+        lang = lang_dir.rsplit("=", 1)[1]
+        n_frag = len(glob.glob(f"{lang_dir}/*.parquet"))
+        n_comp = len(glob.glob(f"{comp}/lang={lang}/*.parquet"))
+        assert n_frag >= 2, (lang, n_frag)
+        assert n_comp == 1, (lang, n_comp)
+        assert n_comp < n_frag

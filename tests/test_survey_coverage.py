@@ -48,6 +48,7 @@ SCALE = [
     "agg_skew_salted", "agg_percentiles", "events_partition_pruned",
     "join_bucketed_colocated", "join_range_bucketed", "pivot_lang_counts",
     "agg_histogram", "events_multigrain_rollup", "events_gap_fill_locf",
+    "join_skew_salted",
 ]
 # §2.12d text/dedup extensions
 TEXT_EXT = [
@@ -66,7 +67,7 @@ TRAINING = [
 ]
 
 # §2.13 incremental-maintenance (lakehouse) surface
-LAKEHOUSE = ["upsert_latest_wins", "scd2_history"]
+LAKEHOUSE = ["upsert_latest_wins", "scd2_history", "maintenance_compact_roundtrip"]
 
 ALL_DECLARED = (
     RELATIONAL + STREAMING + LLM + GEO + MULTIMODAL + SCALE + TEXT_EXT + TRAINING
@@ -94,6 +95,7 @@ def test_driver_window_covers_required_families():
     # suite (same compare discipline) is their gate
     new_this_round = {
         "events_gap_fill_locf", "window_trailing_range", "unpivot_metrics",
+        "join_skew_salted",
     }
     required = (
         [n for n in RELATIONAL if n not in new_this_round]
