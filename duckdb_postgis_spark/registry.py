@@ -28,6 +28,14 @@ ORACLES: dict[str, str] = {}
 # fully driver-verified in round 1 (geo, §2.12d text/dedup, multimodal) and
 # the `_live` twins (semantics equal to their batch twins by construction,
 # asserted in tests/test_streaming_live.py) yield their slots.
+#
+# ROUND-3 ROTATION PLAN: once CORRECTNESS_r02 lands green for this window,
+# swap the re-verified §2.8/§2.10 entries out and rotate IN the operators
+# added in round 2 that are still driver-unseen: the §2.12e training surface
+# (text_gopher_quality .. shards_write_roundtrip), §2.13 lakehouse
+# (upsert_latest_wins, scd2_history, maintenance_compact_roundtrip),
+# stream_upsert_live, events_gap_fill_locf, window_trailing_range,
+# unpivot_metrics, join_skew_salted — ~15 queries, all locally oracle-green.
 PRIORITY: tuple[str, ...] = (
     # §2.8 relational R1-R20
     "scan_project",
