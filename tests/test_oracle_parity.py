@@ -34,3 +34,30 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
     assert e.queries()
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_sf_interleave_no_stale_views(spark):
+    """Temp-view re-registration must not leak data across sf dirs: the same
+    view-backed query run at sf0.001 → sf0.01 → sf0.001 returns sf-consistent
+    results (regression probe for register_views caching)."""
+    from duckdb_postgis_spark import registry
+
+    registry.load_all()
+    q = registry.QUERIES["subquery_scalar_in"]
+    a1 = sorted(map(str, q(spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(str, q(spark, "/root/testdata/sf0.01").collect()))
+    a2 = sorted(map(str, q(spark, "/root/testdata/sf0.001").collect()))
+    assert a1 == a2
+    assert b != a1  # different scale factors genuinely differ in values
+
+
+def test_mapinpandas_idempotent_rerun(spark):
+    """A mapInPandas query re-run in the same session returns identical
+    results (broadcast/Arrow-batch reuse probe)."""
+    from duckdb_postgis_spark import registry
+
+    registry.load_all()
+    q = registry.QUERIES["multimodal_image_features"]
+    r1 = sorted(map(str, q(spark, "/root/testdata/sf0.001").collect()))
+    r2 = sorted(map(str, q(spark, "/root/testdata/sf0.001").collect()))
+    assert r1 == r2
