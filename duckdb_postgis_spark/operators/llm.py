@@ -1404,3 +1404,43 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep"))
     edges.unpersist()
     return out.orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# near-dup candidate verification by exact edit distance
+# --------------------------------------------------------------------------
+@query(
+    "dedup_verify_levenshtein",
+    oracle=_MINHASH_CAND_CTE
+    + """
+    SELECT c.doc_a, c.doc_b,
+           levenshtein(da.text, db.text) AS edit_dist,
+           1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+               / greatest(len(da.text), len(db.text)) AS edit_sim
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    ORDER BY c.doc_a, c.doc_b
+    """,
+)
+def dedup_verify_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-verification stage of the near-dup pipeline: Levenshtein edit
+    distance + normalized similarity over the MinHash-LSH CANDIDATE pairs
+    (never all pairs) — the standard candidate-then-verify layout where the
+    O(n·m) string DP runs only on the linear-sized candidate set.
+
+    Scale: |candidates| is linear in corpus size by LSH construction; the
+    joins that attach the two texts are hash joins on doc_id; the DP itself
+    is JVM-side (F.levenshtein), no Python."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    j = pairs.join(da, "doc_a").join(db, "doc_b")
+    dist = F.levenshtein("text_a", "text_b")
+    sim = F.lit(1.0) - dist.cast("double") / F.greatest(
+        F.length("text_a"), F.length("text_b")
+    )
+    return j.select(
+        "doc_a", "doc_b", dist.alias("edit_dist"), sim.alias("edit_sim")
+    ).orderBy("doc_a", "doc_b")

@@ -56,7 +56,7 @@ TEXT_EXT = [
     "text_language_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_tfidf_top_terms", "text_shingle_udtf",
     "json_extract_events", "cogroup_reconcile", "dedup_cluster_components",
-    "join_null_safe", "subquery_exists_correlated",
+    "join_null_safe", "subquery_exists_correlated", "dedup_verify_levenshtein",
 ]
 
 # §2.12e training-data-pipeline extensions
