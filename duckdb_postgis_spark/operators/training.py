@@ -464,3 +464,83 @@ def udaf_char_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "lang", "n_docs", "sum_chars", "sumsq_chars", var_pop.alias("var_pop")
     ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# end-to-end pipeline composition (filter → dedup → pack → summarize)
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_training_e2e",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, source, text, str_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+        SELECT doc_id, lang, source, text, len(ws) AS n_words
+        FROM w
+        WHERE len(ws) BETWEEN 50 AND 100000
+          AND CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws)
+              BETWEEN 3 AND 10
+          AND len(list_filter({_SQL_STOPLIST}, s -> list_contains(ws, s))) >= 2
+    ),
+    d AS (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id FROM g
+    ),
+    s AS (SELECT doc_id, lang, source, n_words FROM d WHERE doc_id = keep_id),
+    c AS (
+        SELECT *, CAST(COALESCE(SUM(n_words) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS BIGINT) AS cum FROM s
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS sum_tokens,
+           COUNT(DISTINCT source || ':' || CAST(cum // {_CTX} AS VARCHAR)) AS n_bins
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_training_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE composed plan: Gopher quality
+    filter → exact-dedup survivorship (min doc_id per sha256) → per-source
+    sequence packing → per-language shard summary. Proves the operators
+    compose (shared scan, no materialization barriers) exactly as a user
+    would chain them.
+
+    Scale: the filter is in-row; the dedup window and pack window each
+    shuffle once (content hash, then source) — the same two exchanges the
+    standalone operators pay; Catalyst pipelines everything else into the
+    scan stage."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = _words()
+    n_words = F.size(w)
+    sum_len = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(w, s)))
+    mean_len = sum_len.cast("double") / n_words
+    g = docs.filter(
+        n_words.between(50, 100000) & mean_len.between(3, 10) & (n_stop >= 2)
+    ).select("doc_id", "lang", "source", "text", n_words.alias("n_words"))
+    keep = F.min("doc_id").over(Window.partitionBy(F.sha2("text", 256)))
+    s = g.withColumn("keep_id", keep).filter(F.col("doc_id") == F.col("keep_id"))
+    pack_w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = s.withColumn(
+        "cum", F.coalesce(F.sum("n_words").over(pack_w), F.lit(0)).cast("long")
+    )
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("sum_tokens"),
+            F.countDistinct(
+                F.concat_ws(":", "source", F.floor(F.col("cum") / _CTX).cast("string"))
+            ).alias("n_bins"),
+        )
+        .orderBy("lang")
+    )

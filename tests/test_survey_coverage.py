@@ -63,7 +63,7 @@ TEXT_EXT = [
 TRAINING = [
     "text_gopher_quality", "text_repetition_ratio", "sample_stratified_hash",
     "sample_reservoir_topk", "seq_pack_greedy", "contamination_ngram_overlap",
-    "udaf_char_variance", "shards_write_roundtrip",
+    "udaf_char_variance", "shards_write_roundtrip", "pipeline_training_e2e",
 ]
 
 # §2.13 incremental-maintenance (lakehouse) surface
