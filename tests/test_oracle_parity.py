@@ -61,3 +61,25 @@ def test_mapinpandas_idempotent_rerun(spark):
     r1 = sorted(map(str, q(spark, "/root/testdata/sf0.001").collect()))
     r2 = sorted(map(str, q(spark, "/root/testdata/sf0.001").collect()))
     assert r1 == r2
+
+
+@pytest.mark.parametrize(
+    "name", ["pricing_summary", "dedup_minhash_lsh", "window_trailing_range"]
+)
+def test_partition_count_invariance(spark, sf_dir, name):
+    """Results must not depend on shuffle partitioning — the property that
+    makes every oracle-checked value reproducible on a 1000-executor
+    cluster with different parallelism than the test harness."""
+    from duckdb_postgis_spark import registry
+
+    registry.load_all()
+    q = registry.QUERIES[name]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(str, q(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(str, q(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b
