@@ -80,7 +80,6 @@ def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_ts",
             F.coalesce("new_bal", "c_acctbal").alias("effective_bal"),
         )
-        .orderBy("c_custkey")
     )
 
 
@@ -116,5 +115,4 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt.alias("valid_to"),
             F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
         )
-        .orderBy("user_id", "valid_from", "event_id")
     )

