@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_postgis_spark.catalog import table
+from duckdb_postgis_spark.functions.order import sorted_small
 from duckdb_postgis_spark.registry import query
 
 # Gopher-style stopword probe list (the published rule checks membership of
@@ -543,5 +544,5 @@ def pipeline_training_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat_ws(":", "source", F.floor(F.col("cum") / _CTX).cast("string"))
             ).alias("n_bins"),
         )
-        .orderBy("lang")
+        .transform(sorted_small, "lang")
     )

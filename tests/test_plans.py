@@ -156,3 +156,27 @@ def test_watermark_twin_has_no_global_single_partition_window(plans):
     assert "Window" in p
     # the events-scale window must be hash-partitioned on chunk
     assert "hashpartitioning(chunk" in p, p
+
+
+def test_unpivot_is_shuffle_free_expand(plans):
+    # melt compiles to Expand inside the scan stage — zero Exchange
+    p = plans("unpivot_metrics")
+    assert "Expand" in p
+    assert "Exchange" not in p, p
+
+
+def test_trailing_range_window_single_exchange(plans):
+    # one hash shuffle on user_id; the RANGE frame adds no extra exchange
+    p = plans("window_trailing_range")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("- Exchange") == 1, final
+    assert "hashpartitioning(user_id" in p
+
+
+def test_e2e_pipeline_bounded_exchanges(plans):
+    # quality filter is in-row; dedup window + pack window + final 5-row agg
+    # — at most 4 data exchanges end-to-end, no Python in the plan
+    p = plans("pipeline_training_e2e")
+    assert "BatchEvalPython" not in p
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("- Exchange") <= 4, final
