@@ -1269,3 +1269,136 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# R23 distribution window functions (ntile / percent_rank / cume_dist)
+# --------------------------------------------------------------------------
+@query(
+    "window_rank_distribution",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           ntile(10) OVER w AS decile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — decile bucketing (ntile), relative
+    rank and cumulative distribution per market segment, the percentile
+    labeling step of cohort analytics.  The window orders by (c_acctbal,
+    c_custkey): the unique tie-break makes ntile's bucket split
+    deterministic (ties would otherwise land arbitrarily); percent_rank
+    and cume_dist are exact integer ratios → identical doubles.
+
+    Scale: one hash shuffle on the segment key; all three functions share
+    the same window spec so Spark evaluates them in a single Window node."""
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R24 string / boolean aggregation (listagg, bool_and/bool_or)
+# --------------------------------------------------------------------------
+@query(
+    "agg_string_bool",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+           bool_and(n.n_nationkey % 2 = 0) AS all_even,
+           bool_or(n.n_nationkey % 2 = 0) AS any_even,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def agg_string_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG / GROUP_CONCAT) with deterministic
+    in-group ordering, plus boolean aggregates — the report-building
+    surface.  collect_list has nondeterministic order under parallelism,
+    so the list is array_sort'ed before joining: same csv on every run and
+    engine.
+
+    Scale: partial collect per partition then merge — safe only when
+    groups are small (here: nations per region); for unbounded groups
+    aggregate a bounded top-k instead."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations_csv"
+            ),
+            F.bool_and(F.col("n_nationkey") % 2 == 0).alias("all_even"),
+            F.bool_or(F.col("n_nationkey") % 2 == 0).alias("any_even"),
+            F.count("*").alias("n_nations"),
+        )
+        .transform(sorted_small, "r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# R25 correlation via exact decimal moments
+# --------------------------------------------------------------------------
+@query(
+    "agg_corr_exact",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation WITHOUT the built-in corr(): the naive streaming
+    corr accumulates floating error whose low bits depend on partition
+    order, so Spark and DuckDB disagree in the last ULPs.  Instead the five
+    moments are exact DECIMAL sums (the testdata's 2-dp money columns make
+    every product a lossless 4-dp decimal) surfaced once as doubles, and
+    the correlation is one identical-formula double expression — exact
+    cross-engine parity with no tolerance.
+
+    Scale: a plain partial-agg groupBy — the decimal moments combine
+    associatively, so the map-side combine works exactly like sum()."""
+    li = table(spark, sf_dir, "lineitem")
+    q, p = dec("l_quantity"), dec("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("l_returnflag", "n", corr.alias("corr_qty_price")).transform(
+        sorted_small, "l_returnflag"
+    )

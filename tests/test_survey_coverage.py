@@ -16,7 +16,8 @@ RELATIONAL = [
     "grouping_sets_cube_rollup", "window_rank_topn", "window_analytic",
     "sort_limit_topk", "set_ops", "scalar_string_date_math",
     "array_map_json", "subquery_scalar_in", "distinct_dedup_exact",
-    "window_trailing_range", "unpivot_metrics",
+    "window_trailing_range", "unpivot_metrics", "window_rank_distribution",
+    "agg_string_bool", "agg_corr_exact",
 ]
 # §2.9 streaming batch twins + §2.12c live streams
 STREAMING = [
@@ -95,7 +96,8 @@ def test_driver_window_covers_required_families():
     # suite (same compare discipline) is their gate
     new_this_round = {
         "events_gap_fill_locf", "window_trailing_range", "unpivot_metrics",
-        "join_skew_salted",
+        "join_skew_salted", "window_rank_distribution", "agg_string_bool",
+        "agg_corr_exact",
     }
     required = (
         [n for n in RELATIONAL if n not in new_this_round]
