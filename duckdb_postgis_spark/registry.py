@@ -35,7 +35,9 @@ ORACLES: dict[str, str] = {}
 # (text_gopher_quality .. shards_write_roundtrip), §2.13 lakehouse
 # (upsert_latest_wins, scd2_history, maintenance_compact_roundtrip),
 # stream_upsert_live, events_gap_fill_locf, window_trailing_range,
-# unpivot_metrics, join_skew_salted — ~15 queries, all locally oracle-green.
+# unpivot_metrics, join_skew_salted, window_rank_distribution,
+# agg_string_bool, agg_corr_exact, dedup_verify_levenshtein,
+# pipeline_training_e2e — ~19 queries, all locally oracle-green.
 PRIORITY: tuple[str, ...] = (
     # §2.8 relational R1-R20
     "scan_project",
