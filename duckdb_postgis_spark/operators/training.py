@@ -230,7 +230,6 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a stateless filter — no shuffle, fully pushdown-friendly; the
     md5 evaluates JVM-side in whole-stage codegen."""
     docs = table(spark, sf_dir, "documents")
-    thr = F.lit(None).cast("string")
     expr = None
     for lang, threshold in _STRAT_RATES.items():
         cond = F.col("lang") == lang
