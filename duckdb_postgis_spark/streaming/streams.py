@@ -430,6 +430,51 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # foreachBatch incremental MERGE (streaming write side)
 # --------------------------------------------------------------------------
+
+def upsert_merge(snap: DataFrame, batch: DataFrame) -> DataFrame:
+    """One latest-wins MERGE step: reduce the change batch to its newest row
+    per user, then overwrite snapshot rows whose (last_ts, last_event_id) is
+    older.  Commutative and idempotent over (ts, event_id) max — folding any
+    partition of the change stream through this function, in any batch
+    slicing, yields the same snapshot (asserted in
+    tests/test_streaming_live.py::test_upsert_merge_slicing_invariant)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    delta = (
+        batch.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("d_event_id"),
+            F.col("ts").alias("d_ts"),
+            F.col("value").alias("d_bal"),
+        )
+    )
+    newer = F.col("last_ts").isNull() | (
+        F.struct("d_ts", "d_event_id")
+        > F.struct(
+            F.col("last_ts").alias("d_ts"),
+            F.col("last_event_id").alias("d_event_id"),
+        )
+    )
+    take_delta = F.col("d_event_id").isNotNull() & newer
+    return snap.join(delta, snap.c_custkey == delta.user_id, "left").select(
+        "c_custkey",
+        "base_bal",
+        F.when(take_delta, F.col("d_event_id"))
+        .otherwise(F.col("last_event_id"))
+        .alias("last_event_id"),
+        F.when(take_delta, F.col("d_ts")).otherwise(F.col("last_ts")).alias("last_ts"),
+        F.when(take_delta, F.col("d_bal"))
+        .otherwise(F.col("effective_bal"))
+        .alias("effective_bal"),
+    )
+
+
 @query(
     "stream_upsert_live",
     oracle="""
@@ -468,7 +513,6 @@ def q_stream_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from duckdb_postgis_spark.catalog import table as _btable
-    from pyspark.sql.window import Window
 
     root = tempfile.mkdtemp(prefix="stream_upsert_")
     paths = [f"{root}/a", f"{root}/b"]
@@ -484,44 +528,8 @@ def q_stream_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        delta = (
-            batch.filter(F.col("event_type") == "purchase")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "user_id",
-                F.col("event_id").alias("d_event_id"),
-                F.col("ts").alias("d_ts"),
-                F.col("value").alias("d_bal"),
-            )
-        )
         snap = s.read.parquet(paths[state["cur"]])
-        # latest-wins: the delta row replaces the snapshot row iff its
-        # (ts, event_id) is strictly newer — commutative and idempotent
-        newer = F.col("last_ts").isNull() | (
-            F.struct("d_ts", "d_event_id")
-            > F.struct(F.col("last_ts").alias("d_ts"), F.col("last_event_id").alias("d_event_id"))
-        )
-        take_delta = F.col("d_event_id").isNotNull() & newer
-        merged = (
-            snap.join(delta, snap.c_custkey == delta.user_id, "left")
-            .select(
-                "c_custkey",
-                "base_bal",
-                F.when(take_delta, F.col("d_event_id"))
-                .otherwise(F.col("last_event_id"))
-                .alias("last_event_id"),
-                F.when(take_delta, F.col("d_ts"))
-                .otherwise(F.col("last_ts"))
-                .alias("last_ts"),
-                F.when(take_delta, F.col("d_bal"))
-                .otherwise(F.col("effective_bal"))
-                .alias("effective_bal"),
-            )
-        )
+        merged = upsert_merge(snap, batch)
         nxt = 1 - state["cur"]
         merged.write.mode("overwrite").parquet(paths[nxt])
         state["cur"] = nxt

@@ -115,3 +115,28 @@ def test_user_state_running_totals(spark, ev):
     a = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in final.collect()}
     b = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in batch.collect()}
     assert a == b
+
+
+def test_upsert_merge_slicing_invariant(spark, sf_dir):
+    """The foreachBatch MERGE is commutative over (ts, event_id): folding the
+    change stream through upsert_merge in 3 slices — even in a shuffled
+    slice order — equals the one-shot batch upsert."""
+    from pyspark.sql import functions as F
+
+    from duckdb_postgis_spark.catalog import table
+    from duckdb_postgis_spark.operators.lakehouse import upsert_latest_wins
+    from duckdb_postgis_spark.streaming.streams import upsert_merge
+
+    snap = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("base_bal"),
+        F.lit(None).cast("long").alias("last_event_id"),
+        F.lit(None).cast("timestamp").alias("last_ts"),
+        F.col("c_acctbal").alias("effective_bal"),
+    )
+    ev = table(spark, sf_dir, "events")
+    for k in (2, 0, 1):  # deliberately out-of-order slices
+        snap = upsert_merge(snap, ev.filter(F.col("event_id") % 3 == k))
+    got = sorted(map(str, snap.collect()))
+    want = sorted(map(str, upsert_latest_wins(spark, sf_dir).collect()))
+    assert got == want
