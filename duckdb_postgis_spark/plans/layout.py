@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -275,4 +276,101 @@ def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("n_chars").alias("max_chars"),
         )
         .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF cell-partitioned embeddings (ANN probing as PARTITION PRUNING)
+# --------------------------------------------------------------------------
+def ensure_embeddings_by_cell(spark: SparkSession, sf_dir: str):
+    """Embeddings written partitioned by their IVF cell (coarse-quantizer
+    assignment) — the physical index layout that turns ANN cell probing
+    into parquet partition pruning: scanning nprobe of K cells touches
+    nprobe/K of the files, no row-level filter needed.
+
+    Returns (path, centroids). The centroids ride alongside the layout
+    (.npy) so queries and the writer share one quantizer — retraining
+    would silently shuffle cell ids."""
+    import numpy as np
+
+    from duckdb_postgis_spark.operators.llm import (
+        _IVF_TRAIN_SAMPLE,
+        _ivf_train,
+    )
+
+    path = f"{_LAYOUT_ROOT}/embeddings_by_cell_{_token(sf_dir, 'embeddings')}"
+    cpath = f"{path}_centroids.npy"
+    if not (os.path.exists(f"{path}/_SUCCESS") and os.path.exists(cpath)):
+        emb = table(spark, sf_dir, "embeddings")
+        sample = np.stack(
+            [
+                r[0]
+                for r in emb.orderBy("vec_id")
+                .limit(_IVF_TRAIN_SAMPLE)
+                .select("embedding")
+                .collect()
+            ]
+        ).astype("float64")
+        C = _ivf_train(sample)
+        b_C = spark.sparkContext.broadcast(C)
+
+        @F.pandas_udf("int")
+        def cell_of(vs: pd.Series) -> pd.Series:
+            CC = b_C.value
+            M = np.stack(vs.to_numpy()).astype("float64")
+            M = M / np.sqrt((M * M).sum(axis=1, keepdims=True))
+            return pd.Series(np.argmax(M @ CC.T, axis=1).astype("int32"))
+
+        (
+            emb.withColumn("cell", cell_of("embedding"))
+            .repartition("cell")
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        os.makedirs(os.path.dirname(cpath), exist_ok=True)
+        np.save(cpath, C)
+    return path, __import__("numpy").load(cpath)
+
+
+@query("similarity_search_ivf_pruned")  # rows-only: approximate; recall pinned
+def similarity_search_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2b's claimed scale path, actually materialized: query-vector top-10
+    against the CELL-PARTITIONED embeddings layout. The nprobe cell filter
+    is a literal partition predicate, so the scan plans PartitionFilters
+    and opens nprobe/K of the directories (plan-asserted in
+    tests/test_layout_plans.py) — at 100 TB this is the difference between
+    reading ~75% of the corpus and reading 0%-ish of it plus the probed
+    cells.
+
+    Same quantizer, probe list and re-rank as similarity_search_ivf, so
+    results are identical (recall pinned in tests/test_ann.py)."""
+    import numpy as np
+
+    path, C = ensure_embeddings_by_cell(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype="float64",
+    )
+    qn = qv / np.sqrt((qv * qv).sum())
+    from duckdb_postgis_spark.operators.llm import _IVF_NPROBE
+
+    probe_cells = [int(c) for c in np.argsort(-(C @ qn))[:_IVF_NPROBE]]
+    b_q = spark.sparkContext.broadcast(qn)
+
+    @F.pandas_udf("double")
+    def qcos(vs: pd.Series) -> pd.Series:
+        Q = b_q.value
+        M = np.stack(vs.to_numpy()).astype("float64")
+        M = M / np.sqrt((M * M).sum(axis=1, keepdims=True))
+        return pd.Series(M @ Q)
+
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0))
+        .withColumn("cosine_raw", qcos("embedding"))
+        .orderBy(F.col("cosine_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cosine_raw", 6).alias("cosine"))
     )

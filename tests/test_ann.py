@@ -50,3 +50,11 @@ def test_similarity_search_ivf_deterministic(spark, sf_dir):
     a = registry.QUERIES["similarity_search_ivf"](spark, sf_dir).collect()
     b = registry.QUERIES["similarity_search_ivf"](spark, sf_dir).collect()
     assert a == b
+
+
+def test_similarity_search_ivf_pruned_matches_unpruned(spark, sf_dir):
+    # same quantizer + probes + re-rank → identical results to the
+    # unpartitioned IVF path; the layout only changes WHAT IS READ
+    a = [tuple(r) for r in registry.QUERIES["similarity_search_ivf"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in registry.QUERIES["similarity_search_ivf_pruned"](spark, sf_dir).collect()]
+    assert a == b

@@ -86,3 +86,18 @@ def test_compaction_shrinks_file_count(spark, sf_dir):
         assert n_frag >= 2, (lang, n_frag)
         assert n_comp == 1, (lang, n_comp)
         assert n_comp < n_frag
+
+
+def test_ivf_pruned_scan_uses_partition_filters(spark, sf_dir):
+    """The nprobe cell predicate must prune parquet partitions — the scan
+    plans PartitionFilters on cell, not a row-level filter over all cells."""
+    from duckdb_postgis_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["similarity_search_ivf_pruned"](spark, sf_dir)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], plan

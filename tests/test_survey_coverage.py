@@ -49,7 +49,7 @@ SCALE = [
     "agg_skew_salted", "agg_percentiles", "events_partition_pruned",
     "join_bucketed_colocated", "join_range_bucketed", "pivot_lang_counts",
     "agg_histogram", "events_multigrain_rollup", "events_gap_fill_locf",
-    "join_skew_salted",
+    "join_skew_salted", "similarity_search_ivf_pruned",
 ]
 # §2.12d text/dedup extensions
 TEXT_EXT = [
@@ -90,7 +90,10 @@ def test_driver_window_covers_required_families():
     queries() — §2.8, §2.9 (+stateful streams), §2.10 and §2.12b must all
     land inside it (round-1 lesson: 25 finished operators got no verdict)."""
     window = list(registry.all_queries())[: registry.DRIVER_WINDOW]
-    ann_rows_only = {"knn_ivf_lsh", "similarity_search_ann", "similarity_search_ivf"}
+    ann_rows_only = {
+        "knn_ivf_lsh", "similarity_search_ann", "similarity_search_ivf",
+        "similarity_search_ivf_pruned",
+    }
     # operators added in round 2 after the 50-slot window was pinned: their
     # driver verdicts rotate in next round; until then the local oracle-parity
     # suite (same compare discipline) is their gate
@@ -131,5 +134,6 @@ def test_oracle_coverage_floor():
     # in round 2 (hex replay / pure-SQL transform chain)
     assert rows_only <= {
         "agg_approx_distinct", "knn_ivf_lsh", "similarity_search_ann",
-        "similarity_search_ivf", "stream_session_live",
+        "similarity_search_ivf", "similarity_search_ivf_pruned",
+        "stream_session_live",
     }, f"unexpected rows-only queries: {rows_only}"
