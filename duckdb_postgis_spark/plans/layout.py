@@ -302,15 +302,8 @@ def ensure_embeddings_by_cell(spark: SparkSession, sf_dir: str):
     cpath = f"{path}_centroids.npy"
     if not (os.path.exists(f"{path}/_SUCCESS") and os.path.exists(cpath)):
         emb = table(spark, sf_dir, "embeddings")
-        sample = np.stack(
-            [
-                r[0]
-                for r in emb.orderBy("vec_id")
-                .limit(_IVF_TRAIN_SAMPLE)
-                .select("embedding")
-                .collect()
-            ]
-        ).astype("float64")
+        rows = emb.orderBy("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
+        sample = np.stack([r[0] for r in rows]).astype("float64")
         C = _ivf_train(sample)
         b_C = spark.sparkContext.broadcast(C)
 
