@@ -113,3 +113,46 @@ def test_wkt_rejects_non_finite():
     for bad in (float("nan"), float("inf"), float("-inf")):
         with pytest.raises(ValueError, match="non-finite"):
             to_wkt(("Point", (bad, 0.0)))
+
+
+# --------------------------------------------------------------------------
+# hypothesis fuzz: WKB encode/decode round-trips for arbitrary coordinates
+# --------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+finite = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e15, max_value=1e15
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(x=finite, y=finite)
+def test_fuzz_point_wkb_roundtrip(x, y):
+    wkb = struct.pack("<BIdd", 1, 1, x, y)  # little-endian WKB point
+    geom = wkb_decode(wkb)
+    assert geom is not None
+    wkt = to_wkt(geom)
+    # shortest-roundtrip repr: parsing the WKT text back yields the same doubles
+    nums = wkt[wkt.index("(") + 1 : wkt.rindex(")")].split()
+    assert float(nums[0]) == x and float(nums[1]) == y
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    pts=st.lists(st.tuples(finite, finite), min_size=2, max_size=12),
+    big_endian=st.booleans(),
+)
+def test_fuzz_linestring_wkb_roundtrip(pts, big_endian):
+    bo = ">" if big_endian else "<"
+    wkb = struct.pack(f"{bo}BI", 0 if big_endian else 1, 2) + struct.pack(
+        f"{bo}I", len(pts)
+    )
+    for x, y in pts:
+        wkb += struct.pack(f"{bo}dd", x, y)
+    geom = wkb_decode(wkb)
+    assert geom is not None
+    wkt = to_wkt(geom)
+    body = wkt[wkt.index("(") + 1 : wkt.rindex(")")]
+    got = [tuple(map(float, pair.split())) for pair in body.split(", ")]
+    assert got == [(x, y) for x, y in pts]
