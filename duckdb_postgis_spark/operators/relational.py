@@ -1402,3 +1402,136 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("l_returnflag", "n", corr.alias("corr_qty_price")).transform(
         sorted_small, "l_returnflag"
     )
+
+
+# --------------------------------------------------------------------------
+# R26 ordered event funnel
+# --------------------------------------------------------------------------
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_view_after,
+           (SELECT COUNT(*) FROM s3) AS n_purchase_after,
+           CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+               / (SELECT COUNT(*) FROM s1) AS conv_view,
+           CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+               / (SELECT COUNT(*) FROM s2) AS conv_purchase
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → purchase: each stage
+    counts users whose stage event happens strictly AFTER their previous
+    stage's first event — the product-analytics workload (sequence
+    constraints, not mere event presence).
+
+    Scale: three filtered partial aggs, each joined user-to-user (hash,
+    broadcastable once a stage's survivor set shrinks); no window over the
+    full stream, no event-order sort."""
+    ev = table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.count()
+    n2 = s2.count()
+    n3 = s3.count()
+    return spark.createDataFrame(
+        [(n1, n2, n3, n2 / n1, n3 / n2)],
+        "n_signup long, n_view_after long, n_purchase_after long, "
+        "conv_view double, conv_purchase double",
+    )
+
+
+# --------------------------------------------------------------------------
+# R27 retention cohorts
+# --------------------------------------------------------------------------
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH first_m AS (
+        SELECT user_id,
+               MIN(year(ts) * 12 + month(ts)) AS cohort_m
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, year(ts) * 12 + month(ts) AS act_m FROM events
+    ),
+    cohort_size AS (
+        SELECT cohort_m, COUNT(*) AS n_cohort FROM first_m GROUP BY cohort_m
+    )
+    SELECT f.cohort_m,
+           a.act_m - f.cohort_m AS month_offset,
+           COUNT(*) AS n_active,
+           cs.n_cohort,
+           CAST(COUNT(*) AS DOUBLE) / cs.n_cohort AS retention
+    FROM activity a
+    JOIN first_m f ON a.user_id = f.user_id
+    JOIN cohort_size cs ON cs.cohort_m = f.cohort_m
+    GROUP BY f.cohort_m, a.act_m - f.cohort_m, cs.n_cohort
+    ORDER BY f.cohort_m, month_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-active month; for each
+    later month, the fraction of the cohort still active.  Month keys are
+    exact integers (year*12+month), rates one double division — no
+    months_between float semantics to diverge on.
+
+    Scale: two partial aggs over events (first month per user, distinct
+    user-months) then joins keyed on user/cohort — the user-level tables
+    are |users|-sized, far below the event stream."""
+    ev = table(spark, sf_dir, "events")
+    month_key = (F.year("ts") * 12 + F.month("ts")).cast("long")
+    first_m = ev.groupBy("user_id").agg(F.min(month_key).alias("cohort_m"))
+    activity = ev.select("user_id", month_key.alias("act_m")).distinct()
+    cohort_size = first_m.groupBy("cohort_m").agg(F.count("*").alias("n_cohort"))
+    return (
+        activity.join(first_m, "user_id")
+        .join(cohort_size, "cohort_m")
+        .groupBy(
+            "cohort_m",
+            (F.col("act_m") - F.col("cohort_m")).alias("month_offset"),
+            "n_cohort",
+        )
+        .agg(F.count("*").alias("n_active"))
+        .select(
+            "cohort_m",
+            "month_offset",
+            "n_active",
+            "n_cohort",
+            (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
+        )
+        .transform(sorted_small, "cohort_m", "month_offset")
+    )

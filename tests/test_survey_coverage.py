@@ -17,7 +17,7 @@ RELATIONAL = [
     "sort_limit_topk", "set_ops", "scalar_string_date_math",
     "array_map_json", "subquery_scalar_in", "distinct_dedup_exact",
     "window_trailing_range", "unpivot_metrics", "window_rank_distribution",
-    "agg_string_bool", "agg_corr_exact",
+    "agg_string_bool", "agg_corr_exact", "events_funnel", "retention_cohorts",
 ]
 # §2.9 streaming batch twins + §2.12c live streams
 STREAMING = [
@@ -100,7 +100,7 @@ def test_driver_window_covers_required_families():
     new_this_round = {
         "events_gap_fill_locf", "window_trailing_range", "unpivot_metrics",
         "join_skew_salted", "window_rank_distribution", "agg_string_bool",
-        "agg_corr_exact",
+        "agg_corr_exact", "events_funnel", "retention_cohorts",
     }
     required = (
         [n for n in RELATIONAL if n not in new_this_round]
