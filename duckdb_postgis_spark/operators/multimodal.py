@@ -397,3 +397,80 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in _AUDIO_SCHEMA.fields])
 
     return cols.mapInPandas(energy, schema=_AUDIO_SCHEMA).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# video: scene-cut detection (frame-mean jumps)
+# --------------------------------------------------------------------------
+_CUT_THRESHOLD = 32.0
+
+
+@query(
+    "multimodal_scene_cut",
+    oracle=_MEDIA_CTE
+    + f"""
+    , frames AS (
+      SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
+             CAST(list_sum(list_transform(range(0, {_FRAME_BYTES}),
+                   j -> (strpos('0123456789abcdef',
+                                substring(hex, CAST(u.i AS INT) * {2 * _FRAME_BYTES} + CAST(j AS INT) * 2 + 1, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef',
+                                  substring(hex, CAST(u.i AS INT) * {2 * _FRAME_BYTES} + CAST(j AS INT) * 2 + 2, 1)) - 1)
+             )) AS DOUBLE) / {_FRAME_BYTES} AS frame_mean
+      FROM media, LATERAL unnest(range(0, n_frames)) AS u(i)
+      WHERE media_type = 'video'
+    )
+    SELECT doc_id, frame_idx, frame_mean,
+           abs(frame_mean - LAG(frame_mean) OVER w) AS delta,
+           CAST(CASE WHEN abs(frame_mean - LAG(frame_mean) OVER w) >= {_CUT_THRESHOLD}
+                THEN 1 ELSE 0 END AS INT) AS is_cut
+    FROM frames
+    WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection: a cut is a frame whose mean intensity
+    jumps >= 32 vs the previous frame — the keyframe-selection signal a
+    video training pipeline samples around.
+
+    Unlike the other media ops this one is ENTIRELY JVM-side: the frame
+    bytes decode from hex with conv() inside explode(sequence) (one codegen
+    span), frame means are exact eighth-fractions, and the temporal diff is
+    one lag window per doc — zero Python, shuffle only on doc_id."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
+    hexcol = F.lower(F.hex("payload"))
+    i = F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1)).alias("frame_idx")
+    frames = m.select("doc_id", hexcol.alias("hx"), i)
+    byte_sum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_FRAME_BYTES - 1)),
+            lambda j: F.conv(
+                F.substring(
+                    F.col("hx"),
+                    (F.col("frame_idx") * (2 * _FRAME_BYTES) + j * 2 + 1).cast("int"),
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql.window import Window
+
+    per_frame = frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (byte_sum.cast("double") / _FRAME_BYTES).alias("frame_mean"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = F.abs(F.col("frame_mean") - F.lag("frame_mean").over(w))
+    return per_frame.select(
+        "doc_id",
+        "frame_idx",
+        "frame_mean",
+        delta.alias("delta"),
+        F.when(delta >= _CUT_THRESHOLD, 1).otherwise(0).cast("int").alias("is_cut"),
+    )

@@ -41,7 +41,7 @@ GEO = [
 # §2.12a multimodal
 MULTIMODAL = [
     "multimodal_meta_stats", "multimodal_image_features",
-    "multimodal_frame_sample", "multimodal_audio_energy",
+    "multimodal_frame_sample", "multimodal_audio_energy", "multimodal_scene_cut",
 ]
 # §2.12b ANN / skew / layout
 SCALE = [
