@@ -83,3 +83,22 @@ def test_partition_count_invariance(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert a == b
+
+
+SF01_SUBSET = [
+    "pricing_summary",        # 600k-row scan, 9 aggregates
+    "window_trailing_range",  # 100k-event RANGE window
+    "agg_percentiles",        # exact ordered-set aggregate
+    "text_stats",             # exact integer token arithmetic
+]
+
+
+@pytest.mark.parametrize("name", SF01_SUBSET)
+def test_oracle_parity_sf01(spark, name):
+    """Scale-up parity: the same value-exactness discipline must hold at
+    10x the default test scale (sf0.1 — the bench scale), where double
+    accumulation error and partition-order effects would surface first."""
+    compare_query(
+        spark, name, registry.QUERIES[name], registry.ORACLES[name],
+        "/root/testdata/sf0.1",
+    )

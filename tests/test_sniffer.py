@@ -92,3 +92,53 @@ def test_find_shapefile_path(tmp_path):
         zf.writestr("dir/layer.shp", b"x")
         zf.writestr("dir/layer.dbf", b"y")
     assert find_shapefile_path(str(p)) == "dir/layer.shp"
+
+
+# --------------------------------------------------------------------------
+# hypothesis fuzz: arbitrary bytes never crash detection
+# --------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_postgis_spark.sources.sniffer import (
+    FileType,
+    UnknownFileTypeError,
+    determine_file_type,
+    detect_geojson,
+    match_magic_numbers,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(header=st.binary(min_size=0, max_size=200))
+def test_fuzz_magic_numbers_total(header):
+    # total function: classifies or returns None, never raises
+    r = match_magic_numbers(header)
+    assert r is None or isinstance(r, FileType)
+
+
+@settings(max_examples=300, deadline=None)
+@given(buf=st.binary(min_size=0, max_size=400))
+def test_fuzz_geojson_detector_total(buf):
+    r = detect_geojson(buf)
+    assert r is None or r is FileType.GEOJSON
+
+
+@settings(max_examples=100, deadline=None)
+@given(body=st.binary(min_size=0, max_size=300))
+def test_fuzz_determine_file_type_clean_failure(tmp_path_factory, body):
+    # unknown content must raise the typed error (reference behavior:
+    # unsupported file type), never a decode/index crash
+    import tempfile, os
+
+    fd, path = tempfile.mkstemp(suffix=".bin")
+    try:
+        os.write(fd, body)
+        os.close(fd)
+        try:
+            r = determine_file_type(path)
+            assert isinstance(r, FileType)
+        except UnknownFileTypeError:
+            pass
+    finally:
+        os.unlink(path)
