@@ -34,10 +34,10 @@ ORACLES: dict[str, str] = {}
 # added in round 2 that are still driver-unseen: the §2.12e training surface
 # (text_gopher_quality .. shards_write_roundtrip), §2.13 lakehouse
 # (upsert_latest_wins, scd2_history, maintenance_compact_roundtrip),
-# stream_upsert_live, events_gap_fill_locf, window_trailing_range,
-# unpivot_metrics, join_skew_salted, window_rank_distribution,
-# agg_string_bool, agg_corr_exact, dedup_verify_levenshtein,
-# pipeline_training_e2e — ~19 queries, all locally oracle-green.
+# stream_upsert_live, and every other operator registered after the window
+# (R21-R27, A11/A12, M5, dedup_verify_levenshtein, pipeline_training_e2e,
+# similarity_search_ivf_pruned) — all locally oracle-green at sf0.001 AND
+# verified against the driver-replica plain-session harness at sf0.01.
 PRIORITY: tuple[str, ...] = (
     # §2.8 relational R1-R20
     "scan_project",
