@@ -102,3 +102,16 @@ def test_oracle_parity_sf01(spark, name):
         spark, name, registry.QUERIES[name], registry.ORACLES[name],
         "/root/testdata/sf0.1",
     )
+
+
+def test_bad_sf_dir_fails_clean(spark):
+    """A wrong data directory must surface Spark's typed PATH_NOT_FOUND
+    analysis error — not a partial result or an opaque crash."""
+    from pyspark.errors import AnalysisException
+
+    from duckdb_postgis_spark import registry
+
+    registry.load_all()
+    for name in ("pricing_summary", "text_stats"):
+        with pytest.raises(AnalysisException):
+            registry.QUERIES[name](spark, "/root/testdata/sf-does-not-exist").collect()
