@@ -1444,3 +1444,75 @@ def dedup_verify_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "doc_a", "doc_b", dist.alias("edit_dist"), sim.alias("edit_sim")
     ).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# survivorship merge: canonical record per near-dup cluster
+# --------------------------------------------------------------------------
+@query(
+    "dedup_survivorship_merge",
+    oracle=_MINHASH_CAND_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach(id, x) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.x
+    ),
+    labeled AS (
+        SELECT d.doc_id, d.n_chars, l.cluster_rep
+        FROM documents d
+        JOIN (SELECT id, MIN(x) AS cluster_rep FROM reach GROUP BY id) l
+          ON d.doc_id = l.id
+    ),
+    merged AS (
+        SELECT cluster_rep,
+               COUNT(*) AS n_members,
+               MAX(n_chars) AS max_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM labeled GROUP BY cluster_rep
+    ),
+    survivor AS (
+        SELECT l.cluster_rep, MIN(l.doc_id) AS survivor_doc
+        FROM labeled l JOIN merged m
+          ON l.cluster_rep = m.cluster_rep AND l.n_chars = m.max_chars
+        GROUP BY l.cluster_rep
+    )
+    SELECT m.cluster_rep, s.survivor_doc, m.n_members, m.max_chars, m.total_chars
+    FROM merged m JOIN survivor s ON m.cluster_rep = s.cluster_rep
+    ORDER BY m.cluster_rep
+    """,
+)
+def dedup_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy over near-dup clusters: per connected component,
+    keep the LONGEST document (ties → smallest doc_id) and merge cluster
+    attributes (member count, char totals) onto it — the canonicalization
+    step that turns dedup output into the record actually written to the
+    training set.
+
+    Scale: reuses the CC labels (iterative min-label propagation); the
+    policy itself is two partial aggs + one join on the cluster key —
+    cluster count ≪ corpus, so the merge is cheap regardless of scale."""
+    labels = dedup_cluster_components(spark, sf_dir)  # doc_id, cluster_rep
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = labels.join(docs, "doc_id")
+    merged = labeled.groupBy("cluster_rep").agg(
+        F.count("*").alias("n_members"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    survivor = (
+        labeled.join(
+            merged.select("cluster_rep", "max_chars"),
+            ["cluster_rep"],
+        )
+        .filter(F.col("n_chars") == F.col("max_chars"))
+        .groupBy("cluster_rep")
+        .agg(F.min("doc_id").alias("survivor_doc"))
+    )
+    return merged.join(survivor, "cluster_rep").select(
+        "cluster_rep", "survivor_doc", "n_members", "max_chars", "total_chars"
+    )

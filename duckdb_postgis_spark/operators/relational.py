@@ -1535,3 +1535,62 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sorted_small, "cohort_m", "month_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# R28 gaps-and-islands sessionization (the batch rewrite of session_window)
+# --------------------------------------------------------------------------
+@query(
+    "sessionize_islands",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM flagged
+    )
+    SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS last_event,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, sid
+    ORDER BY user_id, sid
+    """,
+)
+def sessionize_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the gaps-and-islands rewrite (lag gap flag →
+    running-sum session id → per-session agg) — the same 30-minute-gap
+    semantics as S3's session_window, built from plain window functions.
+    This is the form that ports to any batch SQL engine, supports custom
+    gap predicates (e.g. gap OR channel change), and exposes the session
+    id for downstream joins — none of which session_window() can do.
+
+    Scale: both windows and the final agg share the user_id hash
+    partitioning — Spark plans ONE exchange for the whole chain; per-key
+    state is the key's own event list, never global order."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond arithmetic: the oracle's full-precision interval compare
+    # (> INTERVAL 30 MINUTE) must not be approximated by truncated seconds
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("sid", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count("*").alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+    )

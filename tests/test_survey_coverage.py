@@ -18,6 +18,7 @@ RELATIONAL = [
     "array_map_json", "subquery_scalar_in", "distinct_dedup_exact",
     "window_trailing_range", "unpivot_metrics", "window_rank_distribution",
     "agg_string_bool", "agg_corr_exact", "events_funnel", "retention_cohorts",
+    "sessionize_islands",
 ]
 # §2.9 streaming batch twins + §2.12c live streams
 STREAMING = [
@@ -58,6 +59,7 @@ TEXT_EXT = [
     "text_fingerprint", "text_tfidf_top_terms", "text_shingle_udtf",
     "json_extract_events", "cogroup_reconcile", "dedup_cluster_components",
     "join_null_safe", "subquery_exists_correlated", "dedup_verify_levenshtein",
+    "dedup_survivorship_merge",
 ]
 
 # §2.12e training-data-pipeline extensions
@@ -101,6 +103,7 @@ def test_driver_window_covers_required_families():
         "events_gap_fill_locf", "window_trailing_range", "unpivot_metrics",
         "join_skew_salted", "window_rank_distribution", "agg_string_bool",
         "agg_corr_exact", "events_funnel", "retention_cohorts",
+        "sessionize_islands",
     }
     required = (
         [n for n in RELATIONAL if n not in new_this_round]
