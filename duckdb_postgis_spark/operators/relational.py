@@ -1594,3 +1594,66 @@ def sessionize_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("session_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# R29 monitoring: hourly volume anomalies by exact-moment z-score
+# --------------------------------------------------------------------------
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n_hours,
+               CAST(SUM(n) AS BIGINT) AS s1,
+               CAST(SUM(n * n) AS BIGINT) AS s2
+        FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour, h.n,
+           (h.n - CAST(s.s1 AS DOUBLE) / s.n_hours)
+               / sqrt(CAST(s.n_hours * s.s2 - s.s1 * s.s1 AS DOUBLE)
+                      / CAST(s.n_hours * s.n_hours AS DOUBLE)) AS zscore,
+           CAST(CASE WHEN abs(
+                (h.n - CAST(s.s1 AS DOUBLE) / s.n_hours)
+                / sqrt(CAST(s.n_hours * s.s2 - s.s1 * s.s1 AS DOUBLE)
+                       / CAST(s.n_hours * s.n_hours AS DOUBLE))) > 3
+                THEN 1 ELSE 0 END AS INT) AS is_anomaly
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    ORDER BY h.event_type, h.hour
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitoring: each (event_type, hour) bucket scored
+    against its type's hourly distribution; |z| > 3 flags the anomaly.
+    Mean and variance come from exact integer moments (Σn, Σn²) in ONE
+    partial agg — the naive avg/stddev_pop pair would accumulate doubles
+    partition-order-dependently and break cross-engine parity.
+
+    Scale: two aggs (hour buckets, then per-type moments — |types| rows)
+    and a broadcast join of the tiny stats side back onto the buckets."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = (
+        F.col("n_hours") * F.col("s2") - F.col("s1") * F.col("s1")
+    ).cast("double") / (F.col("n_hours") * F.col("n_hours")).cast("double")
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return j.select(
+        "event_type",
+        "hour",
+        "n",
+        z.alias("zscore"),
+        (F.abs(z) > 3).cast("int").alias("is_anomaly"),
+    )

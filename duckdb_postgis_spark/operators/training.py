@@ -545,3 +545,82 @@ def pipeline_training_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sorted_small, "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# governance: per-source data-quality report
+# --------------------------------------------------------------------------
+@query(
+    "source_quality_report",
+    oracle="""
+    WITH base AS (
+        SELECT source, lang, doc_id, n_chars, sha256(text) AS h FROM documents
+    ),
+    dup AS (
+        SELECT h, COUNT(*) AS copies FROM base GROUP BY h
+    ),
+    lang_counts AS (
+        SELECT source, lang, COUNT(*) AS nl FROM base GROUP BY source, lang
+    ),
+    top_lang AS (
+        SELECT source, MAX(nl) AS top_nl, COUNT(*) AS n_langs
+        FROM lang_counts GROUP BY source
+    )
+    SELECT b.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(b.n_chars) AS BIGINT) AS total_chars,
+           MIN(b.n_chars) AS min_chars,
+           MAX(b.n_chars) AS max_chars,
+           t.n_langs,
+           CAST(t.top_nl AS DOUBLE) / COUNT(*) AS top_lang_frac,
+           CAST(SUM(CASE WHEN d.copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN d.copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_frac
+    FROM base b
+    JOIN dup d ON b.h = d.h
+    JOIN top_lang t ON b.source = t.source
+    GROUP BY b.source, t.n_langs, t.top_nl
+    ORDER BY b.source
+    """,
+)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source governance report: volume, char bounds, language mix
+    (distinct langs + dominant-language fraction) and exact duplicate rate
+    — the dashboard a data-acquisition team watches per provider.  All
+    ratios are exact-integer divisions; duplication is content-hash based.
+
+    Scale: one hash-shuffle for the dup counts (32-byte uniform key, not
+    skewable), one for (source, lang), broadcast of the per-source summary
+    back — no row-level fan-out anywhere."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", "lang", "doc_id", "n_chars", F.sha2("text", 256).alias("h")
+    )
+    dup = base.groupBy("h").agg(F.count("*").alias("copies"))
+    lang_counts = base.groupBy("source", "lang").agg(F.count("*").alias("nl"))
+    top_lang = lang_counts.groupBy("source").agg(
+        F.max("nl").alias("top_nl"), F.count("*").alias("n_langs")
+    )
+    joined = base.join(dup, "h").join(F.broadcast(top_lang), "source")
+    return (
+        joined.groupBy("source", "n_langs", "top_nl")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum((F.col("copies") > 1).cast("long")).alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "min_chars",
+            "max_chars",
+            "n_langs",
+            (F.col("top_nl").cast("double") / F.col("n_docs")).alias("top_lang_frac"),
+            "n_dup_docs",
+            (F.col("n_dup_docs").cast("double") / F.col("n_docs")).alias("dup_frac"),
+        )
+        .transform(sorted_small, "source")
+    )

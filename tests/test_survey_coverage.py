@@ -18,7 +18,7 @@ RELATIONAL = [
     "array_map_json", "subquery_scalar_in", "distinct_dedup_exact",
     "window_trailing_range", "unpivot_metrics", "window_rank_distribution",
     "agg_string_bool", "agg_corr_exact", "events_funnel", "retention_cohorts",
-    "sessionize_islands",
+    "sessionize_islands", "events_anomaly_zscore",
 ]
 # §2.9 streaming batch twins + §2.12c live streams
 STREAMING = [
@@ -67,6 +67,7 @@ TRAINING = [
     "text_gopher_quality", "text_repetition_ratio", "sample_stratified_hash",
     "sample_reservoir_topk", "seq_pack_greedy", "contamination_ngram_overlap",
     "udaf_char_variance", "shards_write_roundtrip", "pipeline_training_e2e",
+    "source_quality_report",
 ]
 
 # §2.13 incremental-maintenance (lakehouse) surface
@@ -103,7 +104,7 @@ def test_driver_window_covers_required_families():
         "events_gap_fill_locf", "window_trailing_range", "unpivot_metrics",
         "join_skew_salted", "window_rank_distribution", "agg_string_bool",
         "agg_corr_exact", "events_funnel", "retention_cohorts",
-        "sessionize_islands",
+        "sessionize_islands", "events_anomaly_zscore",
     }
     required = (
         [n for n in RELATIONAL if n not in new_this_round]
