@@ -90,6 +90,8 @@ SF01_SUBSET = [
     "window_trailing_range",  # 100k-event RANGE window
     "agg_percentiles",        # exact ordered-set aggregate
     "text_stats",             # exact integer token arithmetic
+    "sessionize_islands",     # microsecond gap compare + running-sum ids
+    "events_anomaly_zscore",  # exact-moment z-scores
 ]
 
 

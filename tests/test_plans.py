@@ -180,3 +180,18 @@ def test_e2e_pipeline_bounded_exchanges(plans):
     assert "BatchEvalPython" not in p
     final = p.split("== Initial Plan ==")[0]
     assert final.count("- Exchange") <= 4, final
+
+
+def test_sessionize_single_exchange(plans):
+    # lag window, running-sum window and the session agg all share the
+    # user_id hash partitioning — exactly one data exchange
+    p = plans("sessionize_islands")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("- Exchange") == 1, final
+    assert "hashpartitioning(user_id" in p
+
+
+def test_anomaly_broadcasts_stats(plans):
+    # the |types|-row stats side must broadcast back onto hour buckets
+    p = plans("events_anomaly_zscore")
+    assert "BroadcastHashJoin" in p
