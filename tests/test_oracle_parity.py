@@ -92,6 +92,8 @@ SF01_SUBSET = [
     "text_stats",             # exact integer token arithmetic
     "sessionize_islands",     # microsecond gap compare + running-sum ids
     "events_anomaly_zscore",  # exact-moment z-scores
+    "knn_cosine_topk",        # block-pair cogroup matmul vs 4M-pair oracle
+    "dedup_simhash",          # pure-JVM bit arithmetic at 10x scale
 ]
 
 
