@@ -341,3 +341,129 @@ def geo_transform_27700_to_4326(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return p.mapInPandas(reproject, schema=schema).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# G8 distributed spatial join (grid-cell bucketed point-in-bbox)
+# --------------------------------------------------------------------------
+#: synthetic per-nation bounding boxes (DECIMAL-exact, engine-identical):
+#: 25 nations → lon origin spans [-175, 161], each box 12° x 8°
+_BB_LON0 = "CAST((n_nationkey * 14) - 175 AS DECIMAL(6,1))"
+_BB_LAT0 = "CAST((n_nationkey * 6) - 80 AS DECIMAL(5,1))"
+_CELL = 10  # degrees per grid cell
+
+
+@query(
+    "geo_bbox_join_grid",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey, {_LON} AS lon, {_LAT} AS lat FROM customer
+    ),
+    boxes AS (
+        SELECT n_nationkey, n_name,
+               {_BB_LON0} AS lon0, {_BB_LON0} + 12 AS lon1,
+               {_BB_LAT0} AS lat0, {_BB_LAT0} + 8 AS lat1
+        FROM nation
+    )
+    SELECT b.n_nationkey, b.n_name, COUNT(*) AS n_points
+    FROM pts p JOIN boxes b
+      ON p.lon >= b.lon0 AND p.lon < b.lon1
+     AND p.lat >= b.lat0 AND p.lat < b.lat1
+    GROUP BY b.n_nationkey, b.n_name
+    ORDER BY b.n_nationkey
+    """,
+)
+def geo_bbox_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spatial join (point-in-bbox) via the canonical grid-cell
+    layout: points key to their 10°-cell, boxes explode to every cell they
+    overlap, the join is a plain equi-join on (cx, cy) and the exact
+    containment predicate re-checks inside the matched cell.  This is how
+    every distributed spatial engine (Sedona, PostGIS partitioned,
+    BigQuery GIS) executes containment at scale — the oracle is the
+    direct theta join, proving the rewrite is lossless.
+
+    Scale: the theta join the oracle runs would be |points| x |boxes| at
+    100 TB; the grid rewrite shuffles each point once (its cell id) and
+    each box once per overlapped cell (bounded by box size / cell size),
+    so cost is linear with a small constant — and a skewed hot cell
+    splits under AQE like any hash join."""
+    pts = _coords(spark, sf_dir)
+    pts = pts.select(
+        "c_custkey",
+        "lon",
+        "lat",
+        F.floor(F.col("lon") / _CELL).cast("int").alias("cx"),
+        F.floor(F.col("lat") / _CELL).cast("int").alias("cy"),
+    )
+    nation = table(spark, sf_dir, "nation")
+    boxes = nation.select(
+        "n_nationkey",
+        "n_name",
+        F.expr(_BB_LON0).alias("lon0"),
+        (F.expr(_BB_LON0) + 12).alias("lon1"),
+        F.expr(_BB_LAT0).alias("lat0"),
+        (F.expr(_BB_LAT0) + 8).alias("lat1"),
+    )
+    box_cells = boxes.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lon0") / _CELL).cast("int"),
+                # upper bound exclusive: a box ending exactly on a cell edge
+                # does not overlap the next cell
+                F.floor((F.col("lon1") - F.lit(0.001).cast("decimal(6,3)")) / _CELL).cast("int"),
+            )
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lat0") / _CELL).cast("int"),
+                F.floor((F.col("lat1") - F.lit(0.001).cast("decimal(5,3)")) / _CELL).cast("int"),
+            )
+        ).alias("cy"),
+    )
+    return (
+        pts.join(box_cells, ["cx", "cy"])
+        .filter(
+            (F.col("lon") >= F.col("lon0"))
+            & (F.col("lon") < F.col("lon1"))
+            & (F.col("lat") >= F.col("lat0"))
+            & (F.col("lat") < F.col("lat1"))
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("n_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# G9 spatial cell rollup (geohash-style density grid)
+# --------------------------------------------------------------------------
+@query(
+    "geo_cell_rollup",
+    oracle=f"""
+    SELECT CAST(floor({_LON} / {_CELL}) AS INT) AS cx,
+           CAST(floor({_LAT} / {_CELL}) AS INT) AS cy,
+           COUNT(*) AS n_points
+    FROM customer
+    GROUP BY 1, 2
+    ORDER BY cx, cy
+    """,
+)
+def geo_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density grid: points quantized to 10° cells, count per cell
+    — the geohash/H3-style aggregation behind heatmaps and spatial
+    partitioning decisions.  Integer cell keys, exact counts.
+
+    Scale: partial agg on a bounded key space (36x18 cells at this
+    resolution) — the shuffle carries |cells| rows per task."""
+    c = _coords(spark, sf_dir)
+    return (
+        c.groupBy(
+            F.floor(F.col("lon") / _CELL).cast("int").alias("cx"),
+            F.floor(F.col("lat") / _CELL).cast("int").alias("cy"),
+        )
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("cx", "cy")
+    )

@@ -37,7 +37,7 @@ LLM = [
 # §2.11 geo surface (query-form subset of G1-G7)
 GEO = [
     "geo_point_wkt", "geo_crs_infer_ranges", "geo_transform_27700_to_4326",
-    "geo_wkb_roundtrip",
+    "geo_wkb_roundtrip", "geo_bbox_join_grid", "geo_cell_rollup",
 ]
 # §2.12a multimodal
 MULTIMODAL = [
