@@ -528,13 +528,11 @@ def geo_haversine_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     d2r = F.expr(_DEG2RAD)
-    # single-bucket equi-join instead of crossJoin: a column-derived
-    # always-zero key (literal keys constant-fold back to a BNLJ) makes
-    # Catalyst plan a BroadcastHashJoin — same row product, but the
-    # codegen'd join operator the registry lint requires
-    j = pts.withColumn("jk", F.pmod("c_custkey", F.lit(1))).join(
-        anchors.withColumn("jk", F.pmod("r_regionkey", F.lit(1))), "jk"
-    )
+    # explicit cross join against the broadcast 5-row anchor table: the
+    # BroadcastNestedLoopJoin this plans is a bounded constant-attach
+    # (build side = one row per region), whitelisted in the plan lint
+    # alongside similarity_search_query
+    j = pts.crossJoin(anchors)
     dist = 12742.0 * F.asin(
         F.sqrt(
             F.pow(F.sin((F.col("lat") - F.col("alat")) * d2r / 2), 2.0)

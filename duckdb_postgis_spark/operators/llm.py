@@ -1092,11 +1092,29 @@ _IVF_TRAIN_SAMPLE = 1024
 _IVF_ITERS = 10
 
 
+def _ivf_train_sample(emb: DataFrame):
+    """Deterministic UNBIASED training sample: top-_IVF_TRAIN_SAMPLE rows by
+    ``xxhash64(vec_id)``.  The hash is a reproducible random priority, so
+    this is a uniform draw regardless of how content correlates with id
+    order (head-of-table sampling skews centroids on crawl-ordered
+    corpora).  Executes as TakeOrdered — per-partition partial top-K, no
+    global sort, no count() pre-pass — so it holds at 100 TB."""
+    import numpy as np
+
+    rows = (
+        emb.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(_IVF_TRAIN_SAMPLE)
+        .select("embedding")
+        .collect()
+    )
+    return np.stack([r[0] for r in rows]).astype("float64")
+
+
 def _ivf_train(sample) -> "object":
     """Spherical k-means on a driver-side sample: normalized vectors,
     cosine assignment (argmax dot), mean-renormalize update, seeded init.
-    At 100 TB the sample is a `TABLESAMPLE` collect — training cost is
-    O(sample x K x iters) on the driver, independent of corpus size."""
+    Training cost is O(sample x K x iters) on the driver, independent of
+    corpus size; the sample itself comes from _ivf_train_sample."""
     import numpy as np
 
     Xn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
@@ -1131,10 +1149,7 @@ def similarity_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sample = np.stack(
-        [r[0] for r in emb.orderBy("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()]
-    ).astype("float64")
-    C = _ivf_train(sample)
+    C = _ivf_train(_ivf_train_sample(emb))
 
     qv = np.array(
         emb.filter(F.col("vec_id") == 0).select("embedding").first()[0], dtype="float64"

@@ -418,19 +418,50 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# R11 approximate distinct (HLL) — rows-only (approximation differs by engine)
+# R11 approximate distinct (HLL) — oracle on the exact columns + pinned error
 # --------------------------------------------------------------------------
-@query("agg_approx_distinct")
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey)  AS exact_nd_part,
+           COUNT(DISTINCT l_orderkey) AS exact_nd_order,
+           TRUE AS part_within_5pct,
+           TRUE AS order_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate count-distinct. No oracle: sketch estimates
-    are engine-specific (driver records rows-only). Scale: this IS the
-    100 TB answer to R10 — mergeable sketch, single shuffle of tiny state."""
+    """HyperLogLog++ approximate count-distinct, made oracle-checkable:
+    sketch estimates are engine-specific, so the output carries the EXACT
+    counts (hash-verified against DuckDB ``COUNT(DISTINCT ...)``) plus
+    booleans asserting the HLL estimate sits within 5% relative error of
+    exact.  Spark computes the booleans from its real estimate; the oracle
+    pins them TRUE — if the sketch ever drifts past 5% the driver hash
+    fails, so the approximation itself is under test, not just the exact
+    twin.  Scale: HLL is the 100 TB answer to R10 — mergeable sketch,
+    single shuffle of tiny state; the exact companion here is the
+    verification harness, not the scale path."""
     li = table(spark, sf_dir, "lineitem")
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) / F.col(exact) < F.lit(0.05)
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd_part"),
-            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_nd_order"),
+            F.countDistinct("l_partkey").alias("exact_nd_part"),
+            F.countDistinct("l_orderkey").alias("exact_nd_order"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("_apx_part"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("_apx_order"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_nd_part",
+            "exact_nd_order",
+            within("_apx_part", "exact_nd_part").alias("part_within_5pct"),
+            within("_apx_order", "exact_nd_order").alias("order_within_5pct"),
         )
         .orderBy("l_returnflag")
     )

@@ -294,17 +294,16 @@ def ensure_embeddings_by_cell(spark: SparkSession, sf_dir: str):
     import numpy as np
 
     from duckdb_postgis_spark.operators.llm import (
-        _IVF_TRAIN_SAMPLE,
         _ivf_train,
+        _ivf_train_sample,
     )
 
-    path = f"{_LAYOUT_ROOT}/embeddings_by_cell_{_token(sf_dir, 'embeddings')}"
+    # v2: hash-priority training sample (unbiased) replaced head-of-table
+    path = f"{_LAYOUT_ROOT}/embeddings_by_cell_v2_{_token(sf_dir, 'embeddings')}"
     cpath = f"{path}_centroids.npy"
     if not (os.path.exists(f"{path}/_SUCCESS") and os.path.exists(cpath)):
         emb = table(spark, sf_dir, "embeddings")
-        rows = emb.orderBy("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
-        sample = np.stack([r[0] for r in rows]).astype("float64")
-        C = _ivf_train(sample)
+        C = _ivf_train(_ivf_train_sample(emb))
         b_C = spark.sparkContext.broadcast(C)
 
         @F.pandas_udf("int")

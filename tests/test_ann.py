@@ -58,3 +58,32 @@ def test_similarity_search_ivf_pruned_matches_unpruned(spark, sf_dir):
     a = [tuple(r) for r in registry.QUERIES["similarity_search_ivf"](spark, sf_dir).collect()]
     b = [tuple(r) for r in registry.QUERIES["similarity_search_ivf_pruned"](spark, sf_dir).collect()]
     assert a == b
+
+
+def test_ivf_recall_survives_content_ordered_ids(spark, sf_dir, tmp_path):
+    """Round-2 advice: the quantizer trained on the FIRST 1024 rows by
+    vec_id — biased whenever id correlates with content (crawl order).
+    Adversarial check: reassign vec_id so id order IS content order
+    (sorted by the first embedding component), then require the same
+    pinned recall.  The hash-priority sample (_ivf_train_sample) is
+    invariant to id<->content correlation; a head-of-table sample fails
+    this on clustered data by construction."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    permuted = (
+        emb.withColumn(
+            "vec_id",
+            F.row_number().over(
+                Window.orderBy(F.col("embedding")[0], "vec_id")
+            ) - 1,
+        )
+    )
+    pdir = str(tmp_path / "sfperm")
+    permuted.write.parquet(f"{pdir}/embeddings.parquet")
+
+    exact = {r.vec_id for r in registry.QUERIES["similarity_search_query"](spark, pdir).collect()}
+    approx = {r.vec_id for r in registry.QUERIES["similarity_search_ivf"](spark, pdir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"query recall@10 on content-ordered ids {recall}"

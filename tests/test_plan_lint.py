@@ -1,5 +1,5 @@
 """Registry-wide plan lint: no query may silently plan a cross product or a
-row-at-a-time Python UDF. The three whitelisted exceptions are each the
+row-at-a-time Python UDF. The whitelisted exceptions are each the
 *documented* semantics of their operator, not an accident:
 
 - ``similarity_search_query``: cross join against a ONE-row broadcast query
@@ -10,6 +10,8 @@ row-at-a-time Python UDF. The three whitelisted exceptions are each the
   docstring commits to the LSH variant at scale).
 - ``text_shingle_udtf``: exercises the Python UDTF API surface on purpose
   (SURVEY §2.12); UDTFs evaluate row-at-a-time by design.
+- ``geo_haversine_radius``: broadcast cross join whose build side is one
+  anchor row per region (5 rows at any SF) — a bounded constant-attach.
 
 Everything else must be equi-join + codegen only. This caught a
 BroadcastNestedLoopJoin hiding under the MinHash seed expansion
@@ -25,7 +27,13 @@ from duckdb_postgis_spark import registry
 
 registry.load_all()
 
-ALLOWED_BNLJ = {"similarity_search_query", "dedup_embedding_cosine"}
+ALLOWED_BNLJ = {
+    "similarity_search_query",
+    "dedup_embedding_cosine",
+    # bounded build side: one anchor row per region (5 at any SF) — the
+    # broadcast cross join is a constant-attach, not a pair explosion
+    "geo_haversine_radius",
+}
 ALLOWED_ROW_PY = {"text_shingle_udtf"}
 
 CASES = sorted(registry.QUERIES)

@@ -131,14 +131,13 @@ def test_priority_names_all_registered():
 
 
 def test_oracle_coverage_floor():
-    # every query has an oracle except the eight with a documented reason
-    # (approximate by design, codec stub, offline-spatial, append-mode tail)
+    # every query has an oracle except the five with a documented reason
+    # (ANN recall approximate by design, append-mode tail semantics);
+    # agg_approx_distinct gained an oracle in round 3 (exact columns
+    # hash-verified + HLL error pinned as TRUE booleans)
     rows_only = set(registry.QUERIES) - set(registry.ORACLES)
-    # approximate-by-design (HLL / ANN recall) or append-mode tail semantics;
-    # image/audio features and the BNG transform gained full value oracles
-    # in round 2 (hex replay / pure-SQL transform chain)
     assert rows_only <= {
-        "agg_approx_distinct", "knn_ivf_lsh", "similarity_search_ann",
+        "knn_ivf_lsh", "similarity_search_ann",
         "similarity_search_ivf", "similarity_search_ivf_pruned",
         "stream_session_live",
     }, f"unexpected rows-only queries: {rows_only}"
