@@ -5,11 +5,23 @@ Mirrors the reference's single materialized table ``data``
 Parquet is self-describing, so like the reference's ``read_parquet`` path
 (``core_processor.rs:419-424``) no schema is declared — Spark's vectorized
 parquet reader supplies column pruning + predicate pushdown for free.
+
+``events.ts`` has shipped in two physical encodings across driver rounds
+(int64 nanos / TIMESTAMP(NANOS), then TIMESTAMP(MICROS)).  The loader
+branches on the *observed* dtype instead of hard-coding one, and a cached
+parquet-footer probe asserts the decoded min/max timestamps land in a sane
+year range so any future encoding drift fails LOUDLY at load instead of
+silently collapsing every window to 1970 (the round-3 failure mode).
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLES = (
     "region",
@@ -28,18 +40,95 @@ TABLES = (
 #: at TPC-H geometry these grow ~linearly but stay tiny relative to facts.
 DIMENSIONS = ("region", "nation", "supplier", "part", "customer")
 
+#: events timestamps must decode into this window; anything outside means
+#: the physical encoding was misread (e.g. micros reinterpreted as nanos).
+_TS_SANE_MIN = _dt.datetime(2000, 1, 1)
+_TS_SANE_MAX = _dt.datetime(2100, 1, 1)
+
+
+@lru_cache(maxsize=None)
+def _probe_events_ts(path: str) -> str:
+    """Classify the physical encoding of ``events.ts`` from the parquet
+    footer (driver-side, no Spark job) and validate its min/max statistics.
+
+    Returns ``"int64_nanos"`` (plain int64 or TIMESTAMP(NANOS) logical —
+    both need the nanosAsLong escape hatch + micros rebuild) or
+    ``"timestamp"`` (TIMESTAMP(MICROS/MILLIS) — Spark reads it natively).
+    Raises ``ValueError`` on an unrecognized encoding or insane stats, so
+    schema drift is a loud load-time error, never silent corruption.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    t = pf.schema_arrow.field("ts").type
+    if pa.types.is_timestamp(t) and t.unit in ("us", "ms"):
+        kind = "timestamp"
+    elif pa.types.is_int64(t) or (pa.types.is_timestamp(t) and t.unit == "ns"):
+        kind = "int64_nanos"
+    else:
+        raise ValueError(
+            f"events.ts at {path} has unsupported physical type {t!r}; "
+            "known encodings: int64 nanos, TIMESTAMP(NANOS/MICROS/MILLIS). "
+            "Update duckdb_postgis_spark/catalog.py for the new layout."
+        )
+
+    lo = hi = None
+    md = pf.metadata
+    for rg in range(md.num_row_groups):
+        for ci in range(md.row_group(rg).num_columns):
+            col = md.row_group(rg).column(ci)
+            if col.path_in_schema != "ts":
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if kind == "int64_nanos" and not isinstance(mn, _dt.datetime):
+                mn = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=mn // 1000)
+                mx = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=mx // 1000)
+            if isinstance(mn, _dt.datetime) and mn.tzinfo is not None:
+                mn = mn.replace(tzinfo=None)
+                mx = mx.replace(tzinfo=None)
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+    if lo is not None and not (_TS_SANE_MIN <= lo and hi <= _TS_SANE_MAX):
+        raise ValueError(
+            f"events.ts at {path} decodes to [{lo} .. {hi}] under encoding "
+            f"{kind!r} — outside the sane window [{_TS_SANE_MIN} .. "
+            f"{_TS_SANE_MAX}]. The physical encoding drifted; refusing to "
+            "load rather than produce silently-wrong timestamps."
+        )
+    return kind
+
+
+def rebuild_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the raw ``ts`` column to session TimestampType, branching
+    on the dtype the reader actually produced.  Shared by the batch catalog
+    and the streaming source so both tolerate the same encodings."""
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # int64 nanos (or TIMESTAMP(NANOS) read via nanosAsLong): exact
+        # integer division — nanos exceed 2^53, float division corrupts.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, (TimestampNTZType, TimestampType)):
+        # TIMESTAMP(MICROS/MILLIS): native read; NTZ→TZ cast preserves the
+        # wall clock under the session timezone, matching the DuckDB oracle
+        # which reads the same file as a naive TIMESTAMP.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    raise TypeError(
+        f"events.ts read as unsupported Spark type {ts_type}; "
+        "update duckdb_postgis_spark/catalog.py for the new layout."
+    )
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
-        # read the raw int64 nanos (legacy conf, runtime-settable) and rebuild
-        # a microsecond timestamp with exact integer division (nanos exceed
-        # 2^53, so float division would corrupt them).
+        path = f"{sf_dir}/{name}.parquet"
+        _probe_events_ts(path)  # loud sanity gate, cached per path
+        # harmless when ts is a real timestamp; required for legacy nanos
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return rebuild_events_ts(spark.read.parquet(path))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1103,9 +1103,7 @@ def _ivf_train_sample(emb: DataFrame):
 
     rows = (
         emb.orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(_IVF_TRAIN_SAMPLE)
-        .select("embedding")
-        .collect()
+        .limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
     )
     return np.stack([r[0] for r in rows]).astype("float64")
 

@@ -24,29 +24,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from duckdb_postgis_spark.catalog import _probe_events_ts, rebuild_events_ts
 from duckdb_postgis_spark.functions.num import dsum, sql_dsum
 from duckdb_postgis_spark.registry import query
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# Raw parquet schema of events (ts is TIMESTAMP(NANOS) in the file; Spark's
-# streaming reader needs the same nanosAsLong escape hatch as the batch
-# catalog — see catalog.py — so we declare ts as LONG and rebuild micros).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,17 +34,26 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     maxFilesPerTrigger=1 keeps micro-batches bounded; at scale the same call
     points at a landing directory receiving continuous file drops.
+
+    The streaming source needs a declared schema; rather than hard-coding
+    one physical encoding of ``ts`` (the round-3 silent-corruption bug:
+    micros read as longs ÷1000 → 1970 windows) the schema is derived from a
+    batch footer read of the SAME file, and the catalog's footer-stats probe
+    rejects insane encodings loudly before any stream starts.
     """
+    path = f"{sf_dir}/events.parquet"
+    _probe_events_ts(path)  # loud min/max sanity gate, cached per path
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema  # footer-only, no scan
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         # the source path is the whole testdata dir; glob-filter to events
         # only (a file stream source needs a directory, not a file path)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return rebuild_events_ts(raw)
 
 
 # --------------------------------------------------------------------------

@@ -87,7 +87,6 @@ def test_no_unbounded_driver_collect():
         ("pipeline.py", ".limit(1)"),
         # IVF coarse quantizer trains on a fixed-size sample, not the corpus
         ("operators/llm.py", ".limit(_IVF_TRAIN_SAMPLE).select"),
-        ("plans/layout.py", ".limit(_IVF_TRAIN_SAMPLE).select"),
     ]
     offenders = []
     for p in sorted(pkg.rglob("*.py")):

@@ -1,0 +1,125 @@
+"""Schema contract between the driver's testdata and the catalog.
+
+Round 3 post-mortem: the driver re-exported ``events.parquet`` with
+``ts`` as TIMESTAMP(MICROS) (previously int64 nanos) and the local harness
+stayed green while 16 driver queries crashed and two streams silently
+produced 1970-era windows.  This suite is the tripwire: it walks EVERY
+``/root/testdata/sf*/{table}.parquet`` footer with pyarrow (no Spark job)
+and asserts the catalog can still classify and load it, so any future
+physical-encoding drift fails HERE, loudly, before a driver round does.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from duckdb_postgis_spark.catalog import (
+    TABLES,
+    _probe_events_ts,
+    rebuild_events_ts,
+    table,
+)
+
+SF_DIRS = sorted(glob.glob("/root/testdata/sf*"))
+
+#: columns every query in the registry depends on, per table — a rename or
+#: type change in a driver re-export must fail this inventory, not a query.
+REQUIRED_COLUMNS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+    "part": {"p_partkey", "p_name", "p_retailprice"},
+    "orders": {"o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "o_orderstatus"},
+    "lineitem": {
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    },
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+
+def _sf_params():
+    return [pytest.param(d, id=os.path.basename(d)) for d in SF_DIRS]
+
+
+@pytest.mark.parametrize("sf", _sf_params())
+@pytest.mark.parametrize("name", TABLES)
+def test_footer_has_required_columns(sf, name):
+    path = f"{sf}/{name}.parquet"
+    assert os.path.exists(path), f"driver testdata missing: {path}"
+    cols = set(pq.read_schema(path).names)
+    missing = REQUIRED_COLUMNS[name] - cols
+    assert not missing, f"{path}: driver dropped/renamed columns {missing}"
+
+
+@pytest.mark.parametrize("sf", _sf_params())
+def test_events_ts_encoding_recognized(sf):
+    """The catalog's footer probe must classify events.ts AND its decoded
+    min/max must be sane — the exact gate that was missing in round 3."""
+    kind = _probe_events_ts(f"{sf}/events.parquet")
+    assert kind in ("timestamp", "int64_nanos")
+
+
+@pytest.mark.parametrize("sf", _sf_params())
+@pytest.mark.parametrize("name", TABLES)
+def test_catalog_loads_every_table(spark, sf, name):
+    """Smoke: catalog.table() must produce a readable DataFrame with the
+    required columns at every scale factor the driver ships."""
+    df = table(spark, sf, name)
+    assert REQUIRED_COLUMNS[name] <= set(df.columns)
+    assert df.limit(1).count() == 1, f"{sf}/{name}: empty or unreadable"
+
+
+@pytest.mark.parametrize("sf", _sf_params())
+def test_events_ts_decodes_to_sane_years(spark, sf):
+    """End-to-end: the DECODED ts (post-rebuild) must land in a sane year
+    window — guards the silent 1970-collapse failure mode directly."""
+    row = (
+        table(spark, sf, "events")
+        .selectExpr("min(ts) AS lo", "max(ts) AS hi")
+        .collect()[0]
+    )
+    assert dt.datetime(2000, 1, 1) <= row["lo"], f"{sf}: ts decoded into the past: {row['lo']}"
+    assert row["hi"] <= dt.datetime(2100, 1, 1), f"{sf}: ts decoded into the future: {row['hi']}"
+
+
+def test_probe_rejects_insane_encoding(tmp_path):
+    """Synthesize a parquet whose int64 'nanos' are actually seconds —
+    decoded min/max lands in 1970 — and assert the probe REFUSES it."""
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            # seconds-since-epoch masquerading as nanos → decodes to 1970
+            "ts": pa.array([1_700_000_000, 1_700_000_600], pa.int64()),
+            "user_id": pa.array([1, 2], pa.int64()),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(t, path)
+    with pytest.raises(ValueError, match="outside the sane window"):
+        _probe_events_ts(path)
+
+
+def test_rebuild_rejects_unknown_spark_type(spark):
+    """rebuild_events_ts must raise on an unsupported ts dtype, never pass
+    a mis-typed column through silently."""
+    df = spark.range(1).selectExpr("CAST(id AS STRING) AS ts")
+    with pytest.raises(TypeError, match="unsupported Spark type"):
+        rebuild_events_ts(df)
