@@ -21,84 +21,77 @@ ORACLES: dict[str, str] = {}
 
 # The driver's correctness harness verifies only the FIRST 50 entries of
 # queries() (CORRECTNESS_r01 cut at exactly entry 50 in registration order),
-# so dict order is part of the external contract.  PRIORITY pins the window:
-# every operator of SURVEY §2.8 (R1-R20), §2.9 + stateful/joining streams,
-# §2.10 (L1-L9) and §2.12b (A1-A10, A2b) must land inside the first 50.
-# Queries not listed here follow in registration order; families already
-# fully driver-verified in round 1 (geo, §2.12d text/dedup, multimodal) and
-# the `_live` twins (semantics equal to their batch twins by construction,
-# asserted in tests/test_streaming_live.py) yield their slots.
+# so dict order is part of the external contract.  PRIORITY pins the window.
 #
-# ROUND-3 ROTATION PLAN: once CORRECTNESS_r02 lands green for this window,
-# swap the re-verified §2.8/§2.10 entries out and rotate IN the operators
-# added in round 2 that are still driver-unseen: the §2.12e training surface
-# (text_gopher_quality .. shards_write_roundtrip), §2.13 lakehouse
-# (upsert_latest_wins, scd2_history, maintenance_compact_roundtrip),
-# stream_upsert_live, and every other operator registered after the window
-# (R21-R27, A11/A12, M5, dedup_verify_levenshtein, pipeline_training_e2e,
-# similarity_search_ivf_pruned) — all locally oracle-green at sf0.001 AND
-# verified against the driver-replica plain-session harness at sf0.01.
+# ROUND-4 ROTATION (executing the plan deferred in r2/r3): the 34 queries
+# green in CORRECTNESS_r03 yield their slots — their verdicts stand.  The
+# window now holds (a) the 16 queries that failed r3 purely on the events.ts
+# encoding drift, kept in to prove the catalog fix to the driver, and (b) 34
+# operators that have NEVER had a driver verdict: the §2.12e training
+# surface, §2.13 lakehouse, R21-R29, A11/A12, G5/G8-G10, M4/M5, the dedup
+# verify/merge pair, and two live streams.  Every rotated-in query is
+# locally oracle-green at sf0.01 under the driver-replica plain-session
+# harness (tests/test_oracle_parity.py + scripts/driver_replica.py).
 PRIORITY: tuple[str, ...] = (
-    # §2.8 relational R1-R20
-    "scan_project",
-    "filter_pred",
-    "pricing_summary",
-    "join_inner_hash",
-    "join_broadcast_4way",
-    "join_left_right_full",
-    "join_semi_anti",
+    # -- the 16 r3 ts-drift failures: re-prove post-fix --------------------
     "join_theta_range",
     "join_asof",
-    "agg_distinct",
-    "agg_approx_distinct",
-    "grouping_sets_cube_rollup",
-    "window_rank_topn",
-    "window_analytic",
-    "sort_limit_topk",
-    "set_ops",
-    "scalar_string_date_math",
-    "array_map_json",
     "json_extract_events",
     "subquery_scalar_in",
-    "distinct_dedup_exact",
-    # §2.9 streaming batch twins + stateful/join streaming (§2.12c/d)
+    "subquery_exists_correlated",
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
     "stream_watermark_late",
     "stream_dedup",
-    "stream_user_state",
     "stream_static_join",
     "stream_stream_join",
-    # §2.10 LLM pipeline L1-L9
-    "text_stats",
-    "text_normalize_tokenize",
-    "dedup_exact_hash",
-    "dedup_minhash_lsh",
-    "embed_normalize",
-    "knn_cosine_topk",
-    "similarity_search_query",
-    "multimodal_join",
-    "text_analysis_grouped",
-    # §2.12b skew / layout scale surface A3-A10.  A1/A2/A2b (knn_ivf_lsh,
-    # similarity_search_ann/_ivf) are no-oracle-by-design: the driver can
-    # only record the same rows-only verdict it already recorded in round 1,
-    # so they yield their slots to queries needing NEW verdicts (recall is
-    # pinned locally in tests/test_ann.py).
     "agg_skew_salted",
-    "agg_percentiles",
     "events_partition_pruned",
-    "join_bucketed_colocated",
     "join_range_bucketed",
-    "pivot_lang_counts",
-    "agg_histogram",
     "events_multigrain_rollup",
-    # round-1 driver failures fixed this round — prove them to the driver
-    "multimodal_meta_stats",
-    "multimodal_image_features",
-    # §2.12d extras with no round-1 verdict
-    "join_null_safe",
-    "subquery_exists_correlated",
+    # -- §2.8 R21-R29: never driver-verified -------------------------------
+    "window_trailing_range",
+    "unpivot_metrics",
+    "window_rank_distribution",
+    "agg_string_bool",
+    "agg_corr_exact",
+    "events_funnel",
+    "retention_cohorts",
+    "sessionize_islands",
+    "events_anomaly_zscore",
+    # -- §2.12b A11/A12 ----------------------------------------------------
+    "events_gap_fill_locf",
+    "join_skew_salted",
+    # -- §2.12e training surface: never driver-verified --------------------
+    "text_gopher_quality",
+    "text_repetition_ratio",
+    "sample_stratified_hash",
+    "sample_reservoir_topk",
+    "seq_pack_greedy",
+    "contamination_ngram_overlap",
+    "udaf_char_variance",
+    "source_quality_report",
+    "pipeline_training_e2e",
+    "shards_write_roundtrip",
+    # -- §2.13 lakehouse: never driver-verified ----------------------------
+    "upsert_latest_wins",
+    "scd2_history",
+    "maintenance_compact_roundtrip",
+    # -- §2.11 G5/G8-G10: local-only geo queries ---------------------------
+    "geo_transform_27700_to_4326",
+    "geo_bbox_join_grid",
+    "geo_cell_rollup",
+    "geo_haversine_radius",
+    # -- §2.12a M4/M5: local-only multimodal -------------------------------
+    "multimodal_audio_energy",
+    "multimodal_scene_cut",
+    # -- §2.12d dedup verify/merge pair ------------------------------------
+    "dedup_verify_levenshtein",
+    "dedup_survivorship_merge",
+    # -- §2.12c live streams with oracles ----------------------------------
+    "stream_tumbling_live",
+    "stream_upsert_live",
 )
 
 DRIVER_WINDOW = 50

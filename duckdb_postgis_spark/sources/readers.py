@@ -392,44 +392,39 @@ def _parse_dbf(dbf: bytes) -> list[dict]:
 
 def read_excel(spark: SparkSession, path: str) -> DataFrame:
     """Excel reader (reference: DuckDB ``read_xlsx``,
-    core_processor.rs:407-412; detection ported per duckdb_tests.rs:54-68).
+    core_processor.rs:407-412; detection ported per duckdb_tests.rs:54-68;
+    legacy-xls coverage per duckdb_tests.rs:70-83).
     An .xlsx is a zip of XML — parsed with stdlib zipfile + ElementTree
-    (first worksheet + sharedStrings), no openpyxl needed. First row =
-    header, like the reference's read_xlsx defaults. Legacy binary .xls
-    still needs xlrd (absent here → marked NotImplementedError). Driver-side
-    by design: spreadsheets arrive as single small files; at scale
+    (first worksheet + sharedStrings); a legacy binary .xls (OLE2 magic
+    D0 CF 11 E0) goes through the pure-stdlib BIFF8 walk in
+    ``sources/xls_biff.py`` — no openpyxl/xlrd needed.  Driver-side by
+    design: spreadsheets arrive as single small files; at scale
     pre-convert to parquet."""
     if zipfile.is_zipfile(path):
         header, data = _parse_xlsx(path)
-        if not data:
-            return spark.createDataFrame(
-                [], schema=", ".join(f"`{c}` string" for c in header) or "c0 string"
-            )
-        # xlsx stores every number as a double; cells that happened to be
-        # integral decoded as int — re-widen any column that mixes both so
-        # Spark's schema inference sees one type per column
-        for i in range(len(header)):
-            vals = [row[i] for row in data]
-            if any(isinstance(v, float) for v in vals) and any(
-                type(v) is int for v in vals
-            ):
-                for row in data:
-                    if type(row[i]) is int:
-                        row[i] = float(row[i])
-        return spark.createDataFrame(
-            [dict(zip(header, row)) for row in data]
-        ).select(*header)
-    # legacy BIFF .xls (magic D0 CF 11 E0) — no stdlib parser exists
-    import pandas as pd
+    else:
+        from duckdb_postgis_spark.sources.xls_biff import parse_xls
 
-    try:
-        pdf = pd.read_excel(path)
-    except ImportError as e:
-        raise NotImplementedError(
-            "legacy .xls decode requires xlrd (unavailable in this "
-            "environment); save as .xlsx or pre-convert to CSV/parquet"
-        ) from e
-    return spark.createDataFrame(pdf)
+        with open(path, "rb") as fh:
+            header, data = parse_xls(fh.read())
+    if not data:
+        return spark.createDataFrame(
+            [], schema=", ".join(f"`{c}` string" for c in header) or "c0 string"
+        )
+    # both formats store every number as a double; cells that happened to
+    # be integral decoded as int — re-widen any column that mixes both so
+    # Spark's schema inference sees one type per column
+    for i in range(len(header)):
+        vals = [row[i] for row in data]
+        if any(isinstance(v, float) for v in vals) and any(
+            type(v) is int for v in vals
+        ):
+            for row in data:
+                if type(row[i]) is int:
+                    row[i] = float(row[i])
+    return spark.createDataFrame(
+        [dict(zip(header, row)) for row in data]
+    ).select(*header)
 
 
 _XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"

@@ -1,0 +1,63 @@
+"""Driver-replica gate: run the 50-query PRIORITY window exactly the way the
+driver's CORRECTNESS harness does — a PLAIN SparkSession (none of our
+session.py confs), sf0.01, each query side-by-side with its DuckDB oracle —
+and fail loudly on any divergence.
+
+Round-3 lesson: the local pytest harness was green while the driver's data
+had drifted; this script is the pre-ship rehearsal of the real interface.
+
+Usage:
+    python scripts/driver_replica.py            # full 50-slot window
+    python scripts/driver_replica.py name1 ...  # just the named queries
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    from duckdb_postgis_spark import registry
+    from oracle_harness import compare_query
+
+    # the driver builds its own session with no custom confs — replicate that
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-replica")
+        .getOrCreate()
+    )
+    queries = registry.all_queries()
+    oracles = registry.all_oracles()
+    window = sys.argv[1:] or list(queries)[: registry.DRIVER_WINDOW]
+
+    failed: list[str] = []
+    for i, name in enumerate(window, 1):
+        t0 = time.monotonic()
+        try:
+            if name in oracles:
+                compare_query(spark, name, queries[name], oracles[name], SF_DIR)
+                verdict = "hash-ok"
+            else:
+                n = queries[name](spark, SF_DIR).count()
+                verdict = f"rows-only ({n})"
+            print(f"[{i:2}/{len(window)}] {name}: {verdict} "
+                  f"({time.monotonic() - t0:.1f}s)", flush=True)
+        except Exception:
+            failed.append(name)
+            print(f"[{i:2}/{len(window)}] {name}: FAIL", flush=True)
+            traceback.print_exc(limit=6)
+    print(f"\n{len(window) - len(failed)}/{len(window)} green; failed: {failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
