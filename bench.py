@@ -77,6 +77,23 @@ def main() -> None:
     for _ in range(2):
         for df in dfs.values():
             df.toArrow()
+
+    # Machine floor, measured in the SAME warmed session: the wall-clock of
+    # a no-op plan (py4j round-trip + scheduling + Arrow transfer, zero
+    # data).  Recorded so per-round numbers are comparable across machine
+    # drift — a query at floor+ε is plan-optimal regardless of what the
+    # floor is that day (the r1→r2 "+21% drift" was exactly this: floor
+    # moved, plans didn't).
+    noop = spark.range(1).selectExpr("id")
+    for _ in range(3):
+        noop.toArrow()
+    floor_times = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        noop.toArrow()
+        floor_times.append(time.perf_counter() - t0)
+    floor_ms = round(statistics.median(floor_times) * 1000, 1)
+
     results: dict[str, float] = {}
     for name, df in dfs.items():
         times = []
@@ -95,6 +112,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "floor_noop_ms": floor_ms,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
