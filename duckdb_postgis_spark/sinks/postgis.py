@@ -94,6 +94,40 @@ def postgis_uri_to_jdbc(uri: str) -> tuple[str, dict[str, str]]:
     return url, props
 
 
+def plan_write(
+    postgis_uri: str,
+    table: str,
+    schema: str = "public",
+    geom_cols: list[str] | None = None,
+    batchsize: int = 10_000,
+) -> list[tuple[str, object]]:
+    """The ENTIRE write path as an ordered, inspectable step list —
+    ``("execute", sql)`` for driver-side remote DDL, ``("jdbc_write",
+    options_dict)`` for the distributed bulk copy.  ``write_to_postgis``
+    interprets this plan verbatim, so the scripted-fake replay test
+    (tests/test_postgis_replay.py) pins the REAL sequence against the
+    reference's core_processor.rs:121-162 + geo_strategy.rs:355-415 — any
+    drift in DDL text, option set, or step order fails the test even
+    though no live Postgres exists in this environment."""
+    jdbc_url, props = postgis_uri_to_jdbc(postgis_uri)
+    jdbc_options: dict[str, str] = {
+        "url": jdbc_url,
+        "dbtable": qualified(schema, table),
+        "driver": "org.postgresql.Driver",
+        "batchsize": str(batchsize),
+        "stringtype": "unspecified",
+        **props,
+    }
+    steps: list[tuple[str, object]] = [
+        ("execute", create_schema_sql(schema)),
+        ("execute", drop_table_sql(schema, table)),
+        ("jdbc_write", jdbc_options),
+    ]
+    for g in geom_cols or []:
+        steps.append(("execute", geometry_rebuild_sql(schema, table, g)))
+    return steps
+
+
 def write_to_postgis(
     df: DataFrame,
     postgis_uri: str,
@@ -107,25 +141,21 @@ def write_to_postgis(
     Distributed write path: each Spark partition streams its rows through a
     JDBC batch insert — at cluster scale, repartition the frame to the number
     of write streams Postgres sustains. DDL runs once from the driver.
-    Requires a live PostGIS and the JDBC driver jar; integration-gated in
-    tests (the reference's own tests never touch Postgres either,
-    tests/duckdb_tests.rs only covers detection)."""
+    Requires a live PostGIS and the JDBC driver jar; the step sequence
+    itself is pinned by the scripted-fake replay test (the reference's own
+    tests never touch Postgres either, tests/duckdb_tests.rs only covers
+    detection)."""
     jdbc_url, props = postgis_uri_to_jdbc(postgis_uri)
-    _execute_remote(jdbc_url, props, create_schema_sql(schema))
-    _execute_remote(jdbc_url, props, drop_table_sql(schema, table))
-    writer = (
-        df.write.format("jdbc")
-        .option("url", jdbc_url)
-        .option("dbtable", qualified(schema, table))
-        .option("driver", "org.postgresql.Driver")
-        .option("batchsize", str(batchsize))
-        .option("stringtype", "unspecified")
-    )
-    for k, v in props.items():
-        writer = writer.option(k, v)
-    writer.mode("overwrite").save()
-    for g in geom_cols or []:
-        _execute_remote(jdbc_url, props, geometry_rebuild_sql(schema, table, g))
+    for kind, payload in plan_write(postgis_uri, table, schema, geom_cols, batchsize):
+        if kind == "execute":
+            _execute_remote(jdbc_url, props, payload)
+        else:
+            _jdbc_save(df, payload)
+
+
+def _jdbc_save(df: DataFrame, options: dict[str, str]) -> None:
+    """The one Spark-side step: distributed JDBC overwrite bulk copy."""
+    df.write.format("jdbc").options(**options).mode("overwrite").save()
 
 
 def _execute_remote(jdbc_url: str, props: dict[str, str], sql: str) -> None:
