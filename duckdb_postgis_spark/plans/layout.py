@@ -298,7 +298,17 @@ def ensure_embeddings_by_cell(spark: SparkSession, sf_dir: str):
         _ivf_train_sample,
     )
 
-    # v2: hash-priority training sample (unbiased) replaced head-of-table
+    # v2: hash-priority training sample (unbiased) replaced head-of-table;
+    # superseded v1 layouts (centroids trained on the biased sample) are
+    # swept on sight so abandoned cache dirs don't accumulate under
+    # _LAYOUT_ROOT forever
+    import glob as _glob
+    import shutil as _shutil
+
+    for stale in _glob.glob(f"{_LAYOUT_ROOT}/embeddings_by_cell_*"):
+        if "/embeddings_by_cell_v2_" not in stale:
+            (_shutil.rmtree if os.path.isdir(stale) else os.remove)(stale)
+
     path = f"{_LAYOUT_ROOT}/embeddings_by_cell_v2_{_token(sf_dir, 'embeddings')}"
     cpath = f"{path}_centroids.npy"
     if not (os.path.exists(f"{path}/_SUCCESS") and os.path.exists(cpath)):

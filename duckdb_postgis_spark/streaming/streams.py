@@ -199,17 +199,33 @@ def run_available_now(
     import tempfile
 
     spark = sdf.sparkSession
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .start()
-    )
-    q.awaitTermination(timeout)
-    if q.isActive:
-        q.stop()
+    # The state-store partition count is fixed at first start from
+    # spark.sql.shuffle.partitions; under the driver's plain session that is
+    # 200 — 200 state tasks per micro-batch for a testdata-sized replay
+    # (measured 11-31 s per query at sf0.01, pure scheduling).  Pin a small
+    # count for THIS replay checkpoint and restore the session conf after.
+    # This is a harness knob, not the production plan: a real deployment
+    # sizes state partitions to the cluster once, at first deploy, the same
+    # way — the conf travels with the checkpoint, not the code.
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+            .start()
+        )
+        q.awaitTermination(timeout)
+        if q.isActive:
+            q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
     return spark.table(name)
 
 
