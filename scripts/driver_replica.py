@@ -8,6 +8,7 @@ had drifted; this script is the pre-ship rehearsal of the real interface.
 
 Usage:
     python scripts/driver_replica.py            # full 50-slot window
+    python scripts/driver_replica.py --all      # every registered query
     python scripts/driver_replica.py name1 ...  # just the named queries
 """
 
@@ -37,7 +38,10 @@ def main() -> int:
     )
     queries = registry.all_queries()
     oracles = registry.all_oracles()
-    window = sys.argv[1:] or list(queries)[: registry.DRIVER_WINDOW]
+    if sys.argv[1:] == ["--all"]:
+        window = list(queries)
+    else:
+        window = sys.argv[1:] or list(queries)[: registry.DRIVER_WINDOW]
 
     failed: list[str] = []
     for i, name in enumerate(window, 1):
