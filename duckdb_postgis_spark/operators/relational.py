@@ -1474,7 +1474,11 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: three filtered partial aggs, each joined user-to-user (hash,
     broadcastable once a stage's survivor set shrinks); no window over the
-    full stream, no event-order sort."""
+    full stream, no event-order sort.  The three stage counts ride ONE
+    action (union of 1-row aggs, pivoted wide) — the previous driver-side
+    ``.count()`` per stage launched three jobs whose first two were pure
+    prefixes of the third (s1 computed 3x, s2 twice, events scanned 6x);
+    now the deepest pipeline runs once and the counts branch off it."""
     ev = table(spark, sf_dir, "events")
     s1 = (
         ev.filter(F.col("event_type") == "signup")
@@ -1495,13 +1499,22 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
-    n1 = s1.count()
-    n2 = s2.count()
-    n3 = s3.count()
-    return spark.createDataFrame(
-        [(n1, n2, n3, n2 / n1, n3 / n2)],
-        "n_signup long, n_view_after long, n_purchase_after long, "
-        "conv_view double, conv_purchase double",
+    counts = (
+        s1.agg(F.count("*").alias("n")).select(F.lit("s1").alias("stage"), "n")
+        .unionAll(
+            s2.agg(F.count("*").alias("n")).select(F.lit("s2").alias("stage"), "n")
+        )
+        .unionAll(
+            s3.agg(F.count("*").alias("n")).select(F.lit("s3").alias("stage"), "n")
+        )
+    )
+    wide = counts.groupBy().pivot("stage", ["s1", "s2", "s3"]).sum("n")
+    return wide.select(
+        F.col("s1").alias("n_signup"),
+        F.col("s2").alias("n_view_after"),
+        F.col("s3").alias("n_purchase_after"),
+        (F.col("s2") / F.col("s1")).cast("double").alias("conv_view"),
+        (F.col("s3") / F.col("s2")).cast("double").alias("conv_purchase"),
     )
 
 

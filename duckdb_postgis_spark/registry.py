@@ -23,6 +23,15 @@ ORACLES: dict[str, str] = {}
 # queries() (CORRECTNESS_r01 cut at exactly entry 50 in registration order),
 # so dict order is part of the external contract.  PRIORITY pins the window.
 #
+# ROUND-5 ROTATION PLAN (execute at the START of round 5, before anything
+# else): once CORRECTNESS_r04 lands green for this window, only 8 queries
+# will still lack a hash verdict — stream_sliding_live,
+# stream_watermark_late_live, stream_dedup_live (oracles, never windowed),
+# stream_session_live + the 4 ANN queries (rows-only by design, r1
+# rows-only verdicts stand).  Rotate the three live streams in, keep any
+# r4 failures in for a re-prove, and return the remaining ~44 slots to the
+# §2.8/§2.10 core so their verdicts refresh.
+#
 # ROUND-4 ROTATION (executing the plan deferred in r2/r3): the 34 queries
 # green in CORRECTNESS_r03 yield their slots — their verdicts stand.  The
 # window now holds (a) the 16 queries that failed r3 purely on the events.ts
