@@ -195,3 +195,23 @@ def test_anomaly_broadcasts_stats(plans):
     # the |types|-row stats side must broadcast back onto hour buckets
     p = plans("events_anomaly_zscore")
     assert "BroadcastHashJoin" in p
+
+
+def test_funnel_single_action_no_python(plans):
+    # R26: stage counts ride one plan (union of 1-row aggs, pivoted) —
+    # stage joins stay hash/broadcast equi-joins, nothing in Python, and
+    # no BroadcastNestedLoopJoin sneaks in via the 1-row combine
+    p = plans("events_funnel")
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_retention_cohorts_partial_agg(plans):
+    # R27: cohort assignment and activity dedup both partial-aggregate
+    # before their exchanges (HashAggregate below Exchange), so the shuffle
+    # moves |users|/|user-months|, never |events|
+    p = plans("retention_cohorts")
+    assert "BatchEvalPython" not in p
+    final = p.split("== Initial Plan ==")[0]
+    assert "HashAggregate" in final and "Exchange" in final
