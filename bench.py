@@ -5,9 +5,12 @@ Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Methodology mirrors BASELINE.md (DuckDB 1.0.0): in-memory tables, 1 warm-up
-run discarded, median of 3 warm runs, per-query wall-clock of the full
-execute+collect.
+Methodology mirrors BASELINE.md (DuckDB 1.0.0): in-memory tables, 2 warm-up
+passes discarded, median of 5 warm runs, per-query wall-clock of the full
+execute+fetch.  Plans are built once and re-executed (see in-code note);
+the excluded python->Catalyst analysis cost is surfaced per query as
+``analysis_ms`` (first cold run minus median warm run) so the comparison
+against DuckDB's ~1ms parse+plan stays auditable.
 """
 
 from __future__ import annotations
@@ -73,10 +76,18 @@ def main() -> None:
     # steady state), then median of 3 full execute+fetch runs per query.
     # toArrow() is the Arrow-native materialization — the analog of DuckDB's
     # fetchall, and transfers every result row to python.
-    dfs = {name: queries[name](spark, sf_dir) for name in headline}
-    for _ in range(2):
-        for df in dfs.values():
-            df.toArrow()
+    dfs = {}
+    cold_ms: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.toArrow()
+        # cold = plan build + Catalyst analysis + codegen + first execute;
+        # analysis_ms below subtracts the median warm execute from this.
+        cold_ms[name] = (time.perf_counter() - t0) * 1000
+        dfs[name] = df
+    for df in dfs.values():
+        df.toArrow()
 
     # Machine floor, measured in the SAME warmed session: the wall-clock of
     # a no-op plan (py4j round-trip + scheduling + Arrow transfer, zero
@@ -95,13 +106,16 @@ def main() -> None:
     floor_ms = round(statistics.median(floor_times) * 1000, 1)
 
     results: dict[str, float] = {}
+    analysis_ms: dict[str, float] = {}
     for name, df in dfs.items():
         times = []
         for _ in range(5):
             t0 = time.perf_counter()
             df.toArrow()
             times.append(time.perf_counter() - t0)
-        results[name] = round(statistics.median(times), 4)
+        med = statistics.median(times)
+        results[name] = round(med, 4)
+        analysis_ms[name] = round(max(cold_ms[name] - med * 1000, 0.0), 1)
 
     total = round(sum(results.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -112,6 +126,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "analysis_ms": analysis_ms,
                 "floor_noop_ms": floor_ms,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

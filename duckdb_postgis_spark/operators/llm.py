@@ -1267,7 +1267,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic ln(N/df) differs across libm implementations in the last
     ulp and would make rank ties engine-dependent. Scale: df is a partial
     agg over tokens; the per-doc top-k is a WindowGroupLimit, not a full
-    sort."""
+    sort. N rides the plan as a broadcast 1-row aggregate (single action —
+    no driver-side count() job whose scalar re-enters the plan as a
+    literal), mirroring the events_funnel single-action shape."""
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
@@ -1278,14 +1280,18 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token"),
     ).filter(F.col("token") != "")
     df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
     tf = (
         tok.filter(F.col("doc_id") % 25 == 0)
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
-    scored = tf.join(df_, "token").withColumn(
-        "score", (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+    scored = (
+        tf.join(df_, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
     return (

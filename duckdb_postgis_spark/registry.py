@@ -23,84 +23,77 @@ ORACLES: dict[str, str] = {}
 # queries() (CORRECTNESS_r01 cut at exactly entry 50 in registration order),
 # so dict order is part of the external contract.  PRIORITY pins the window.
 #
-# ROUND-5 ROTATION PLAN (execute at the START of round 5, before anything
-# else): once CORRECTNESS_r04 lands green for this window, only 8 queries
-# will still lack a hash verdict — stream_sliding_live,
-# stream_watermark_late_live, stream_dedup_live (oracles, never windowed),
-# stream_session_live + the 4 ANN queries (rows-only by design, r1
-# rows-only verdicts stand).  Rotate the three live streams in, keep any
-# r4 failures in for a re-prove, and return the remaining ~44 slots to the
-# §2.8/§2.10 core so their verdicts refresh.
-#
-# ROUND-4 ROTATION (executing the plan deferred in r2/r3): the 34 queries
-# green in CORRECTNESS_r03 yield their slots — their verdicts stand.  The
-# window now holds (a) the 16 queries that failed r3 purely on the events.ts
-# encoding drift, kept in to prove the catalog fix to the driver, and (b) 34
-# operators that have NEVER had a driver verdict: the §2.12e training
-# surface, §2.13 lakehouse, R21-R29, A11/A12, G5/G8-G10, M4/M5, the dedup
-# verify/merge pair, and two live streams.  Every rotated-in query is
-# locally oracle-green at sf0.01 under the driver-replica plain-session
-# harness (tests/test_oracle_parity.py + scripts/driver_replica.py).
+# ROUND-5 ROTATION (this window; executes the plan written here in r4):
+# CORRECTNESS_r04 was 50/50 green, so every r4 slot rotates out with its
+# verdict standing.  The window now holds:
+#   (a) stream_sliding_live / stream_watermark_late_live / stream_dedup_live
+#       — the last three oracle-bearing queries with no driver verdict
+#       (their batch twins were r4-green; these prove the readStream path);
+#   (b) the 15 queries whose only driver verdict is from the ROUND-1 code
+#       era (geo G3/G4/G6, the §2.12d text/dedup family, cogroup/CC, M3) —
+#       the stalest verdicts in the repo;
+#   (c) the §2.8/§2.10 core (scans/joins/aggs/windows/L1-L9 + A4/A6/A8/A9,
+#       join_null_safe, stream_user_state), whose verdicts are from r3 code.
+# Everything NOT in this window holds a pass-r4 verdict or is rows-only by
+# design (4 ANN recall-pinned, stream_session_live append-mode).  Every
+# rotated-in query is locally oracle-green at sf0.01 under the plain-session
+# driver replica (scripts/driver_replica.py, run at round-5 start).
 PRIORITY: tuple[str, ...] = (
-    # -- the 16 r3 ts-drift failures: re-prove post-fix --------------------
-    "join_theta_range",
-    "join_asof",
-    "json_extract_events",
-    "subquery_scalar_in",
-    "subquery_exists_correlated",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_watermark_late",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_stream_join",
-    "agg_skew_salted",
-    "events_partition_pruned",
-    "join_range_bucketed",
-    "events_multigrain_rollup",
-    # -- §2.8 R21-R29: never driver-verified -------------------------------
-    "window_trailing_range",
-    "unpivot_metrics",
-    "window_rank_distribution",
-    "agg_string_bool",
-    "agg_corr_exact",
-    "events_funnel",
-    "retention_cohorts",
-    "sessionize_islands",
-    "events_anomaly_zscore",
-    # -- §2.12b A11/A12 ----------------------------------------------------
-    "events_gap_fill_locf",
-    "join_skew_salted",
-    # -- §2.12e training surface: never driver-verified --------------------
-    "text_gopher_quality",
-    "text_repetition_ratio",
-    "sample_stratified_hash",
-    "sample_reservoir_topk",
-    "seq_pack_greedy",
-    "contamination_ngram_overlap",
-    "udaf_char_variance",
-    "source_quality_report",
-    "pipeline_training_e2e",
-    "shards_write_roundtrip",
-    # -- §2.13 lakehouse: never driver-verified ----------------------------
-    "upsert_latest_wins",
-    "scd2_history",
-    "maintenance_compact_roundtrip",
-    # -- §2.11 G5/G8-G10: local-only geo queries ---------------------------
-    "geo_transform_27700_to_4326",
-    "geo_bbox_join_grid",
-    "geo_cell_rollup",
-    "geo_haversine_radius",
-    # -- §2.12a M4/M5: local-only multimodal -------------------------------
-    "multimodal_audio_energy",
-    "multimodal_scene_cut",
-    # -- §2.12d dedup verify/merge pair ------------------------------------
-    "dedup_verify_levenshtein",
-    "dedup_survivorship_merge",
-    # -- §2.12c live streams with oracles ----------------------------------
-    "stream_tumbling_live",
-    "stream_upsert_live",
+    # -- (a) last oracle-bearing queries with no driver verdict ------------
+    "stream_sliding_live",
+    "stream_watermark_late_live",
+    "stream_dedup_live",
+    # -- (b) round-1-era verdicts: stalest first ---------------------------
+    "geo_point_wkt",
+    "geo_crs_infer_ranges",
+    "geo_wkb_roundtrip",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "text_tfidf_top_terms",
+    "text_shingle_udtf",
+    "cogroup_reconcile",
+    "dedup_cluster_components",
+    "multimodal_frame_sample",
+    # -- (c) §2.8 relational core: r3-era verdicts -------------------------
+    "scan_project",
+    "filter_pred",
+    "pricing_summary",
+    "join_inner_hash",
+    "join_broadcast_4way",
+    "join_left_right_full",
+    "join_semi_anti",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "grouping_sets_cube_rollup",
+    "window_rank_topn",
+    "window_analytic",
+    "sort_limit_topk",
+    "set_ops",
+    "scalar_string_date_math",
+    "array_map_json",
+    "distinct_dedup_exact",
+    # -- (c) §2.10 LLM pipeline L1-L9: r3-era verdicts ---------------------
+    "text_stats",
+    "text_normalize_tokenize",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "embed_normalize",
+    "knn_cosine_topk",
+    "similarity_search_query",
+    "multimodal_join",
+    "text_analysis_grouped",
+    # -- (c) §2.12b layout/skew + null-safe + stateful stream: r3-era ------
+    "agg_percentiles",
+    "pivot_lang_counts",
+    "agg_histogram",
+    "join_null_safe",
+    "join_bucketed_colocated",
+    "stream_user_state",
 )
 
 DRIVER_WINDOW = 50

@@ -12,6 +12,10 @@ row-at-a-time Python UDF. The whitelisted exceptions are each the
   (SURVEY §2.12); UDTFs evaluate row-at-a-time by design.
 - ``geo_haversine_radius``: broadcast cross join whose build side is one
   anchor row per region (5 rows at any SF) — a bounded constant-attach.
+- ``text_tfidf_top_terms``: the corpus size N rides the plan as a broadcast
+  ONE-row ungrouped aggregate (single-action rewrite, round 5) — physically
+  "broadcast a scalar to every task"; Catalyst folds any constant join key,
+  so BNLJ with a provably-1-row build side IS the minimal plan.
 
 Everything else must be equi-join + codegen only. This caught a
 BroadcastNestedLoopJoin hiding under the MinHash seed expansion
@@ -33,6 +37,8 @@ ALLOWED_BNLJ = {
     # bounded build side: one anchor row per region (5 at any SF) — the
     # broadcast cross join is a constant-attach, not a pair explosion
     "geo_haversine_radius",
+    # build side is an ungrouped count() aggregate — exactly 1 row at any SF
+    "text_tfidf_top_terms",
 }
 ALLOWED_ROW_PY = {"text_shingle_udtf"}
 

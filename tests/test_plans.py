@@ -207,6 +207,17 @@ def test_funnel_single_action_no_python(plans):
     assert "CartesianProduct" not in p
 
 
+def test_tfidf_single_action_broadcast_n(plans):
+    # round-5 rewrite: corpus size N must ride the plan as a broadcast
+    # 1-row ungrouped aggregate (no driver-side count() job re-entering the
+    # plan as a literal). The 1-row attach is necessarily a BNLJ (Catalyst
+    # folds constant join keys); the per-doc top-k stays WindowGroupLimit.
+    p = plans("text_tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "WindowGroupLimit" in p
+    assert "BatchEvalPython" not in p
+
+
 def test_retention_cohorts_partial_agg(plans):
     # R27: cohort assignment and activity dedup both partial-aggregate
     # before their exchanges (HashAggregate below Exchange), so the shuffle
