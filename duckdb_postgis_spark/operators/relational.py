@@ -510,15 +510,25 @@ def grouping_sets_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer via ranking window (SURVEY R13; baseline
     'window rank'). o_orderkey tiebreak makes row_number deterministic.
-    Scale: one hash shuffle on o_custkey + per-partition sort; AQE coalesces.
-    Spark 3.5+ inserts WindowGroupLimit so each partition keeps only 3 rows
-    pre-sort — no full materialization."""
+    Scale: one hash shuffle on o_custkey + per-partition sort; Spark 3.5+
+    inserts WindowGroupLimit so each partition keeps only 3 rows pre-sort —
+    no full materialization.  The window's sort is the critical path, so the
+    shuffle width is pinned to max(configured shuffle partitions, cores):
+    a sort-heavy window should never run with fewer sort tasks than cores
+    (the bench session's 2-way shuffle starved it: 86→64 ms at sf0.1), and
+    on a cluster the configured width wins, so this is identity there."""
     orders = table(spark, sf_dir, "orders")
+    try:
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # "auto" under some AQE configs
+        shuffle_n = 0
+    n = max(shuffle_n, spark.sparkContext.defaultParallelism)
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        orders.select(
+        orders.repartition(n, "o_custkey")
+        .select(
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
