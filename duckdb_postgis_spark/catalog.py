@@ -17,6 +17,7 @@ silently collapsing every window to 1970 (the round-3 failure mode).
 from __future__ import annotations
 
 import datetime as _dt
+import os
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,8 +47,16 @@ _TS_SANE_MIN = _dt.datetime(2000, 1, 1)
 _TS_SANE_MAX = _dt.datetime(2100, 1, 1)
 
 
-@lru_cache(maxsize=None)
 def _probe_events_ts(path: str) -> str:
+    """Cache-keyed on (path, size, mtime) so a driver that rewrites
+    events.parquet in place during a long-lived process re-probes instead
+    of reusing a stale classification (ADVICE r4)."""
+    st = os.stat(path)
+    return _probe_events_ts_cached(path, st.st_size, st.st_mtime_ns)
+
+
+@lru_cache(maxsize=None)
+def _probe_events_ts_cached(path: str, _size: int, _mtime_ns: int) -> str:
     """Classify the physical encoding of ``events.ts`` from the parquet
     footer (driver-side, no Spark job) and validate its min/max statistics.
 
@@ -55,7 +64,10 @@ def _probe_events_ts(path: str) -> str:
     both need the nanosAsLong escape hatch + micros rebuild) or
     ``"timestamp"`` (TIMESTAMP(MICROS/MILLIS) — Spark reads it natively).
     Raises ``ValueError`` on an unrecognized encoding or insane stats, so
-    schema drift is a loud load-time error, never silent corruption.
+    schema drift is a loud load-time error, never silent corruption.  A
+    stats-less file cannot dodge the gate: with no footer statistics the
+    probe decodes a bounded sample of real values instead (ADVICE r4 — the
+    loud-failure guarantee must hold even without statistics).
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -92,6 +104,23 @@ def _probe_events_ts(path: str) -> str:
                 mx = mx.replace(tzinfo=None)
             lo = mn if lo is None else min(lo, mn)
             hi = mx if hi is None else max(hi, mx)
+    if lo is None:
+        # no row group carried statistics: validate against a bounded
+        # sample of actual values (first batch only — stays driver-cheap
+        # at any file size) so the gate cannot be dodged by a stats-less
+        # writer silently shipping a different unit in the same int64.
+        for batch in pf.iter_batches(batch_size=1024, columns=["ts"]):
+            vals = batch.column(0).to_pylist()
+            if not vals:
+                break
+            if kind == "int64_nanos" and not isinstance(vals[0], _dt.datetime):
+                vals = [
+                    _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v // 1000)
+                    for v in vals
+                ]
+            vals = [v.replace(tzinfo=None) if v.tzinfo else v for v in vals]
+            lo, hi = min(vals), max(vals)
+            break
     if lo is not None and not (_TS_SANE_MIN <= lo and hi <= _TS_SANE_MAX):
         raise ValueError(
             f"events.ts at {path} decodes to [{lo} .. {hi}] under encoding "

@@ -1535,3 +1535,52 @@ def dedup_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(survivor, "cluster_rep").select(
         "cluster_rep", "survivor_doc", "n_members", "max_chars", "total_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-fingerprint dedup (round 5)
+# --------------------------------------------------------------------------
+_PREFIX_CHARS = 64
+
+
+@query(
+    "dedup_exact_prefix",
+    oracle=f"""
+    SELECT md5(substr(text, 1, {_PREFIX_CHARS})) AS prefix_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY md5(substr(text, 1, {_PREFIX_CHARS}))
+    HAVING COUNT(*) >= 2
+    ORDER BY keep_doc_id
+    """,
+)
+def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dedup: documents sharing their first
+    {_PREFIX_CHARS} characters collapse to one survivor — the cheap
+    practical near-dup pass (mirror dumps, boilerplate headers, truncated
+    re-crawls share prefixes long before full-content hashes match), run
+    before the expensive MinHash stage to shrink its input.  Reports only
+    duplicate groups, with the cross-source spread (n_sources > 1 flags
+    syndication rather than re-crawl).
+
+    Scale: identical shape to dedup_exact_hash (SURVEY L3) — hash shuffle
+    on a uniform 16-byte key, partial agg, no skew risk; substr+md5 stay
+    in whole-stage codegen."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(F.substring("text", 1, _PREFIX_CHARS)).alias("prefix_hash"),
+            "doc_id",
+            "source",
+        )
+        .groupBy("prefix_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("keep_doc_id")
+    )

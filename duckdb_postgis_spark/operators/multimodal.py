@@ -474,3 +474,50 @@ def multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta.alias("delta"),
         F.when(delta >= _CUT_THRESHOLD, 1).otherwise(0).cast("int").alias("is_cut"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact media dedup by payload hash (round 5)
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_dedup_exact",
+    oracle=_MEDIA_CTE
+    + """
+    SELECT sha256(hex) AS content_sha256,
+           MIN(doc_id) AS survivor_doc_id,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT media_type) AS n_modalities
+    FROM media
+    GROUP BY sha256(hex)
+    HAVING COUNT(*) >= 2
+    ORDER BY survivor_doc_id
+    """,
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup: sha256 over the opaque payload bytes' canonical
+    lowercase-hex form (DuckDB 1.0's sha256 only binds VARCHAR, so both
+    engines hash the hex — same content-addressing), survivor =
+    min(doc_id) — the first dedup pass of every multimodal corpus build,
+    catching byte-identical re-uploads across modal labels
+    (n_modalities > 1 means the same bytes were ingested under different
+    media types — a labeling bug worth surfacing).
+
+    Scale: the canonical hash-shuffle dedup on a uniform 32-byte key —
+    the hash computes per-partition in the scan stage, so the shuffle
+    moves (hash, doc_id, media_type), never the payload bytes."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.select(
+            F.sha2(F.lower(F.hex("payload")), 256).alias("content_sha256"),
+            "doc_id",
+            "media_type",
+        )
+        .groupBy("content_sha256")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("media_type").alias("n_modalities"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("survivor_doc_id")
+    )

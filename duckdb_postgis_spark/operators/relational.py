@@ -1471,9 +1471,9 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT COUNT(*) FROM s2) AS n_view_after,
            (SELECT COUNT(*) FROM s3) AS n_purchase_after,
            CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
-               / (SELECT COUNT(*) FROM s1) AS conv_view,
+               / NULLIF((SELECT COUNT(*) FROM s1), 0) AS conv_view,
            CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
-               / (SELECT COUNT(*) FROM s2) AS conv_purchase
+               / NULLIF((SELECT COUNT(*) FROM s2), 0) AS conv_purchase
     """,
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1519,12 +1519,15 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wide = counts.groupBy().pivot("stage", ["s1", "s2", "s3"]).sum("n")
+    # NULL-on-zero contract (ADVICE r4): a stage with 0 survivors yields
+    # NULL conversion rates on BOTH sides — try_divide here, NULLIF in the
+    # oracle — instead of engine-dependent divide-by-zero behavior.
     return wide.select(
         F.col("s1").alias("n_signup"),
         F.col("s2").alias("n_view_after"),
         F.col("s3").alias("n_purchase_after"),
-        (F.col("s2") / F.col("s1")).cast("double").alias("conv_view"),
-        (F.col("s3") / F.col("s2")).cast("double").alias("conv_purchase"),
+        F.try_divide(F.col("s2"), F.col("s1")).cast("double").alias("conv_view"),
+        F.try_divide(F.col("s3"), F.col("s2")).cast("double").alias("conv_purchase"),
     )
 
 

@@ -624,3 +624,174 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sorted_small, "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-weighted source mixing (round 5)
+# --------------------------------------------------------------------------
+#: 2^60 as an exact double — u = first-15-hex-chars(md5) / 2^60 ∈ [0, 1).
+#: 60 bits > the 53-bit mantissa, but int→double conversion is correctly
+#: rounded identically on the JVM and in C, so both engines see the same u.
+_HASH_DENOM = float(1 << 60)
+
+
+@query(
+    "sample_temperature_weighted",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, COUNT(*) AS c_s FROM documents GROUP BY source
+    ),
+    r AS (
+        SELECT source, c_s,
+               sqrt(CAST((SELECT MIN(c_s) FROM c) AS DOUBLE) / c_s) AS rate
+        FROM c
+    )
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+               AS UBIGINT) / {_HASH_DENOM!r} < r.rate
+    """,
+)
+def sample_temperature_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (α = 0.5): per-source keep rate
+    sqrt(n_min / n_s), so sampled counts go as n_s^0.5 — the standard
+    multinomial re-balancing of a multi-source training corpus (upweight
+    small sources without discarding large ones entirely).  Deterministic:
+    the keep decision compares u = md5-derived 60-bit uniform against the
+    rate; sqrt and one division are both IEEE-correctly-rounded, so the
+    kept set is bit-identical across engines and re-runs (resumable at
+    100 TB).
+
+    Scale: source rates are a |sources|-row aggregate broadcast back onto
+    the corpus (BroadcastHashJoin on the source key); the keep filter is a
+    stateless JVM-side expression — no corpus shuffle at all."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("c_s"))
+    rates = counts.select(
+        "source",
+        F.sqrt(
+            F.min("c_s").over(Window.partitionBy()).cast("double") / F.col("c_s")
+        ).alias("rate"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long") / F.lit(_HASH_DENOM)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "source", "rate")
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram-likelihood quality score (round 5)
+# --------------------------------------------------------------------------
+@query(
+    "text_unigram_likelihood",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (
+        SELECT token, COUNT(*) AS n_t FROM tok GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_total FROM tok)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(f.n_t) AS BIGINT) AS sum_freq,
+           CAST(SUM(f.n_t) AS DOUBLE) / COUNT(*) / n.n_total AS likelihood
+    FROM tok t JOIN freq f USING (token) CROSS JOIN n
+    GROUP BY t.doc_id, n.n_total
+    """,
+)
+def text_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-likelihood quality score: each doc's mean corpus frequency of
+    its tokens, normalized by total corpus tokens — a rare-token-density
+    signal (gibberish and OCR noise score low; boilerplate scores high).
+    The score is the exact rational form (Σ n_t / len) / N — two IEEE
+    divisions of exact integers, bit-identical across engines; the classic
+    Σ -log p differs in the last ulp per libm (same convention as tfidf).
+
+    Scale: token frequencies are a partial agg over the exploded corpus;
+    the doc score is a second partial agg after an equi-join on token (the
+    vocabulary is NOT assumed broadcastable); N rides the plan as a
+    broadcast 1-row aggregate (single action, no driver count())."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("n_t"))
+    n_total = tok.agg(F.count("*").alias("n_total"))
+    return (
+        tok.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("n_t").alias("sum_freq"))
+        .join(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            (
+                F.col("sum_freq").cast("double")
+                / F.col("n_tokens")
+                / F.col("n_total")
+            ).alias("likelihood"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (round 5)
+# --------------------------------------------------------------------------
+#: deliberately lookaround-free patterns — valid in both Java regex (Spark)
+#: and RE2 (DuckDB), with identical match semantics
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+_PII_PHONE = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+               regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+        FROM documents
+    )
+    SELECT doc_id, n_emails, n_phones,
+           len(redacted) AS redacted_len,
+           CAST(CASE WHEN n_emails = 0 AND n_phones = 0 THEN 1 ELSE 0 END AS INT)
+               AS is_clean
+    FROM s
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact email/phone patterns per doc —
+    the compliance step every published training corpus runs before
+    release.  Patterns are lookaround-free so Java regex (Spark) and RE2
+    (DuckDB) agree exactly.  The synthetic corpus is PII-free, so the
+    driver comparison pins the all-clean path; the redaction semantics are
+    value-pinned on crafted fixtures in tests/test_training_ops.py.
+
+    Scale: stateless in-row expressions (regexp_count + regexp_replace in
+    whole-stage codegen) — zero shuffle, perfect pushdown."""
+    docs = table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    counted = docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).alias("n_phones"),
+        F.length(redacted).alias("redacted_len"),
+    )
+    return counted.withColumn(
+        "is_clean",
+        ((F.col("n_emails") == 0) & (F.col("n_phones") == 0)).cast("int"),
+    )

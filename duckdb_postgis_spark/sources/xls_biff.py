@@ -1,8 +1,9 @@
 """Pure-stdlib legacy ``.xls`` (BIFF8) reader.
 
 Closes the last FileType gap from the reference surface
-(``src/file_handlers.rs`` FileType::Excel; legacy-xls tests at
-``tests/duckdb_tests.rs:70-83``) without xlrd, which is absent here.
+(``src/core_processor.rs:14-22`` FileType::Excel, Excel read at
+``:407-412``; legacy-xls tests at ``tests/duckdb_tests.rs:70-83``)
+without xlrd, which is absent here.
 
 Two public-spec layers, both implemented minimally but faithfully:
 
@@ -12,7 +13,8 @@ Two public-spec layers, both implemented minimally but faithfully:
 - **MS-XLS (BIFF8)**: record stream walk — workbook globals (SST shared
   strings incl. CONTINUE splits, BOUNDSHEET sheet offsets), then the first
   worksheet's cell records (LABELSST, NUMBER, RK, MULRK, LABEL, BOOLERR,
-  RSTRING), stopping at the sheet's EOF.
+  RSTRING, FORMULA cached results + their STRING records), stopping at the
+  sheet's EOF.
 
 Driver-side by design, like the xlsx path: spreadsheets arrive as single
 small files; at 100 TB scale the pipeline pre-converts to parquet.
@@ -27,13 +29,15 @@ _FREESECT = 0xFFFFFFFF
 _ENDOFCHAIN = 0xFFFFFFFE
 
 
-def _read_chain(data: bytes, fat: list[int], start: int, sector_size: int, base: int) -> bytes:
+def _read_chain(data: bytes, fat: list[int], start: int, sector_size: int) -> bytes:
     """Concatenate the sector chain beginning at ``start`` (regular FAT)."""
     out = bytearray()
     sect = start
     seen = 0
     while sect != _ENDOFCHAIN and sect != _FREESECT:
-        off = base + sect * sector_size
+        # MS-CFB §2.1: sector #n begins at (n+1)*sector_size — the header
+        # occupies the whole of sector -1 (512 B used; V4 pads to 4096)
+        off = (sect + 1) * sector_size
         out += data[off : off + sector_size]
         sect = fat[sect]
         seen += 1
@@ -54,15 +58,16 @@ def _cfb_open_stream(data: bytes, *names: str) -> bytes:
     first_minifat = struct.unpack_from("<I", data, 60)[0]
     sector_size = 1 << sector_shift
     mini_size = 1 << mini_shift
-    base = 512  # header occupies one 512-B region regardless of sector size
 
     # DIFAT: first 109 FAT sector numbers live in the header; larger files
     # chain further DIFAT sectors (not needed for spreadsheet-sized inputs,
-    # but walked anyway for correctness)
+    # but walked anyway for correctness).  Sector #n starts at
+    # (n+1)*sector_size (MS-CFB §2.1) — correct for both V3 (512) and V4
+    # (4096) containers.
     difat = list(struct.unpack_from("<109I", data, 76))
     next_difat = struct.unpack_from("<I", data, 68)[0]
     while next_difat not in (_ENDOFCHAIN, _FREESECT):
-        off = base + next_difat * sector_size
+        off = (next_difat + 1) * sector_size
         more = struct.unpack_from(f"<{sector_size // 4}I", data, off)
         difat += more[:-1]
         next_difat = more[-1]
@@ -70,10 +75,10 @@ def _cfb_open_stream(data: bytes, *names: str) -> bytes:
 
     fat: list[int] = []
     for s in fat_sectors:
-        off = base + s * sector_size
+        off = (s + 1) * sector_size
         fat += struct.unpack_from(f"<{sector_size // 4}I", data, off)
 
-    directory = _read_chain(data, fat, first_dir, sector_size, base)
+    directory = _read_chain(data, fat, first_dir, sector_size)
     root_start = root_size = None
     target_start = target_size = None
     for off in range(0, len(directory), 128):
@@ -95,12 +100,12 @@ def _cfb_open_stream(data: bytes, *names: str) -> bytes:
         raise ValueError(f"CFB: no stream named {names!r}")
 
     if target_size >= mini_cutoff:
-        return _read_chain(data, fat, target_start, sector_size, base)[:target_size]
+        return _read_chain(data, fat, target_start, sector_size)[:target_size]
 
     # mini-stream path: the root chain holds all mini sectors; the mini-FAT
     # (its own regular chain) maps mini-sector links
-    ministream = _read_chain(data, fat, root_start, sector_size, base)[:root_size]
-    minifat_raw = _read_chain(data, fat, first_minifat, sector_size, base)
+    ministream = _read_chain(data, fat, root_start, sector_size)[:root_size]
+    minifat_raw = _read_chain(data, fat, first_minifat, sector_size)
     minifat = list(struct.unpack_from(f"<{len(minifat_raw) // 4}I", minifat_raw))
     out = bytearray()
     sect = target_start
@@ -248,9 +253,31 @@ def parse_xls(data: bytes) -> tuple[list[str], list[list]]:
 
     # pass 2: first worksheet cells
     cells: dict[tuple[int, int], object] = {}
+    pending_str: tuple[int, int] | None = None  # FORMULA awaiting its STRING
     for op, payload, _off in _records(stream, sheet_offsets[0]):
         if op == _EOF:
             break
+        elif op == _FORMULA:
+            # MS-XLS 2.4.127: cached result lives in the record — an IEEE
+            # double, unless bytes 6-7 of the FormulaValue are 0xFFFF, in
+            # which case byte 0 tags: 0=string (value in the STRING record
+            # that follows), 1=bool, 2=error, 3=empty string
+            rw, col, _xf = struct.unpack_from("<HHH", payload)
+            if payload[12:14] == b"\xff\xff":
+                tag = payload[6]
+                if tag == 0:
+                    pending_str = (rw, col)
+                elif tag == 1:
+                    cells[(rw, col)] = bool(payload[8])
+                elif tag == 3:
+                    cells[(rw, col)] = ""
+                # tag 2 (error): cell stays absent, like BOOLERR errors
+            else:
+                num = struct.unpack_from("<d", payload, 6)[0]
+                cells[(rw, col)] = int(num) if num.is_integer() else num
+        elif op == _STRING and pending_str is not None:
+            cells[pending_str] = _short_unicode(payload, 0)
+            pending_str = None
         elif op == _LABELSST:
             rw, col, _xf, isst = struct.unpack_from("<HHHI", payload)
             cells[(rw, col)] = sst[isst]

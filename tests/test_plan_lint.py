@@ -39,6 +39,8 @@ ALLOWED_BNLJ = {
     "geo_haversine_radius",
     # build side is an ungrouped count() aggregate — exactly 1 row at any SF
     "text_tfidf_top_terms",
+    # same 1-row broadcast-N shape as tfidf (corpus token total)
+    "text_unigram_likelihood",
 }
 ALLOWED_ROW_PY = {"text_shingle_udtf"}
 

@@ -117,6 +117,39 @@ def test_probe_rejects_insane_encoding(tmp_path):
         _probe_events_ts(path)
 
 
+def test_probe_rejects_insane_encoding_without_statistics(tmp_path):
+    """A stats-less parquet cannot dodge the gate (ADVICE r4): with no
+    footer min/max the probe decodes a bounded sample of real values and
+    must still refuse seconds-masquerading-as-nanos."""
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1_700_000_000, 1_700_000_600], pa.int64()),
+            "user_id": pa.array([1, 2], pa.int64()),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(t, path, write_statistics=False)
+    assert pq.ParquetFile(path).metadata.row_group(0).column(1).statistics is None
+    with pytest.raises(ValueError, match="outside the sane window"):
+        _probe_events_ts(path)
+
+
+def test_probe_reprobes_after_inplace_rewrite(tmp_path):
+    """The probe cache keys on (path, size, mtime): rewriting the same path
+    with a drifted encoding must re-probe and fail, not reuse the cached
+    green verdict (ADVICE r4)."""
+    path = str(tmp_path / "events.parquet")
+    good = pa.table({"ts": pa.array([1_700_000_000_000_000_000], pa.int64())})
+    pq.write_table(good, path)
+    assert _probe_events_ts(path) == "int64_nanos"
+    bad = pa.table({"ts": pa.array([1_700_000_000, 1_700_000_600], pa.int64())})
+    pq.write_table(bad, path)
+    os.utime(path, ns=(1, 1))  # force distinct mtime even on coarse clocks
+    with pytest.raises(ValueError, match="outside the sane window"):
+        _probe_events_ts(path)
+
+
 def test_rebuild_rejects_unknown_spark_type(spark):
     """rebuild_events_ts must raise on an unsupported ts dtype, never pass
     a mis-typed column through silently."""

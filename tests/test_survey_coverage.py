@@ -44,6 +44,7 @@ GEO = [
 MULTIMODAL = [
     "multimodal_meta_stats", "multimodal_image_features",
     "multimodal_frame_sample", "multimodal_audio_energy", "multimodal_scene_cut",
+    "multimodal_dedup_exact",
 ]
 # §2.12b ANN / skew / layout
 SCALE = [
@@ -60,7 +61,7 @@ TEXT_EXT = [
     "text_fingerprint", "text_tfidf_top_terms", "text_shingle_udtf",
     "json_extract_events", "cogroup_reconcile", "dedup_cluster_components",
     "join_null_safe", "subquery_exists_correlated", "dedup_verify_levenshtein",
-    "dedup_survivorship_merge",
+    "dedup_survivorship_merge", "dedup_exact_prefix",
 ]
 
 # §2.12e training-data-pipeline extensions
@@ -68,7 +69,8 @@ TRAINING = [
     "text_gopher_quality", "text_repetition_ratio", "sample_stratified_hash",
     "sample_reservoir_topk", "seq_pack_greedy", "contamination_ngram_overlap",
     "udaf_char_variance", "shards_write_roundtrip", "pipeline_training_e2e",
-    "source_quality_report",
+    "source_quality_report", "sample_temperature_weighted",
+    "text_unigram_likelihood", "text_pii_scrub",
 ]
 
 # §2.13 incremental-maintenance (lakehouse) surface
@@ -91,45 +93,41 @@ def test_every_survey_operator_is_registered():
 
 def test_driver_window_covers_required_families():
     """The driver verifies only the first DRIVER_WINDOW entries of
-    queries().  Round-4 rotation policy: the window holds (a) the 16
-    queries that failed round 3 purely on the events.ts encoding drift —
-    kept in to prove the catalog fix — and (b) operators that have NEVER
-    received a driver verdict (training §2.12e, lakehouse §2.13, R21-R29,
-    A11/A12, G5/G8-G10, M4/M5, dedup verify/merge, two live streams).
-    Queries green in CORRECTNESS_r03 yield their slots: verdicts stand."""
+    queries().  Round-5 rotation policy (CORRECTNESS_r04 was 50/50, so all
+    r4 slots rotate out with verdicts standing): the window holds (a) the
+    last three oracle-bearing queries with no driver verdict — the live
+    streams whose batch twins went green in r4, (b) every query whose only
+    verdict is from round-1-era code, and (c) the §2.8/§2.10 core whose
+    verdicts are from r3-era code."""
     window = set(list(registry.all_queries())[: registry.DRIVER_WINDOW])
-    ts_refixed = {
-        "join_theta_range", "join_asof", "json_extract_events",
-        "subquery_scalar_in", "subquery_exists_correlated",
-        "stream_tumbling", "stream_sliding", "stream_session",
-        "stream_watermark_late", "stream_dedup", "stream_static_join",
-        "stream_stream_join", "agg_skew_salted", "events_partition_pruned",
-        "join_range_bucketed", "events_multigrain_rollup",
+    live_streams = {
+        "stream_sliding_live", "stream_watermark_late_live",
+        "stream_dedup_live",
     }
-    never_verified = {
-        # R21-R29
-        "window_trailing_range", "unpivot_metrics",
-        "window_rank_distribution", "agg_string_bool", "agg_corr_exact",
-        "events_funnel", "retention_cohorts", "sessionize_islands",
-        "events_anomaly_zscore",
-        # A11/A12
-        "events_gap_fill_locf", "join_skew_salted",
-        # §2.12e training
-        "text_gopher_quality", "text_repetition_ratio",
-        "sample_stratified_hash", "sample_reservoir_topk", "seq_pack_greedy",
-        "contamination_ngram_overlap", "udaf_char_variance",
-        "source_quality_report", "pipeline_training_e2e",
-        "shards_write_roundtrip",
-        # §2.13 lakehouse
-        "upsert_latest_wins", "scd2_history", "maintenance_compact_roundtrip",
-        # G5/G8-G10, M4/M5, dedup pair, live streams
-        "geo_transform_27700_to_4326", "geo_bbox_join_grid",
-        "geo_cell_rollup", "geo_haversine_radius",
-        "multimodal_audio_energy", "multimodal_scene_cut",
-        "dedup_verify_levenshtein", "dedup_survivorship_merge",
-        "stream_tumbling_live", "stream_upsert_live",
+    r1_era = {
+        "geo_point_wkt", "geo_crs_infer_ranges", "geo_wkb_roundtrip",
+        "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "text_language_id", "text_quality_score", "text_token_count",
+        "text_fingerprint", "text_tfidf_top_terms", "text_shingle_udtf",
+        "cogroup_reconcile", "dedup_cluster_components",
+        "multimodal_frame_sample",
     }
-    required = ts_refixed | never_verified
+    r3_era_core = {
+        # §2.8 R1-R20 subset whose verdicts are pass-r3
+        "scan_project", "filter_pred", "pricing_summary", "join_inner_hash",
+        "join_broadcast_4way", "join_left_right_full", "join_semi_anti",
+        "agg_distinct", "agg_approx_distinct", "grouping_sets_cube_rollup",
+        "window_rank_topn", "window_analytic", "sort_limit_topk", "set_ops",
+        "scalar_string_date_math", "array_map_json", "distinct_dedup_exact",
+        # §2.10 L1-L9
+        "text_stats", "text_normalize_tokenize", "dedup_exact_hash",
+        "dedup_minhash_lsh", "embed_normalize", "knn_cosine_topk",
+        "similarity_search_query", "multimodal_join", "text_analysis_grouped",
+        # §2.12b layout/skew + null-safe + stateful stream
+        "agg_percentiles", "pivot_lang_counts", "agg_histogram",
+        "join_null_safe", "join_bucketed_colocated", "stream_user_state",
+    }
+    required = live_streams | r1_era | r3_era_core
     missing = sorted(required - window)
     assert not missing, f"outside driver window: {missing}"
     assert len(required) == registry.DRIVER_WINDOW

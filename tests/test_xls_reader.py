@@ -75,6 +75,26 @@ def _boolerr(rw: int, col: int, v: bool) -> bytes:
     return _rec(0x0205, struct.pack("<HHHBB", rw, col, 0, int(v), 0))
 
 
+def _formula(rw: int, col: int, val8: bytes) -> bytes:
+    """FORMULA record (MS-XLS 2.4.127) with cached result ``val8`` and an
+    empty rgce (cce=0) — the cached value is all the reader consumes."""
+    return _rec(0x0006, struct.pack("<HHH", rw, col, 0) + val8 + struct.pack("<HIH", 0, 0, 0))
+
+
+def _formula_num(rw: int, col: int, v: float) -> bytes:
+    return _formula(rw, col, struct.pack("<d", v))
+
+
+def _formula_special(rw: int, col: int, tag: int, b2: int = 0) -> bytes:
+    # tag 0=string-follows, 1=bool (b2), 2=error, 3=empty string
+    return _formula(rw, col, bytes([tag, 0, b2, 0, 0, 0, 0xFF, 0xFF]))
+
+
+def _string(s: str) -> bytes:
+    """STRING record: cached text result of the preceding FORMULA."""
+    return _rec(0x0207, struct.pack("<HB", len(s), 0) + s.encode("latin-1"))
+
+
 def _workbook_stream(split_sst: bool = False) -> bytes:
     """Globals (SST, BOUNDSHEET) + one worksheet with a 3x4 table:
 
@@ -125,13 +145,46 @@ def _pad(b: bytes, size: int, fill: bytes = b"\x00") -> bytes:
     return b + fill * (size - len(b) % size if len(b) % size else 0)
 
 
-def write_cfb_xls(stream: bytes, force_fat: bool = False) -> bytes:
+def write_cfb_xls(stream: bytes, force_fat: bool = False, v4: bool = False) -> bytes:
     """Wrap a Workbook stream in a minimal OLE2 container.
 
     Streams < 4096 B go through the mini-FAT/mini-stream (real Excel does
     this for small files); ``force_fat`` pads the stream past the cutoff to
-    exercise the regular-FAT path instead.
+    exercise the regular-FAT path instead.  ``v4`` writes a major-version-4
+    container (4096-B sectors, 512-B header zero-padded to the first
+    sector) — sector #n must be read at (n+1)*sector_size, not 512+n*size.
     """
+    if v4:
+        sec = 4096
+        stream = _pad(stream + _rec(0x000A, b""), 4608)  # past mini cutoff
+        data_sec = _pad(stream, sec)
+        n_data = len(data_sec) // sec
+        fat = [0xFFFFFFFD, 0xFFFFFFFE]
+        for i in range(n_data):
+            fat.append(2 + i + 1 if i + 1 < n_data else 0xFFFFFFFE)
+        assert len(fat) <= sec // 4, "test writer: one FAT sector only"
+        dir_sec = _pad(
+            _dir_entry("Root Entry", 5, 0xFFFFFFFE, 0, child=1)
+            + _dir_entry("Workbook", 2, 2, len(stream)),
+            sec,
+        )
+        body = _pad(struct.pack(f"<{len(fat)}I", *fat), sec, b"\xff") + dir_sec + data_sec
+        header = bytearray(512)
+        header[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+        struct.pack_into("<H", header, 24, 0x003E)
+        struct.pack_into("<H", header, 26, 0x0004)  # major version 4
+        struct.pack_into("<H", header, 28, 0xFFFE)
+        struct.pack_into("<H", header, 30, 12)      # 4096-B sectors
+        struct.pack_into("<H", header, 32, 6)
+        struct.pack_into("<I", header, 44, 1)
+        struct.pack_into("<I", header, 48, 1)
+        struct.pack_into("<I", header, 56, 4096)
+        struct.pack_into("<I", header, 60, 0xFFFFFFFE)
+        struct.pack_into("<I", header, 64, 0)
+        struct.pack_into("<I", header, 68, 0xFFFFFFFE)
+        struct.pack_into("<109I", header, 76, *([0] + [0xFFFFFFFF] * 108))
+        return _pad(bytes(header), sec) + body  # header pads to sector size
+
     if force_fat:
         stream = _pad(stream + _rec(0x000A, b""), 4608)
     use_mini = len(stream) < 4096
@@ -202,18 +255,47 @@ EXPECT = [
 
 
 @pytest.mark.parametrize(
-    "split_sst,force_fat",
-    [(False, False), (True, False), (False, True)],
-    ids=["ministream", "sst-continue-split", "regular-fat"],
+    "split_sst,force_fat,v4",
+    [(False, False, False), (True, False, False), (False, True, False), (False, False, True)],
+    ids=["ministream", "sst-continue-split", "regular-fat", "v4-4096B-sectors"],
 )
-def test_read_xls_biff8(spark, tmp_path, split_sst, force_fat):
+def test_read_xls_biff8(spark, tmp_path, split_sst, force_fat, v4):
     path = str(tmp_path / "t.xls")
     with open(path, "wb") as fh:
-        fh.write(write_cfb_xls(_workbook_stream(split_sst=split_sst), force_fat=force_fat))
+        fh.write(write_cfb_xls(_workbook_stream(split_sst=split_sst), force_fat=force_fat, v4=v4))
     df = read_excel(spark, path)
     assert df.columns == ["name", "score", "n", "ok"]
     rows = [tuple(r) for r in df.orderBy("name").collect()]
     assert rows == EXPECT
+
+
+def test_read_xls_formula_cached_results(spark, tmp_path):
+    """FORMULA cells surface their cached results (ADVICE r4): an IEEE
+    double inline, a string via the following STRING record, a bool, an
+    empty string; error results stay absent (None) like BOOLERR errors."""
+    strings = ["a", "b", "c", "d"]
+    sheet = (
+        _bof(0x0010)
+        + _labelsst(0, 0, 0) + _labelsst(0, 1, 1) + _labelsst(0, 2, 2) + _labelsst(0, 3, 3)
+        + _formula_num(1, 0, 2.5) + _formula_special(1, 1, 0) + _string("fs")
+        + _formula_special(1, 2, 1, b2=1) + _formula_special(1, 3, 2)
+        + _number(2, 0, 1.0) + _formula_special(2, 1, 3) + _boolerr(2, 2, False)
+        + _rk_int(2, 3, 5)
+        + _rec(0x000A, b"")
+    )
+    sst = _sst(strings)
+    sheet_name = b"Sheet1"
+    bsheet = _rec(0x0085, struct.pack("<IHBB", 0, 0, len(sheet_name), 0) + sheet_name)
+    globals_ = _bof(0x0005) + sst + bsheet + _rec(0x000A, b"")
+    bsheet = _rec(0x0085, struct.pack("<IHBB", len(globals_), 0, len(sheet_name), 0) + sheet_name)
+    globals_ = _bof(0x0005) + sst + bsheet + _rec(0x000A, b"")
+    path = str(tmp_path / "f.xls")
+    with open(path, "wb") as fh:
+        fh.write(write_cfb_xls(globals_ + sheet))
+    df = read_excel(spark, path)
+    assert df.columns == ["a", "b", "c", "d"]
+    rows = [tuple(r) for r in df.orderBy("a").collect()]
+    assert rows == [(1.0, "", False, 5), (2.5, "fs", True, None)]
 
 
 def test_xls_sniffed_as_excel(tmp_path):
