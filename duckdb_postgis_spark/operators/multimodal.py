@@ -489,7 +489,6 @@ def multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT media_type) AS n_modalities
     FROM media
     GROUP BY sha256(hex)
-    HAVING COUNT(*) >= 2
     ORDER BY survivor_doc_id
     """,
 )
@@ -500,7 +499,10 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(doc_id) — the first dedup pass of every multimodal corpus build,
     catching byte-identical re-uploads across modal labels
     (n_modalities > 1 means the same bytes were ingested under different
-    media types — a labeling bug worth surfacing).
+    media types — a labeling bug worth surfacing).  Emits EVERY group
+    (duplicates distinguishable by n_copies > 1), matching dedup_exact_hash:
+    the survivor map IS the dedup output a downstream join consumes, and it
+    keeps the oracle value-bearing at scale factors with no duplicate media.
 
     Scale: the canonical hash-shuffle dedup on a uniform 32-byte key —
     the hash computes per-partition in the scan stage, so the shuffle
@@ -518,6 +520,5 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_copies"),
             F.countDistinct("media_type").alias("n_modalities"),
         )
-        .filter(F.col("n_copies") >= 2)
         .orderBy("survivor_doc_id")
     )

@@ -218,6 +218,47 @@ def test_tfidf_single_action_broadcast_n(plans):
     assert "BatchEvalPython" not in p
 
 
+def test_temperature_sample_broadcasts_rates(plans):
+    # round 5: the |sources|-row rate table broadcasts onto the corpus —
+    # the corpus itself never shuffles (the only exchanges are the tiny
+    # source-count agg and its 1-partition window)
+    p = plans("sample_temperature_weighted")
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("- Exchange") <= 2, final
+
+
+def test_unigram_likelihood_single_action(plans):
+    # corpus token total N rides as a broadcast 1-row aggregate (BNLJ with
+    # provably-1-row build side, same declared shape as tfidf); frequencies
+    # partial-aggregate before their exchange
+    p = plans("text_unigram_likelihood")
+    assert "BatchEvalPython" not in p
+    assert "partial_count" in p
+
+
+def test_pii_scrub_shuffle_free(plans):
+    # stateless in-row regex work: zero exchanges, whole-stage codegen
+    p = plans("text_pii_scrub")
+    final = p.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, final
+    assert "codegen id" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_media_dedup_shuffles_hashes_not_payloads(plans):
+    # the shuffle key is the 32-byte content hash; payload bytes must not
+    # appear in any Exchange input (they reduce to the hash in the scan
+    # stage projection)
+    p = plans("multimodal_dedup_exact")
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("HashAggregate") >= 2, final  # map-side partial
+    for block in p.split("\n\n"):
+        if block.lstrip().startswith("(") and "Exchange" in block.splitlines()[0]:
+            assert "payload" not in block, block
+
+
 def test_retention_cohorts_partial_agg(plans):
     # R27: cohort assignment and activity dedup both partial-aggregate
     # before their exchanges (HashAggregate below Exchange), so the shuffle
