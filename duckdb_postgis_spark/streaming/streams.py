@@ -550,3 +550,175 @@ def q_stream_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     if q.isActive:
         q.stop()
     return spark.read.parquet(paths[state["cur"]])
+
+
+# --------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join (round 5)
+# --------------------------------------------------------------------------
+@query(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH a AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+         b AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+         m AS (SELECT max(ts) AS mx FROM a)
+    SELECT a.user_id AS a_user, a.event_id AS a_id, b.event_id AS b_id,
+           CAST(CASE WHEN b.event_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS matched
+    FROM a LEFT JOIN b
+      ON a.user_id = b.user_id AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 5 MINUTE
+    CROSS JOIN m
+    WHERE a.ts <= m.mx - INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: signups left-joined to
+    purchases by the same user within [signup, signup + 5 min].  The outer
+    (null-extended) rows are the part inner joins can't express: a signup
+    emits with b_id NULL only once the watermark proves no purchase can
+    still arrive — state eviction IS the null-emission trigger, bounded by
+    watermark + band exactly like the inner join's buffer.
+
+    Replay determinism: rows near the left side's max event time are
+    withheld (their state never expires before the replay ends), and the
+    exact eviction boundary is an implementation detail of per-source
+    watermark bookkeeping — so BOTH the emitted set and the oracle are
+    restricted to a_ts ≤ max(signup ts) − 30 min, safely inside the
+    guaranteed-evicted region (boundary is watermark 10 min + band 5 min);
+    every such row is provably emitted, making the row-level comparison
+    exact.  Matched rows emit immediately and need no restriction, but
+    share the cutoff so the two sides stay identical."""
+    a = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("a_id"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    b = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("b_id"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "leftOuter",
+    )
+    out = run_available_now(
+        joined.select("a_user", "a_id", "a_ts", "b_id"), "q_ss_loj", "append"
+    )
+    from duckdb_postgis_spark.catalog import table as _t
+
+    mx = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .agg(F.max("ts").alias("mx"))
+    )
+    return (
+        out.join(F.broadcast(mx))
+        .filter(F.col("a_ts") <= F.col("mx") - F.expr("INTERVAL 30 MINUTES"))
+        .select(
+            "a_user",
+            "a_id",
+            "b_id",
+            F.col("b_id").isNotNull().cast("int").alias("matched"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Chained stateful operators: dedup -> windowed agg (round 5)
+# --------------------------------------------------------------------------
+@query(
+    "stream_chained_dedup_agg",
+    oracle="""
+    SELECT date_trunc('hour', m) AS win_start, event_type, COUNT(*) AS n_first
+    FROM (
+        SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m
+        FROM events
+    )
+    GROUP BY 1, 2 ORDER BY win_start, event_type
+    """,
+)
+def q_stream_chained_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained stateful operators in one streaming query (Spark 3.5+
+    capability, §2.12c API surface): dropDuplicatesWithinWatermark on
+    (user, type, minute) feeding a 1-hour windowed count per type — the
+    "unique actors per hour" shape that naive counting gets wrong under
+    at-least-once delivery.  Dedup emits each first-seen row in the batch
+    it arrives (no withholding), so only the downstream agg waits on the
+    watermark; under single-file AvailableNow replay every window closes in
+    the final batch and each key updates exactly once, so the update-mode
+    sink holds the exact distinct-minute counts (the survivor's ts shares
+    its minute's hour, so windowing on the survivor ts equals windowing on
+    the minute bucket).
+
+    Scale: dedup state is one key per (user, type, minute) within the
+    watermark horizon; the agg's state is |windows × types| — both
+    watermark-evicted, both partial-aggregated before their shuffles."""
+    ev = events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "10 minutes")
+        .withColumn("minute_bucket", F.date_trunc("minute", "ts"))
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_bucket"])
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_first"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_first")
+    )
+    return run_available_now(agg, "q_chained_dd_agg", "update").orderBy(
+        "win_start", "event_type"
+    )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 stateful API) — ENV-GATED
+# --------------------------------------------------------------------------
+# The Spark 4 successor to applyInPandasWithState speaks a protobuf-based
+# state-server protocol; this container ships no google.protobuf, so the
+# driver-side TWS worker crashes on import (verified:
+# STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, ImportError
+# google.protobuf.descriptor).  The semantics are covered by the
+# applyInPandasWithState twin (stream_user_state); this builder exists so an
+# environment WITH protobuf can run the new API unchanged, and
+# tests/test_streaming_live.py pins the loud env failure.
+def stream_transform_with_state_live(events: DataFrame) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas (value state,
+    exact integer cents — same contract as stream_user_state)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class Totals(StatefulProcessor):
+        def init(self, handle):
+            self.state = handle.getValueState("tot", "n LONG, cents LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            n, cents = self.state.get() if self.state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(np.rint(pdf["value"].to_numpy() * 100).sum())
+            self.state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+            )
+
+        def close(self):
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType=USER_STATE_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -140,3 +140,63 @@ def test_upsert_merge_slicing_invariant(spark, sf_dir):
     got = sorted(map(str, snap.collect()))
     want = sorted(map(str, upsert_latest_wins(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_transform_with_state_env_gate(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 stateful API) needs the protobuf
+    state-server protocol; this container has no google.protobuf, so the
+    stream must fail LOUDLY at start (never silently produce nothing).  If
+    protobuf ever lands here, this test flips: run the stream and compare
+    to the applyInPandasWithState twin."""
+    import importlib.util
+
+    import pytest
+
+    from duckdb_postgis_spark.streaming.streams import (
+        events_stream,
+        run_available_now,
+        stream_transform_with_state_live,
+    )
+
+    sdf = stream_transform_with_state_live(events_stream(spark, sf_dir))
+    try:
+        have_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        have_protobuf = False
+    if not have_protobuf:
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        with pytest.raises(StreamingQueryException):
+            run_available_now(sdf, "q_tws_gate", "update", timeout=60)
+    else:  # pragma: no cover — environment finally has protobuf
+        out = run_available_now(sdf, "q_tws_gate", "update")
+        assert out.count() > 0
+
+
+def test_chained_dedup_agg_matches_batch_twin(spark, sf_dir):
+    """The chained dedup→agg stream equals the batch distinct-minute rollup
+    computed in Spark (independent of the DuckDB oracle)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_postgis_spark import registry
+    from duckdb_postgis_spark.catalog import table
+
+    registry.load_all()
+    got = sorted(
+        map(str, registry.QUERIES["stream_chained_dedup_agg"](spark, sf_dir).collect())
+    )
+    ev = table(spark, sf_dir, "events")
+    want = sorted(
+        map(
+            str,
+            ev.select(
+                "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
+            )
+            .distinct()
+            .groupBy(F.date_trunc("hour", "m").alias("win_start"), "event_type")
+            .agg(F.count("*").alias("n_first"))
+            .orderBy("win_start", "event_type")
+            .collect(),
+        )
+    )
+    assert got == want
