@@ -22,6 +22,11 @@ class FileType(enum.Enum):
     EXCEL = "Excel"
     CSV = "CSV"
     PARQUET = "Parquet"
+    #: EXTENSION beyond the reference enum (core_processor.rs:14-22 stops at
+    #: the six above): newline-delimited JSON, the dominant interchange
+    #: format for training-data corpora. Detected by extension only, AFTER
+    #: every reference rule, so reference parity is untouched.
+    JSONL = "JSONL"
 
     def __str__(self) -> str:  # Display parity (core_processor.rs:23-37)
         return self.value
@@ -111,6 +116,12 @@ def determine_file_type(file_path: str) -> FileType:
         return ft
     if p.suffix.lower() == ".csv":
         return FileType.CSV
+    # extension beyond the reference decision table (kept LAST so all
+    # reference precedence rules fire first): .jsonl/.ndjson, optionally
+    # compressed (.jsonl.gz etc. — Spark's json source decompresses)
+    suffixes = [s.lower() for s in p.suffixes[-2:]]
+    if any(s in (".jsonl", ".ndjson") for s in suffixes):
+        return FileType.JSONL
     raise UnknownFileTypeError("Unknown or unsupported file type")
 
 

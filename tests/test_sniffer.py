@@ -142,3 +142,47 @@ def test_fuzz_determine_file_type_clean_failure(tmp_path_factory, body):
             pass
     finally:
         os.unlink(path)
+
+
+# --------------------------------------------------------------------------
+# JSONL extension (round 5 — beyond the reference enum, precedence-last)
+# --------------------------------------------------------------------------
+def test_jsonl_by_extension(tmp_path):
+    from duckdb_postgis_spark.sources.sniffer import FileType, determine_file_type
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text('{"doc_id": 1, "text": "hello"}\n{"doc_id": 2, "text": "world"}\n')
+    assert determine_file_type(str(p)) == FileType.JSONL
+    p2 = tmp_path / "corpus.ndjson"
+    p2.write_text('{"a": 1}\n')
+    assert determine_file_type(str(p2)) == FileType.JSONL
+
+
+def test_jsonl_does_not_shadow_reference_rules(tmp_path):
+    """A .jsonl file whose content matches the GeoJSON rules must still be
+    GeoJSON — the reference decision table keeps precedence."""
+    from duckdb_postgis_spark.sources.sniffer import FileType, determine_file_type
+
+    p = tmp_path / "features.jsonl"
+    p.write_text('{"type": "FeatureCollection", "features": []}')
+    assert determine_file_type(str(p)) == FileType.GEOJSON
+
+
+def test_read_jsonl_roundtrip(spark, tmp_path):
+    import gzip
+
+    from duckdb_postgis_spark.sources.readers import read_file
+
+    lines = "".join(f'{{"doc_id": {i}, "text": "doc {i}", "n": {i * 10}}}\n' for i in range(5))
+    p = tmp_path / "docs.jsonl"
+    p.write_text(lines)
+    df = read_file(spark, str(p))
+    assert df.count() == 5
+    assert set(df.columns) == {"doc_id", "text", "n"}
+    assert df.agg({"n": "sum"}).collect()[0][0] == 100
+
+    pgz = tmp_path / "docs2.jsonl.gz"
+    with gzip.open(pgz, "wt") as fh:
+        fh.write(lines)
+    df2 = read_file(spark, str(pgz))
+    assert df2.count() == 5
