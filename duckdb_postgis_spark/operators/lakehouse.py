@@ -116,3 +116,87 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental (algebraic) aggregate maintenance — round 5
+# --------------------------------------------------------------------------
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    WITH hist AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS s,
+               MIN(value) AS mn, MAX(value) AS mx
+        FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY 1, 2
+    ),
+    delta AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS s,
+               MIN(value) AS mn, MAX(value) AS mx
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY 1, 2
+    )
+    SELECT day, event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(s) AS DOUBLE) AS sum_value,
+           MIN(mn) AS min_value,
+           MAX(mx) AS max_value,
+           CAST(SUM(s) AS DOUBLE) / SUM(n) AS avg_value
+    FROM (SELECT * FROM hist UNION ALL SELECT * FROM delta)
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (the continuous-aggregate /
+    materialized-rollup refresh shape): daily per-type stats exist for the
+    historical region; a delta batch arrives; the rollup is refreshed by
+    MERGING partial aggregates algebraically — count and decimal-sum add,
+    min/max combine, avg re-derives from (sum, n) — never by re-scanning
+    history.  Sums stay in exact DECIMAL until the single final double
+    conversion, so the merged result is bit-identical to a full recompute
+    (which is exactly what the oracle computes).
+
+    Scale: this is THE pattern that makes 100 TB rollups maintainable —
+    the merge shuffles |days × types| partial rows, not |events|; history
+    is never re-read (here both sides derive from one table to keep the
+    oracle self-contained, but the hist branch stands in for a stored
+    aggregate snapshot)."""
+    from duckdb_postgis_spark.functions.num import dec
+
+    ev = table(spark, sf_dir, "events")
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).alias("s"),  # stays DECIMAL: exact merge
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    hist = partial(ev.filter(F.col("ts") < split))
+    delta = partial(ev.filter(F.col("ts") >= split))
+    merged = (
+        hist.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "n",
+        F.col("s").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+        (F.col("s").cast("double") / F.col("n")).alias("avg_value"),
+    ).orderBy("day", "event_type")

@@ -1584,3 +1584,84 @@ def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") >= 2)
         .orderBy("keep_doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding int8 quantization (round 5)
+# --------------------------------------------------------------------------
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(list_min(embedding) AS DOUBLE) AS q_min,
+               CAST(list_max(embedding) AS DOUBLE) AS q_max,
+               (CAST(list_max(embedding) AS DOUBLE)
+                - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale,
+               embedding
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id, q_min, q_max,
+               list_transform(embedding,
+                   x -> CAST(round((CAST(x AS DOUBLE) - q_min) / scale) AS BIGINT)
+               ) AS codes
+        FROM q WHERE scale > 0
+    )
+    SELECT vec_id, q_min, q_max,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_sum(list_transform(range(1, len(codes) + 1),
+                                        i -> codes[i] * i)) AS BIGINT) AS code_checksum
+    FROM c
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 (0..255) affine quantization of the embedding
+    column — the compression step that makes 100 TB vector corpora
+    scannable (4× smaller than float32, SIMD-friendly distance kernels).
+    code_i = round((x_i − min) / scale), scale = (max − min)/255.  All
+    arithmetic is a fixed sequence of IEEE ops (float→double casts exact,
+    one subtract, one divide, round-half-away at .5 — identical on JVM
+    and C for non-negative values), so codes are bit-identical
+    cross-engine; the driver-facing result carries the quantization
+    params plus order-sensitive integer checksums of the codes rather
+    than the array itself (scalar-only output contract).
+
+    Scale: stateless in-row array expressions (transform/aggregate) in
+    whole-stage codegen — zero shuffle, linear scan; degenerate constant
+    vectors (scale = 0) are excluded identically on both sides."""
+    emb = table(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    q = emb.select(
+        "vec_id",
+        mn.alias("q_min"),
+        mx.alias("q_max"),
+        ((mx - mn) / F.lit(255.0)).alias("scale"),
+        "embedding",
+    ).filter(F.col("scale") > 0)
+    codes = F.transform(
+        "embedding",
+        lambda x: F.round((x.cast("double") - F.col("q_min")) / F.col("scale")).cast(
+            "long"
+        ),
+    )
+    c = q.select("vec_id", "q_min", "q_max", codes.alias("codes"))
+    checksum = F.aggregate(
+        F.zip_with(
+            "codes",
+            F.sequence(F.lit(1), F.size("codes")),
+            lambda code, i: code * i.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return c.select(
+        "vec_id",
+        "q_min",
+        "q_max",
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "code_sum"
+        ),
+        checksum.alias("code_checksum"),
+    )

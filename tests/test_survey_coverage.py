@@ -62,7 +62,7 @@ TEXT_EXT = [
     "text_fingerprint", "text_tfidf_top_terms", "text_shingle_udtf",
     "json_extract_events", "cogroup_reconcile", "dedup_cluster_components",
     "join_null_safe", "subquery_exists_correlated", "dedup_verify_levenshtein",
-    "dedup_survivorship_merge", "dedup_exact_prefix",
+    "dedup_survivorship_merge", "dedup_exact_prefix", "embed_quantize_int8",
 ]
 
 # §2.12e training-data-pipeline extensions
@@ -75,7 +75,10 @@ TRAINING = [
 ]
 
 # §2.13 incremental-maintenance (lakehouse) surface
-LAKEHOUSE = ["upsert_latest_wins", "scd2_history", "maintenance_compact_roundtrip"]
+LAKEHOUSE = [
+    "upsert_latest_wins", "scd2_history", "maintenance_compact_roundtrip",
+    "incremental_agg_merge",
+]
 
 ALL_DECLARED = (
     RELATIONAL + STREAMING + LLM + GEO + MULTIMODAL + SCALE + TEXT_EXT + TRAINING
