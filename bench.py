@@ -76,6 +76,24 @@ def main() -> None:
     # steady state), then median of 3 full execute+fetch runs per query.
     # toArrow() is the Arrow-native materialization — the analog of DuckDB's
     # fetchall, and transfers every result row to python.
+    # Machine floor, measured FIRST in the warmed session: the wall-clock
+    # of a no-op plan (py4j round-trip + scheduling + Arrow transfer, zero
+    # data).  Recorded so per-round numbers are comparable across machine
+    # drift — a query at floor+ε is plan-optimal regardless of what the
+    # floor is that day (the r1→r2 "+21% drift" was exactly this: floor
+    # moved, plans didn't).  Running it before the cold-timed loop also
+    # warms the session-wide Arrow/collect path so the first query's
+    # analysis_ms doesn't absorb one-time session init.
+    noop = spark.range(1).selectExpr("id")
+    for _ in range(3):
+        noop.toArrow()
+    floor_times = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        noop.toArrow()
+        floor_times.append(time.perf_counter() - t0)
+    floor_ms = round(statistics.median(floor_times) * 1000, 1)
+
     dfs = {}
     cold_ms: dict[str, float] = {}
     for name in headline:
@@ -88,22 +106,6 @@ def main() -> None:
         dfs[name] = df
     for df in dfs.values():
         df.toArrow()
-
-    # Machine floor, measured in the SAME warmed session: the wall-clock of
-    # a no-op plan (py4j round-trip + scheduling + Arrow transfer, zero
-    # data).  Recorded so per-round numbers are comparable across machine
-    # drift — a query at floor+ε is plan-optimal regardless of what the
-    # floor is that day (the r1→r2 "+21% drift" was exactly this: floor
-    # moved, plans didn't).
-    noop = spark.range(1).selectExpr("id")
-    for _ in range(3):
-        noop.toArrow()
-    floor_times = []
-    for _ in range(9):
-        t0 = time.perf_counter()
-        noop.toArrow()
-        floor_times.append(time.perf_counter() - t0)
-    floor_ms = round(statistics.median(floor_times) * 1000, 1)
 
     results: dict[str, float] = {}
     analysis_ms: dict[str, float] = {}

@@ -23,27 +23,52 @@ ORACLES: dict[str, str] = {}
 # queries() (CORRECTNESS_r01 cut at exactly entry 50 in registration order),
 # so dict order is part of the external contract.  PRIORITY pins the window.
 #
-# ROUND-5 ROTATION (this window; executes the plan written here in r4):
-# CORRECTNESS_r04 was 50/50 green, so every r4 slot rotates out with its
-# verdict standing.  The window now holds:
+# ROUND-5 ROTATION (this window; executes — and extends — the plan written
+# here in r4): CORRECTNESS_r04 was 50/50 green, so every r4 slot rotates out
+# with its verdict standing.  The window now holds:
 #   (a) stream_sliding_live / stream_watermark_late_live / stream_dedup_live
-#       — the last three oracle-bearing queries with no driver verdict
-#       (their batch twins were r4-green; these prove the readStream path);
-#   (b) the 15 queries whose only driver verdict is from the ROUND-1 code
+#       — the last three r4-era oracle-bearing queries with no driver
+#       verdict (batch twins r4-green; these prove the readStream path);
+#   (b) the NINE queries ADDED in round 5, none with any driver verdict:
+#       sample_temperature_weighted, text_unigram_likelihood, text_pii_scrub,
+#       dedup_exact_prefix, multimodal_dedup_exact, stream_stream_left_outer,
+#       stream_chained_dedup_agg, incremental_agg_merge, embed_quantize_int8
+#       (first verdicts beat re-verdicts: these outrank stale refreshes);
+#   (c) the 15 queries whose only driver verdict is from the ROUND-1 code
 #       era (geo G3/G4/G6, the §2.12d text/dedup family, cogroup/CC, M3) —
 #       the stalest verdicts in the repo;
-#   (c) the §2.8/§2.10 core (scans/joins/aggs/windows/L1-L9 + A4/A6/A8/A9,
-#       join_null_safe, stream_user_state), whose verdicts are from r3 code.
-# Everything NOT in this window holds a pass-r4 verdict or is rows-only by
-# design (4 ANN recall-pinned, stream_session_live append-mode).  Every
+#   (d) the remaining slots refresh the §2.8/§2.10 core (r3-era verdicts),
+#       prioritizing the bench headline set + queries CHANGED this round
+#       (window_rank_topn, text_tfidf_top_terms in (c)) + the API-surface
+#       queries; the nine simplest r3-green relational basics (scan/filter/
+#       basic joins/set ops/scalars) yield their slots — code unchanged
+#       since r3, plan-shape-tested, lowest re-verdict value.
+# Everything NOT in this window holds a pass-r3/r4 verdict or is rows-only
+# by design (4 ANN recall-pinned, stream_session_live append-mode).  Every
 # rotated-in query is locally oracle-green at sf0.01 under the plain-session
-# driver replica (scripts/driver_replica.py, run at round-5 start).
+# driver replica (scripts/driver_replica.py --all, run this round: green).
+#
+# ROUND-6 ROTATION PLAN (execute at round-6 start): if CORRECTNESS_r05 is
+# green, (a)-(c) rotate out with verdicts standing; bring back the nine
+# r3-era basics dropped this round plus any remaining §2.8/§2.10 r3-era
+# slots so the whole core is re-verdicted on r5+ code, and keep any r5
+# failures in for a re-prove.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) last oracle-bearing queries with no driver verdict ------------
+    # -- (a) r4-era oracle-bearing queries with no driver verdict ----------
     "stream_sliding_live",
     "stream_watermark_late_live",
     "stream_dedup_live",
-    # -- (b) round-1-era verdicts: stalest first ---------------------------
+    # -- (b) round-5 additions: first driver verdicts ----------------------
+    "sample_temperature_weighted",
+    "text_unigram_likelihood",
+    "text_pii_scrub",
+    "dedup_exact_prefix",
+    "multimodal_dedup_exact",
+    "stream_stream_left_outer",
+    "stream_chained_dedup_agg",
+    "incremental_agg_merge",
+    "embed_quantize_int8",
+    # -- (c) round-1-era verdicts: stalest first ---------------------------
     "geo_point_wkt",
     "geo_crs_infer_ranges",
     "geo_wkb_roundtrip",
@@ -59,25 +84,16 @@ PRIORITY: tuple[str, ...] = (
     "cogroup_reconcile",
     "dedup_cluster_components",
     "multimodal_frame_sample",
-    # -- (c) §2.8 relational core: r3-era verdicts -------------------------
-    "scan_project",
-    "filter_pred",
+    # -- (d) §2.8 core refresh: bench headliners + changed/window queries --
     "pricing_summary",
-    "join_inner_hash",
     "join_broadcast_4way",
-    "join_left_right_full",
-    "join_semi_anti",
     "agg_distinct",
     "agg_approx_distinct",
     "grouping_sets_cube_rollup",
     "window_rank_topn",
     "window_analytic",
     "sort_limit_topk",
-    "set_ops",
-    "scalar_string_date_math",
-    "array_map_json",
-    "distinct_dedup_exact",
-    # -- (c) §2.10 LLM pipeline L1-L9: r3-era verdicts ---------------------
+    # -- (d) §2.10 LLM pipeline L1-L9: r3-era verdicts ---------------------
     "text_stats",
     "text_normalize_tokenize",
     "dedup_exact_hash",
@@ -87,7 +103,7 @@ PRIORITY: tuple[str, ...] = (
     "similarity_search_query",
     "multimodal_join",
     "text_analysis_grouped",
-    # -- (c) §2.12b layout/skew + null-safe + stateful stream: r3-era ------
+    # -- (d) §2.12b layout/skew + null-safe + stateful stream: r3-era ------
     "agg_percentiles",
     "pivot_lang_counts",
     "agg_histogram",

@@ -41,6 +41,9 @@ ALLOWED_BNLJ = {
     "text_tfidf_top_terms",
     # same 1-row broadcast-N shape as tfidf (corpus token total)
     "text_unigram_likelihood",
+    # post-stream batch filter attaches a broadcast 1-row max(ts) aggregate
+    # (the safe-cutoff literal) — 1-row build side, constant-attach
+    "stream_stream_left_outer",
 }
 ALLOWED_ROW_PY = {"text_shingle_udtf"}
 

@@ -99,14 +99,21 @@ def test_driver_window_covers_required_families():
     """The driver verifies only the first DRIVER_WINDOW entries of
     queries().  Round-5 rotation policy (CORRECTNESS_r04 was 50/50, so all
     r4 slots rotate out with verdicts standing): the window holds (a) the
-    last three oracle-bearing queries with no driver verdict — the live
-    streams whose batch twins went green in r4, (b) every query whose only
-    verdict is from round-1-era code, and (c) the §2.8/§2.10 core whose
-    verdicts are from r3-era code."""
+    three live streams whose batch twins went green in r4 but that never
+    had a driver verdict, (b) every query ADDED in round 5 (first verdicts
+    outrank refreshes), (c) every query whose only verdict is from
+    round-1-era code, and (d) the remaining §2.8/§2.10 core refresh slots,
+    bench headliners first."""
     window = set(list(registry.all_queries())[: registry.DRIVER_WINDOW])
     live_streams = {
         "stream_sliding_live", "stream_watermark_late_live",
         "stream_dedup_live",
+    }
+    round5_new = {
+        "sample_temperature_weighted", "text_unigram_likelihood",
+        "text_pii_scrub", "dedup_exact_prefix", "multimodal_dedup_exact",
+        "stream_stream_left_outer", "stream_chained_dedup_agg",
+        "incremental_agg_merge", "embed_quantize_int8",
     }
     r1_era = {
         "geo_point_wkt", "geo_crs_infer_ranges", "geo_wkb_roundtrip",
@@ -117,12 +124,10 @@ def test_driver_window_covers_required_families():
         "multimodal_frame_sample",
     }
     r3_era_core = {
-        # §2.8 R1-R20 subset whose verdicts are pass-r3
-        "scan_project", "filter_pred", "pricing_summary", "join_inner_hash",
-        "join_broadcast_4way", "join_left_right_full", "join_semi_anti",
-        "agg_distinct", "agg_approx_distinct", "grouping_sets_cube_rollup",
-        "window_rank_topn", "window_analytic", "sort_limit_topk", "set_ops",
-        "scalar_string_date_math", "array_map_json", "distinct_dedup_exact",
+        # §2.8 refresh: bench headliners + changed/windowed queries
+        "pricing_summary", "join_broadcast_4way", "agg_distinct",
+        "agg_approx_distinct", "grouping_sets_cube_rollup",
+        "window_rank_topn", "window_analytic", "sort_limit_topk",
         # §2.10 L1-L9
         "text_stats", "text_normalize_tokenize", "dedup_exact_hash",
         "dedup_minhash_lsh", "embed_normalize", "knn_cosine_topk",
@@ -131,7 +136,7 @@ def test_driver_window_covers_required_families():
         "agg_percentiles", "pivot_lang_counts", "agg_histogram",
         "join_null_safe", "join_bucketed_colocated", "stream_user_state",
     }
-    required = live_streams | r1_era | r3_era_core
+    required = live_streams | round5_new | r1_era | r3_era_core
     missing = sorted(required - window)
     assert not missing, f"outside driver window: {missing}"
     assert len(required) == registry.DRIVER_WINDOW
