@@ -276,12 +276,54 @@ def q_stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_session_live")  # rows-only: append mode withholds tail sessions
+@query(
+    "stream_session_live",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 30 MINUTE
+           <= (SELECT max(ts) - INTERVAL 40 MINUTE FROM events)
+    ORDER BY user_id, session_start
+    """,
+)
 def q_stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3 via readStream+AvailableNow; emitted sessions are a verified subset
-    of the batch twin (tests/test_streaming_live.py)."""
-    return run_available_now(
+    """S3 via readStream+AvailableNow.  Append mode emits a session only
+    once the watermark proves it closed (wm ≥ session_end = last event +
+    gap), so the unrestricted output withholds an arrival-dependent tail —
+    this was rows-only through round 4.  Round 5 applies the same
+    safe-cutoff rule as stream_stream_left_outer: restrict BOTH sides to
+    sessions with session_end ≤ max(ts) − 40 min — safely inside the
+    guaranteed-emitted region (the close boundary is max(ts) − 10 min
+    watermark), where streaming and batch sessionization provably agree —
+    and the row-level hash comparison becomes exact."""
+    out = run_available_now(
         stream_session_live(events_stream(spark, sf_dir)), "q_session", "append"
+    )
+    from duckdb_postgis_spark.catalog import table as _t
+
+    mx = _t(spark, sf_dir, "events").agg(F.max("ts").alias("mx"))
+    return (
+        out.join(F.broadcast(mx))
+        .filter(F.col("session_end") <= F.col("mx") - F.expr("INTERVAL 40 MINUTES"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
     )
 
 

@@ -44,6 +44,7 @@ ALLOWED_BNLJ = {
     # post-stream batch filter attaches a broadcast 1-row max(ts) aggregate
     # (the safe-cutoff literal) — 1-row build side, constant-attach
     "stream_stream_left_outer",
+    "stream_session_live",
 }
 ALLOWED_ROW_PY = {"text_shingle_udtf"}
 

@@ -150,13 +150,12 @@ def test_priority_names_all_registered():
 
 
 def test_oracle_coverage_floor():
-    # every query has an oracle except the five with a documented reason
-    # (ANN recall approximate by design, append-mode tail semantics);
-    # agg_approx_distinct gained an oracle in round 3 (exact columns
-    # hash-verified + HLL error pinned as TRUE booleans)
+    # every query has an oracle except the four ANN queries (recall
+    # approximate by design, pinned in tests/test_ann.py);
+    # stream_session_live gained an exact oracle in round 5 (safe-cutoff
+    # restriction to the guaranteed-closed session region)
     rows_only = set(registry.QUERIES) - set(registry.ORACLES)
     assert rows_only <= {
         "knn_ivf_lsh", "similarity_search_ann",
         "similarity_search_ivf", "similarity_search_ivf_pruned",
-        "stream_session_live",
     }, f"unexpected rows-only queries: {rows_only}"
