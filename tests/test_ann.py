@@ -87,3 +87,19 @@ def test_ivf_recall_survives_content_ordered_ids(spark, sf_dir, tmp_path):
     approx = {r.vec_id for r in registry.QUERIES["similarity_search_ivf"](spark, pdir).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"query recall@10 on content-ordered ids {recall}"
+
+
+def test_similarity_search_quantized_recall(spark, sf_dir):
+    # int8 quantization over 64 dims loses little ranking signal and the
+    # 40-candidate exact re-rank recovers the rest — observed recall 1.0;
+    # pin >= 0.9 to leave room for dimension/SF drift
+    exact = {r.vec_id for r in registry.QUERIES["similarity_search_query"](spark, sf_dir).collect()}
+    approx = {r.vec_id for r in registry.QUERIES["similarity_search_quantized"](spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"query recall@10 {recall}"
+
+
+def test_similarity_search_quantized_deterministic(spark, sf_dir):
+    a = registry.QUERIES["similarity_search_quantized"](spark, sf_dir).collect()
+    b = registry.QUERIES["similarity_search_quantized"](spark, sf_dir).collect()
+    assert a == b

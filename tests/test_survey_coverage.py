@@ -54,6 +54,7 @@ SCALE = [
     "join_bucketed_colocated", "join_range_bucketed", "pivot_lang_counts",
     "agg_histogram", "events_multigrain_rollup", "events_gap_fill_locf",
     "join_skew_salted", "similarity_search_ivf_pruned",
+    "similarity_search_quantized",
 ]
 # §2.12d text/dedup extensions
 TEXT_EXT = [
@@ -158,4 +159,5 @@ def test_oracle_coverage_floor():
     assert rows_only <= {
         "knn_ivf_lsh", "similarity_search_ann",
         "similarity_search_ivf", "similarity_search_ivf_pruned",
+        "similarity_search_quantized",
     }, f"unexpected rows-only queries: {rows_only}"
