@@ -1714,3 +1714,61 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) > 3).cast("int").alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate percentiles with pinned error (round 5 — the scale path
+# agg_percentiles' docstring promises)
+# --------------------------------------------------------------------------
+@query(
+    "agg_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS exact_price_p95,
+           TRUE AS p50_within_5pct,
+           TRUE AS p95_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate percentiles, made oracle-checkable exactly
+    like agg_approx_distinct: the output carries the EXACT percentiles
+    (hash-verified against DuckDB quantile_cont) plus booleans asserting
+    Spark's approx_percentile estimate sits within 5% relative error —
+    the oracle pins them TRUE, so the sketch accuracy itself is under
+    driver test, not just the exact twin.
+
+    Scale: THIS is the 100 TB percentile path — approx_percentile's
+    sketch is mergeable and partial-agg friendly (map-side state is
+    O(accuracy), not O(rows)), where exact percentile must shuffle the
+    full value multiset per group."""
+    li = table(spark, sf_dir, "lineitem")
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) / F.col(exact) < F.lit(0.05)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("exact_p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias(
+                "exact_price_p95"
+            ),
+            F.expr("approx_percentile(l_quantity, 0.5, 10000)")
+            .cast("double")
+            .alias("_apx_p50"),
+            F.expr("approx_percentile(l_extendedprice, 0.95, 10000)")
+            .cast("double")
+            .alias("_apx_p95"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            "exact_price_p95",
+            within("_apx_p50", "exact_p50").alias("p50_within_5pct"),
+            within("_apx_p95", "exact_price_p95").alias("p95_within_5pct"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -50,7 +50,8 @@ MULTIMODAL = [
 # §2.12b ANN / skew / layout
 SCALE = [
     "knn_ivf_lsh", "similarity_search_ann", "similarity_search_ivf",
-    "agg_skew_salted", "agg_percentiles", "events_partition_pruned",
+    "agg_skew_salted", "agg_percentiles", "agg_approx_percentiles",
+    "events_partition_pruned",
     "join_bucketed_colocated", "join_range_bucketed", "pivot_lang_counts",
     "agg_histogram", "events_multigrain_rollup", "events_gap_fill_locf",
     "join_skew_salted", "similarity_search_ivf_pruned",
