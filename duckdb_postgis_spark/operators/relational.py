@@ -1772,3 +1772,79 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# R30 lag-1 autocorrelation of the hourly event series (round 5)
+# --------------------------------------------------------------------------
+@query(
+    "events_autocorrelation",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT event_type, c AS x,
+               LAG(c) OVER (PARTITION BY event_type ORDER BY hr) AS y
+        FROM h
+    ),
+    m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM p WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS lag1_autocorr
+    FROM m ORDER BY event_type
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event-count series per type —
+    the persistence/seasonality probe of time-series monitoring (near 0:
+    memoryless arrivals; near 1: trending load; negative: oscillation).
+    Semantics: Pearson correlation between consecutive observations of the
+    ordered hourly series.  All moments are exact BIGINT sums of integer
+    counts; the final expression is one fixed sequence of IEEE double ops
+    mirrored textually in the oracle (the agg_corr_exact convention), so
+    the correlation is bit-identical cross-engine.
+
+    Scale: hourly rollup is a partial agg (shuffle moves |hours × types|);
+    the lag pairs ride a window partitioned by type (the series per type
+    fits one partition at any scale — |hours| rows); moments partial-agg
+    again. Three tiny exchanges after the one events scan."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    p = h.select(
+        "event_type",
+        F.col("c").alias("x"),
+        F.lag("c").over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    m = p.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(
+        "event_type", F.col("n").alias("n_pairs"), corr.alias("lag1_autocorr")
+    ).transform(sorted_small, "event_type")

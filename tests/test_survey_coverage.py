@@ -18,7 +18,7 @@ RELATIONAL = [
     "array_map_json", "subquery_scalar_in", "distinct_dedup_exact",
     "window_trailing_range", "unpivot_metrics", "window_rank_distribution",
     "agg_string_bool", "agg_corr_exact", "events_funnel", "retention_cohorts",
-    "sessionize_islands", "events_anomaly_zscore",
+    "sessionize_islands", "events_anomaly_zscore", "events_autocorrelation",
 ]
 # §2.9 streaming batch twins + §2.12c live streams
 STREAMING = [
