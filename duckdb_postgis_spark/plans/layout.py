@@ -376,3 +376,86 @@ def similarity_search_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("cosine_raw", 6).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Manifest-based snapshot versioning (time travel) — round 5
+# --------------------------------------------------------------------------
+def ensure_versioned_docs(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a two-version manifest table over documents: version 1
+    holds the even doc_ids; version 2 APPENDS the odd ones as new files —
+    v1's data files are never touched.  Each manifest-N.json lists the
+    absolute parquet files visible at that version, which is the entire
+    mechanism behind Iceberg/Delta time travel: a snapshot is a file list,
+    append = new files + a new manifest, old manifests keep reading the
+    old files.  The manifest write is driver-side metadata (a few KB at
+    any data scale)."""
+    import json
+
+    path = f"{_LAYOUT_ROOT}/docs_versioned_{_token(sf_dir, 'documents')}"
+    if not os.path.exists(f"{path}/manifest-2.json"):
+        docs = table(spark, sf_dir, "documents")
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/data/add-1")
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/data/add-2")
+
+        def parts(sub: str) -> list[str]:
+            d = f"{path}/data/{sub}"
+            return sorted(
+                f"{d}/{f}" for f in os.listdir(d) if f.endswith(".parquet")
+            )
+
+        v1 = parts("add-1")
+        with open(f"{path}/manifest-1.json", "w") as fh:
+            json.dump({"version": 1, "files": v1}, fh)
+        with open(f"{path}/manifest-2.json", "w") as fh:
+            json.dump({"version": 2, "files": v1 + parts("add-2")}, fh)
+    return path
+
+
+def read_snapshot(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Time-travel read: the scan's file list IS the manifest's list —
+    files appended after this version physically cannot be read."""
+    import json
+
+    with open(f"{root}/manifest-{version}.json") as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(*manifest["files"])
+
+
+@query(
+    "snapshot_time_travel",
+    oracle="""
+    SELECT 1 AS version, lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    UNION ALL
+    SELECT 2 AS version, lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    ORDER BY version, lang
+    """,
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the SAME logical table at two versions (§2.13): version 1 sees
+    only the pre-append files, version 2 sees the appended corpus — proven
+    by aggregating both snapshots in one result.  The oracle recomputes
+    each version's membership from the base table, so a leak of v2 files
+    into the v1 read (the classic manifest bug) is a driver hash failure.
+
+    Scale: a snapshot read costs exactly the files in its manifest;
+    version metadata never touches the data path.  This is the plain-
+    parquet skeleton of Iceberg/Delta VERSION AS OF."""
+    root = ensure_versioned_docs(spark, sf_dir)
+
+    def agg(df: DataFrame, v: int) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count("*").alias("n"), F.sum("n_chars").alias("total_chars")
+        ).select(F.lit(v).alias("version"), "lang", "n", "total_chars")
+
+    v1 = agg(read_snapshot(spark, root, 1), 1)
+    v2 = agg(read_snapshot(spark, root, 2), 2)
+    return v1.unionByName(v2).orderBy("version", "lang")

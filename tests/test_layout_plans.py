@@ -6,6 +6,8 @@ scan/exchange structure that makes the layouts pay off at 100 TB.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from duckdb_postgis_spark import registry
 from tests.test_plans import plan_of
 
@@ -101,3 +103,25 @@ def test_ivf_pruned_scan_uses_partition_filters(spark, sf_dir):
     )
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "cell" in pf[0], plan
+
+
+def test_snapshot_v1_immutable_after_append(spark, sf_dir):
+    """Time-travel gate: reading version 1 AFTER version 2 exists returns
+    exactly the pre-append membership, and the v1 scan's file list is
+    manifest-1's list (appended files physically unreadable)."""
+    import json
+
+    from duckdb_postgis_spark.plans.layout import (
+        ensure_versioned_docs,
+        read_snapshot,
+    )
+
+    root = ensure_versioned_docs(spark, sf_dir)
+    v1 = read_snapshot(spark, root, 1)
+    assert v1.filter("doc_id % 2 = 1").count() == 0
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert v1.count() == base.filter("doc_id % 2 = 0").count()
+    with open(f"{root}/manifest-1.json") as fh:
+        m1 = json.load(fh)
+    scanned = {r[0] for r in v1.select(F.input_file_name()).distinct().collect()}
+    assert len(scanned) == len(m1["files"])

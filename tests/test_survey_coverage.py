@@ -79,7 +79,7 @@ TRAINING = [
 # §2.13 incremental-maintenance (lakehouse) surface
 LAKEHOUSE = [
     "upsert_latest_wins", "scd2_history", "maintenance_compact_roundtrip",
-    "incremental_agg_merge",
+    "incremental_agg_merge", "snapshot_time_travel",
 ]
 
 ALL_DECLARED = (
