@@ -550,3 +550,87 @@ def geo_haversine_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_regionkey")
     )
+
+
+# --------------------------------------------------------------------------
+# G11 k-nearest-neighbor spatial join (round 5)
+# --------------------------------------------------------------------------
+_SUPP_LON = "CAST(((s_suppkey * 7) % 360) - 179.5 AS DECIMAL(6,1))"
+_SUPP_LAT = "CAST(((s_suppkey * 13) % 180) - 89.5 AS DECIMAL(5,1))"
+
+
+@query(
+    "geo_knn_join",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey, CAST({_LON} AS DOUBLE) AS lon, CAST({_LAT} AS DOUBLE) AS lat
+        FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey, CAST({_SUPP_LON} AS DOUBLE) AS slon,
+               CAST({_SUPP_LAT} AS DOUBLE) AS slat
+        FROM supplier
+    ),
+    d AS (
+        SELECT c_custkey, s_suppkey,
+               12742.0 * asin(sqrt(
+                   pow(sin((lat - slat) * {_DEG2RAD} / 2), 2)
+                   + cos(lat * {_DEG2RAD}) * cos(slat * {_DEG2RAD})
+                     * pow(sin((lon - slon) * {_DEG2RAD} / 2), 2)
+               )) AS dist_km
+        FROM c CROSS JOIN s
+    )
+    SELECT c_custkey, s_suppkey, ROUND(dist_km, 6) AS dist_km, rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                     ORDER BY dist_km, s_suppkey) AS rk
+        FROM d
+    ) WHERE rk <= 3
+    ORDER BY c_custkey, rk
+    """,
+)
+def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor spatial join (k=3): each customer point matched
+    to its 3 closest suppliers by great-circle distance — the store-
+    assignment / nearest-facility workload.  Haversine is the same
+    closed-form double expression as G10 (bit-identical cross-engine);
+    the per-customer top-3 is a deterministic (dist, key)-ordered rank.
+
+    Scale: suppliers are a broadcastable dimension (DIMENSIONS note in
+    catalog.py), so the candidate attach is a broadcast against the
+    customer scan — no shuffle of the big side — and the rank compiles to
+    WindowGroupLimit (top-3 state per partition, no full sort).  When the
+    right side outgrows broadcast, the G8 grid-cell equi-join bounds
+    candidates per cell ring first; this operator pins the semantics that
+    rewrite must preserve."""
+    cust = _coords(spark, sf_dir)
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr(_SUPP_LON).cast("double").alias("slon"),
+        F.expr(_SUPP_LAT).cast("double").alias("slat"),
+    )
+    d2r = F.expr(_DEG2RAD)
+    # broadcast dimension-attach: BNLJ with the supplier dim as build side
+    # (declared in the plan lint with the G10 allowance)
+    j = cust.select(
+        "c_custkey", F.col("lon").cast("double").alias("lon"),
+        F.col("lat").cast("double").alias("lat"),
+    ).crossJoin(F.broadcast(supp))
+    dist = 12742.0 * F.asin(
+        F.sqrt(
+            F.pow(F.sin((F.col("lat") - F.col("slat")) * d2r / 2), 2.0)
+            + F.cos(F.col("lat") * d2r)
+            * F.cos(F.col("slat") * d2r)
+            * F.pow(F.sin((F.col("lon") - F.col("slon")) * d2r / 2), 2.0)
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
+    return (
+        j.withColumn("dist_km", dist)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_custkey", "s_suppkey", F.round("dist_km", 6).alias("dist_km"), "rk")
+        .orderBy("c_custkey", "rk")
+    )

@@ -39,6 +39,9 @@ ALLOWED_BNLJ = {
     # bounded build side: one anchor row per region (5 at any SF) — the
     # broadcast cross join is a constant-attach, not a pair explosion
     "geo_haversine_radius",
+    # broadcast dimension-attach (supplier dim, DIMENSIONS note in
+    # catalog.py); the G8 grid rewrite is the documented scale path
+    "geo_knn_join",
     # build side is an ungrouped count() aggregate — exactly 1 row at any SF
     "text_tfidf_top_terms",
     # same 1-row broadcast-N shape as tfidf (corpus token total)
