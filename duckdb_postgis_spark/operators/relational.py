@@ -1848,3 +1848,125 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type", F.col("n").alias("n_pairs"), corr.alias("lag1_autocorr")
     ).transform(sorted_small, "event_type")
+
+
+# --------------------------------------------------------------------------
+# R31 deterministic mode per group (round 5)
+# --------------------------------------------------------------------------
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(l_quantity AS DOUBLE) AS mode_qty,
+           n_occ
+    FROM (
+        SELECT l_returnflag, l_quantity, COUNT(*) AS n_occ,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY COUNT(*) DESC, l_quantity) AS rk
+        FROM lineitem
+        GROUP BY l_returnflag, l_quantity
+    ) WHERE rk = 1
+    ORDER BY l_returnflag
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per group with a DETERMINISTIC tie-break
+    (smallest value wins) — engines' built-in mode() functions break ties
+    arbitrarily, so the portable form is count + rank, which also
+    generalizes to top-k modes.  Scale: two partial aggs (count per
+    (group, value), then WindowGroupLimit rank-1 per group) — the shuffle
+    moves |distinct (group, value)| rows, never the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n_occ")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n_occ").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("double").alias("mode_qty"),
+            "n_occ",
+        )
+        .transform(sorted_small, "l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# R32 CUSUM changepoint detection on the hourly series (round 5)
+# --------------------------------------------------------------------------
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, COUNT(*) AS n_hours, CAST(SUM(c) AS BIGINT) AS total
+        FROM h GROUP BY event_type
+    ),
+    s AS (
+        SELECT h.event_type, h.hr,
+               CAST(SUM(h.c * t.n_hours - t.total) OVER (
+                   PARTITION BY h.event_type ORDER BY h.hr
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cusum,
+               t.n_hours
+        FROM h JOIN tot t USING (event_type)
+    )
+    SELECT event_type, hr AS cp_hour, cusum AS s_at_cp, n_hours
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY abs(cusum) DESC, hr) AS rk
+        FROM s
+    ) WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint estimate per event type: the hour where the
+    cumulative deviation of the hourly count from its mean peaks — the
+    standard level-shift detector of volume monitoring.  Division-free
+    exact form: S_k = Σ_{i≤k} (c_i·N − T) is the mean-centered CUSUM
+    scaled by N (argmax unchanged), all BIGINT arithmetic, so the
+    changepoint and its statistic are exact integers on both engines —
+    no float accumulation at all.
+
+    Scale: hourly partial agg, a |types|-row totals broadcast, one
+    cumulative window per type series (|hours| rows per partition), and a
+    WindowGroupLimit argmax — shuffles move |hours × types|, not events."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("c"))
+    tot = h.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"), F.sum("c").alias("total")
+    )
+    joined = h.join(F.broadcast(tot), "event_type")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = joined.withColumn(
+        "cusum",
+        F.sum(F.col("c") * F.col("n_hours") - F.col("total")).over(wc),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("hr").asc()
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hr").alias("cp_hour"),
+            F.col("cusum").alias("s_at_cp"),
+            "n_hours",
+        )
+        .transform(sorted_small, "event_type")
+    )
