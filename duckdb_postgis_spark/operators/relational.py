@@ -1970,3 +1970,67 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sorted_small, "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# R33 bloom-prefiltered semi join (round 5)
+# --------------------------------------------------------------------------
+_BLOOM_BITS = 4096
+_BLOOM_HASHES = 3
+
+
+@query(
+    "join_semi_bloom_prefilter",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+    )
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def join_semi_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join through an explicit Bloom pre-filter: the selective build
+    side (high-value orders) condenses to a membership sketch that rides
+    the plan as a broadcast 1-row aggregate; the fact scan drops
+    non-members IN THE SCAN STAGE (zero shuffle), and only the surviving
+    candidates meet the build side in the exact semi join.  Bloom filters
+    admit false positives but never false negatives, so the exact join
+    repairs the sketch's errors and the result equals the plain semi join
+    — which is exactly what the oracle computes, making the sketch's
+    no-false-negative property itself driver-verified.
+
+    Scale: THE pattern for selective fact⋈dim semi joins at 100 TB — the
+    fact side's shuffle volume drops from |lineitem| to |candidates|
+    (~selectivity × |lineitem|), at the cost of a few-KB broadcast.
+    Spark's AQE injects runtime bloom filters for this shape on its own
+    (spark.sql.optimizer.runtime.bloomFilter.enabled); this operator pins
+    the explicit, engine-independent form.  The positions array stands in
+    for the bitset; membership is k=3 array_contains probes in codegen."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    sel = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+
+    def positions(key: F.Column) -> list[F.Column]:
+        return [
+            F.pmod(F.xxhash64(F.lit(i), key), F.lit(_BLOOM_BITS))
+            for i in range(_BLOOM_HASHES)
+        ]
+
+    bloom = sel.select(
+        F.explode(F.array(*positions(F.col("o_orderkey")))).alias("p")
+    ).agg(F.collect_set("p").alias("bloom"))
+
+    lp = positions(F.col("l_orderkey"))
+    member = F.array_contains("bloom", lp[0])
+    for p in lp[1:]:
+        member = member & F.array_contains("bloom", p)
+    candidates = li.select("l_orderkey").join(F.broadcast(bloom)).filter(member)
+    return (
+        candidates.join(sel, candidates.l_orderkey == sel.o_orderkey, "leftsemi")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+        .orderBy("l_orderkey")
+    )

@@ -49,12 +49,13 @@ ORACLES: dict[str, str] = {}
 # driver replica (scripts/driver_replica.py --all, run this round: green).
 #
 # ROUND-6 ROTATION PLAN (execute at round-6 start): if CORRECTNESS_r05 is
-# green, (a)-(c) rotate out with verdicts standing.  Must-ins: the EIGHT
+# green, (a)-(c) rotate out with verdicts standing.  Must-ins: the NINE
 # oracle-bearing queries added after this window was frozen —
 # agg_approx_percentiles, events_autocorrelation, snapshot_time_travel,
 # geo_knn_join, agg_mode_per_group, events_changepoint_cusum,
-# pipeline_geo_file_e2e, and the upgraded stream_session_live (oracle
-# added r5, never driver-verified) — plus any r5 failures for a re-prove;
+# pipeline_geo_file_e2e, join_semi_bloom_prefilter, and the upgraded
+# stream_session_live (oracle added r5, never driver-verified) — plus any
+# r5 failures for a re-prove;
 # then bring back the nine r3-era basics dropped this round and the
 # remaining §2.8/§2.10 r3-era slots so the whole core is re-verdicted on
 # r5+ code.  (similarity_search_quantized stays rows-only by design;

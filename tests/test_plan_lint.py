@@ -50,6 +50,8 @@ ALLOWED_BNLJ = {
     # (the safe-cutoff literal) — 1-row build side, constant-attach
     "stream_stream_left_outer",
     "stream_session_live",
+    # the Bloom sketch is a broadcast 1-row collect_set aggregate
+    "join_semi_bloom_prefilter",
 }
 ALLOWED_ROW_PY = {"text_shingle_udtf"}
 

@@ -20,6 +20,7 @@ RELATIONAL = [
     "agg_string_bool", "agg_corr_exact", "events_funnel", "retention_cohorts",
     "sessionize_islands", "events_anomaly_zscore", "events_autocorrelation",
     "agg_mode_per_group", "events_changepoint_cusum",
+    "join_semi_bloom_prefilter",
 ]
 # §2.9 streaming batch twins + §2.12c live streams
 STREAMING = [
