@@ -200,3 +200,71 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value",
         (F.col("s").cast("double") / F.col("n")).alias("avg_value"),
     ).orderBy("day", "event_type")
+
+
+# --------------------------------------------------------------------------
+# Point-in-time join against SCD2 history (round 5)
+# --------------------------------------------------------------------------
+@query(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH h AS (
+        SELECT user_id, event_id AS dim_event_id, value AS bal,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT v.event_id, v.user_id, v.ts, h.dim_event_id, h.bal
+    FROM v LEFT JOIN h
+      ON v.user_id = h.user_id
+     AND h.valid_from <= v.ts
+     AND (h.valid_to IS NULL OR v.ts < h.valid_to)
+    ORDER BY v.event_id
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row (view event) looks up
+    the SCD2 dimension version valid AT ITS OWN timestamp — the
+    feature-store / audit lookup that prevents feature leakage (a view
+    must see the balance as of then, never a later one).  Views before
+    any purchase keep NULL attributes (left join).  SCD2 intervals
+    partition time per key, so each fact matches at most one version.
+
+    Scale: an equi-join on the dimension key with the validity range as a
+    residual predicate — one hash shuffle on user_id; per-key interval
+    lists are bounded by that key's change count, so the residual scan is
+    small and skew follows the hottest key's churn, not corpus size.  The
+    as-of union-merge rewrite (join_asof) is the alternative when the
+    dimension churns too fast to keep intervals."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    h = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("h_user"),
+            F.col("event_id").alias("dim_event_id"),
+            F.col("value").alias("bal"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy("h_user").orderBy("valid_from", "dim_event_id")
+            ),
+        )
+    )
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    cond = (
+        (v.user_id == h.h_user)
+        & (h.valid_from <= v.ts)
+        & (h.valid_to.isNull() | (v.ts < h.valid_to))
+    )
+    return (
+        v.join(h, cond, "left")
+        .select("event_id", "user_id", "ts", "dim_event_id", "bal")
+        .orderBy("event_id")
+    )

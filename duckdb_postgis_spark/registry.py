@@ -43,17 +43,19 @@ ORACLES: dict[str, str] = {}
 #       queries; the nine simplest r3-green relational basics (scan/filter/
 #       basic joins/set ops/scalars) yield their slots — code unchanged
 #       since r3, plan-shape-tested, lowest re-verdict value.
-# Everything NOT in this window holds a pass-r3/r4 verdict or is rows-only
-# by design (4 ANN recall-pinned, stream_session_live append-mode).  Every
-# rotated-in query is locally oracle-green at sf0.01 under the plain-session
-# driver replica (scripts/driver_replica.py --all, run this round: green).
+# Everything NOT in this window holds a pass-r3/r4 verdict, is rows-only
+# by design (5 ANN queries, recall-pinned), or was added after the window
+# froze (the round-6 must-ins below).  Every rotated-in query is locally
+# oracle-green at sf0.01 under the plain-session driver replica
+# (scripts/driver_replica.py --all, run repeatedly this round: green).
 #
 # ROUND-6 ROTATION PLAN (execute at round-6 start): if CORRECTNESS_r05 is
-# green, (a)-(c) rotate out with verdicts standing.  Must-ins: the NINE
+# green, (a)-(c) rotate out with verdicts standing.  Must-ins: the TEN
 # oracle-bearing queries added after this window was frozen —
 # agg_approx_percentiles, events_autocorrelation, snapshot_time_travel,
 # geo_knn_join, agg_mode_per_group, events_changepoint_cusum,
-# pipeline_geo_file_e2e, join_semi_bloom_prefilter, and the upgraded
+# pipeline_geo_file_e2e, join_semi_bloom_prefilter,
+# join_scd2_point_in_time, and the upgraded
 # stream_session_live (oracle added r5, never driver-verified) — plus any
 # r5 failures for a re-prove;
 # then bring back the nine r3-era basics dropped this round and the

@@ -81,7 +81,7 @@ TRAINING = [
 # §2.13 incremental-maintenance (lakehouse) surface
 LAKEHOUSE = [
     "upsert_latest_wins", "scd2_history", "maintenance_compact_roundtrip",
-    "incremental_agg_merge", "snapshot_time_travel",
+    "incremental_agg_merge", "snapshot_time_travel", "join_scd2_point_in_time",
 ]
 
 ALL_DECLARED = (
