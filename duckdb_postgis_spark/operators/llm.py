@@ -1763,3 +1763,70 @@ def similarity_search_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("cosine_raw", 6).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA by power iteration (round 5)
+# --------------------------------------------------------------------------
+_PCA_DIMS = 64
+# the synthetic embeddings are near-isotropic (λ2/λ1 ≈ 0.93), so plain
+# power iteration needs ~60 passes for a converged direction; real
+# embedding corpora have far larger gaps and converge in a handful
+_PCA_ITERS = 64
+
+
+@query("embed_pca_power_iteration")  # rows-only: float summation order is
+# partition-dependent, so the component is approximate across engines by
+# nature; direction pinned against numpy eigendecomposition in tests
+def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by DISTRIBUTED
+    power iteration — the iterative-ML pattern (like dedup's connected
+    components) applied to linear algebra: v ← normalize(Σᵢ xᵢ(xᵢ·v)),
+    Gram-matrix-free, one corpus pass per iteration.  Each pass reduces to
+    a 64-dim vector (explode to (dim, xᵢ[dim]·(xᵢ·v)) then sum per dim),
+    so the driver only ever sees _PCA_DIMS rows per iteration — the
+    corpus never leaves the cluster, and the per-iteration shuffle is
+    |dims| rows.  Fixed deterministic start (all-ones) and _PCA_ITERS
+    iterations make re-runs reproducible on a fixed partitioning.
+
+    Output: per-dimension loading of PC1 (sign-normalized so dim 0 is
+    non-negative) plus the Rayleigh-quotient eigenvalue estimate —
+    the explained-variance numerator of a PCA whitening/compression
+    stage for embedding corpora.  At 100 TB the pass count is the cost:
+    swap plain power iteration for block/oversampled randomized SVD
+    (~4 passes) with the SAME per-pass reduction shape pinned here."""
+    import math
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = [1.0 / math.sqrt(_PCA_DIMS)] * _PCA_DIMS
+    lam = 0.0
+    for _ in range(_PCA_ITERS):
+        vcol = F.array(*[F.lit(float(c)) for c in v])
+        dot = F.aggregate(
+            F.zip_with("embedding", vcol, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        contrib = emb.withColumn("_dot", dot).select(
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double") * F.col("_dot"))
+            ).alias("dim", "w")
+        )
+        rows = (
+            contrib.groupBy("dim")
+            .agg(F.sum("w").alias("s"))
+            .orderBy("dim")
+            .limit(_PCA_DIMS).collect()
+        )
+        nv = [0.0] * _PCA_DIMS
+        for r in rows:
+            nv[r["dim"]] = r["s"]
+        norm = math.sqrt(sum(x * x for x in nv))
+        lam = norm  # Rayleigh estimate: ||Σ x(x·v)|| for unit v
+        v = [x / norm for x in nv]
+    if v[0] < 0:  # sign normalization: eigenvectors are defined up to ±
+        v = [-x for x in v]
+    return spark.createDataFrame(
+        [(i, round(v[i], 6), round(lam, 3)) for i in range(_PCA_DIMS)],
+        "dim INT, pc1_loading DOUBLE, eigenvalue_est DOUBLE",
+    )

@@ -103,3 +103,32 @@ def test_similarity_search_quantized_deterministic(spark, sf_dir):
     a = registry.QUERIES["similarity_search_quantized"](spark, sf_dir).collect()
     b = registry.QUERIES["similarity_search_quantized"](spark, sf_dir).collect()
     assert a == b
+
+
+def test_pca_power_iteration_matches_numpy(spark, sf_dir):
+    """PC1 from distributed power iteration must align with numpy's exact
+    eigendecomposition of the covariance-free Gram direction (|cos| >=
+    0.99 after 8 iterations), and the Rayleigh eigenvalue estimate must
+    be within 5% of numpy's top eigenvalue of X^T X."""
+    import numpy as np
+
+    rows = registry.QUERIES["embed_pca_power_iteration"](spark, sf_dir).collect()
+    v = np.zeros(64)
+    for r in rows:
+        v[r["dim"]] = r["pc1_loading"]
+    lam = rows[0]["eigenvalue_est"]
+
+    X = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype="float64",
+    )
+    w, V = np.linalg.eigh(X.T @ X)
+    top = V[:, np.argmax(w)]
+    cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos >= 0.99, cos
+    assert abs(lam - w.max()) / w.max() < 0.05, (lam, w.max())

@@ -106,6 +106,9 @@ def test_no_unbounded_driver_collect():
         ("pipeline.py", ".limit(1)"),
         # IVF coarse quantizer trains on a fixed-size sample, not the corpus
         ("operators/llm.py", ".limit(_IVF_TRAIN_SAMPLE).select"),
+        # power iteration reduces each pass to a _PCA_DIMS-row vector —
+        # the driver sees 64 rows per iteration, never the corpus
+        ("operators/llm.py", ".limit(_PCA_DIMS).collect()"),
     ]
     offenders = []
     for p in sorted(pkg.rglob("*.py")):

@@ -57,7 +57,7 @@ SCALE = [
     "join_bucketed_colocated", "join_range_bucketed", "pivot_lang_counts",
     "agg_histogram", "events_multigrain_rollup", "events_gap_fill_locf",
     "join_skew_salted", "similarity_search_ivf_pruned",
-    "similarity_search_quantized",
+    "similarity_search_quantized", "embed_pca_power_iteration",
 ]
 # §2.12d text/dedup extensions
 TEXT_EXT = [
@@ -163,4 +163,7 @@ def test_oracle_coverage_floor():
         "knn_ivf_lsh", "similarity_search_ann",
         "similarity_search_ivf", "similarity_search_ivf_pruned",
         "similarity_search_quantized",
+        # float summation order is partition-dependent; direction +
+        # eigenvalue pinned against numpy in tests/test_ann.py
+        "embed_pca_power_iteration",
     }, f"unexpected rows-only queries: {rows_only}"
