@@ -109,10 +109,12 @@ def _probe_events_ts_cached(path: str, _size: int, _mtime_ns: int) -> str:
         # sample of actual values (first batch only — stays driver-cheap
         # at any file size) so the gate cannot be dodged by a stats-less
         # writer silently shipping a different unit in the same int64.
-        for batch in pf.iter_batches(batch_size=1024, columns=["ts"]):
-            vals = batch.column(0).to_pylist()
+        for bi, batch in enumerate(pf.iter_batches(batch_size=1024, columns=["ts"])):
+            if bi >= 64:
+                break  # bounded probe: ≤64k rows even if every batch is null
+            vals = [v for v in batch.column(0).to_pylist() if v is not None]
             if not vals:
-                break
+                continue  # all-null batch: keep sampling until values appear
             if kind == "int64_nanos" and not isinstance(vals[0], _dt.datetime):
                 vals = [
                     _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v // 1000)
@@ -121,6 +123,14 @@ def _probe_events_ts_cached(path: str, _size: int, _mtime_ns: int) -> str:
             vals = [v.replace(tzinfo=None) if v.tzinfo else v for v in vals]
             lo, hi = min(vals), max(vals)
             break
+        if lo is None and pf.metadata.num_rows > 0:
+            # stats-less AND no non-null ts anywhere: the gate cannot
+            # validate the encoding, so fail loud instead of passing it.
+            raise ValueError(
+                f"events.ts at {path} has no row-group statistics and no "
+                "non-null values to sample; cannot validate the physical "
+                "encoding — refusing to load."
+            )
     if lo is not None and not (_TS_SANE_MIN <= lo and hi <= _TS_SANE_MAX):
         raise ValueError(
             f"events.ts at {path} decodes to [{lo} .. {hi}] under encoding "

@@ -23,102 +23,104 @@ ORACLES: dict[str, str] = {}
 # queries() (CORRECTNESS_r01 cut at exactly entry 50 in registration order),
 # so dict order is part of the external contract.  PRIORITY pins the window.
 #
-# ROUND-5 ROTATION (this window; executes — and extends — the plan written
-# here in r4): CORRECTNESS_r04 was 50/50 green, so every r4 slot rotates out
-# with its verdict standing.  The window now holds:
-#   (a) stream_sliding_live / stream_watermark_late_live / stream_dedup_live
-#       — the last three r4-era oracle-bearing queries with no driver
-#       verdict (batch twins r4-green; these prove the readStream path);
-#   (b) the NINE queries ADDED in round 5, none with any driver verdict:
-#       sample_temperature_weighted, text_unigram_likelihood, text_pii_scrub,
-#       dedup_exact_prefix, multimodal_dedup_exact, stream_stream_left_outer,
-#       stream_chained_dedup_agg, incremental_agg_merge, embed_quantize_int8
-#       (first verdicts beat re-verdicts: these outrank stale refreshes);
-#   (c) the 15 queries whose only driver verdict is from the ROUND-1 code
-#       era (geo G3/G4/G6, the §2.12d text/dedup family, cogroup/CC, M3) —
-#       the stalest verdicts in the repo;
-#   (d) the remaining slots refresh the §2.8/§2.10 core (r3-era verdicts),
-#       prioritizing the bench headline set + queries CHANGED this round
-#       (window_rank_topn, text_tfidf_top_terms in (c)) + the API-surface
-#       queries; the nine simplest r3-green relational basics (scan/filter/
-#       basic joins/set ops/scalars) yield their slots — code unchanged
-#       since r3, plan-shape-tested, lowest re-verdict value.
-# Everything NOT in this window holds a pass-r3/r4 verdict, is rows-only
-# by design (5 ANN queries, recall-pinned), or was added after the window
-# froze (the round-6 must-ins below).  Every rotated-in query is locally
-# oracle-green at sf0.01 under the plain-session driver replica
-# (scripts/driver_replica.py --all, run repeatedly this round: green).
+# ROUND-6 ROTATION (this window; executes the plan written here in r5):
+# CORRECTNESS_r05 was 50/50 green, so every r5 slot rotates out with its
+# verdict standing.  The window now holds:
+#   (a) the TEN oracle-bearing queries added after the r5 window froze —
+#       none has any driver verdict (first verdicts beat re-verdicts):
+#       agg_approx_percentiles, events_autocorrelation, agg_mode_per_group,
+#       events_changepoint_cusum, join_semi_bloom_prefilter, geo_knn_join,
+#       pipeline_geo_file_e2e, snapshot_time_travel, join_scd2_point_in_time,
+#       and stream_session_live (oracle upgraded r5, never driver-proven);
+#   (b) the ELEVEN queries whose only verdict rests on ROUND-3-era code —
+#       the stalest in the repo: R1/R2/R4/R6/R7/R16/R17/R18/R20 relational
+#       basics + multimodal M1/M2;
+#   (c) the remaining 29 slots refresh the stalest r4-era verdicts,
+#       prioritizing intricate oracles over plan-shape-simple ones:
+#       §2.8 joins/subqueries/windows (R8 R9 R19 R21-R29), geo G5/G8/G9/G10,
+#       multimodal M4/M5, layout/skew A3 A5 A7 A10 A11 A12, the dedup
+#       verify/survivorship/correlated-subquery chain, lakehouse
+#       upsert/SCD2.
+# Everything NOT in this window holds a pass-r4/r5 verdict, is rows-only by
+# design (5 ANN queries recall-pinned + PCA numpy-pinned), or was added
+# after this window froze (round-7 must-ins).  Every rotated-in query is
+# locally oracle-green at sf0.01 under the plain-session driver replica
+# (scripts/driver_replica.py --all, run at round-6 start: green).
 #
-# ROUND-6 ROTATION PLAN (execute at round-6 start): if CORRECTNESS_r05 is
-# green, (a)-(c) rotate out with verdicts standing.  Must-ins: the TEN
-# oracle-bearing queries added after this window was frozen —
-# agg_approx_percentiles, events_autocorrelation, snapshot_time_travel,
-# geo_knn_join, agg_mode_per_group, events_changepoint_cusum,
-# pipeline_geo_file_e2e, join_semi_bloom_prefilter,
-# join_scd2_point_in_time, and the upgraded
-# stream_session_live (oracle added r5, never driver-verified) — plus any
-# r5 failures for a re-prove;
-# then bring back the nine r3-era basics dropped this round and the
-# remaining §2.8/§2.10 r3-era slots so the whole core is re-verdicted on
-# r5+ code.  (similarity_search_quantized stays rows-only by design;
-# recall pinned in tests/test_ann.py.)
+# ROUND-7 ROTATION PLAN (execute at round-7 start): if CORRECTNESS_r06 is
+# green, (a)-(c) rotate out with verdicts standing.  Must-ins: any query
+# ADDED in round 6 with an oracle (first verdicts first), plus any r6
+# failures for a re-prove; then refresh the remaining r4-era holders not
+# windowed here — upsert_latest_wins + scd2_history (displaced by the two
+# round-6 money-arithmetic changes), S1-S5 batch twins, stream_static_join,
+# stream_stream_join, stream_tumbling_live, stream_upsert_live,
+# maintenance_compact_roundtrip,
+# shards_write_roundtrip, and the §2.12e training set (text_gopher_quality,
+# text_repetition_ratio, sample_stratified_hash, sample_reservoir_topk,
+# seq_pack_greedy, contamination_ngram_overlap, udaf_char_variance,
+# pipeline_training_e2e, source_quality_report) — after which every
+# oracle-bearing query holds an r5+ verdict.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) r4-era oracle-bearing queries with no driver verdict ----------
-    "stream_sliding_live",
-    "stream_watermark_late_live",
-    "stream_dedup_live",
-    # -- (b) round-5 additions: first driver verdicts ----------------------
-    "sample_temperature_weighted",
-    "text_unigram_likelihood",
-    "text_pii_scrub",
-    "dedup_exact_prefix",
-    "multimodal_dedup_exact",
-    "stream_stream_left_outer",
-    "stream_chained_dedup_agg",
-    "incremental_agg_merge",
-    "embed_quantize_int8",
-    # -- (c) round-1-era verdicts: stalest first ---------------------------
-    "geo_point_wkt",
-    "geo_crs_infer_ranges",
-    "geo_wkb_roundtrip",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "text_tfidf_top_terms",
-    "text_shingle_udtf",
-    "cogroup_reconcile",
-    "dedup_cluster_components",
-    "multimodal_frame_sample",
-    # -- (d) §2.8 core refresh: bench headliners + changed/window queries --
+    # -- (a) post-r5-freeze additions: first driver verdicts ---------------
+    "agg_approx_percentiles",
+    "events_autocorrelation",
+    "agg_mode_per_group",
+    "events_changepoint_cusum",
+    "join_semi_bloom_prefilter",
+    "geo_knn_join",
+    "pipeline_geo_file_e2e",
+    "snapshot_time_travel",
+    "join_scd2_point_in_time",
+    "stream_session_live",
+    # -- (b) round-3-era verdicts: stalest backfill ------------------------
+    "scan_project",
+    "filter_pred",
+    "join_inner_hash",
+    "join_left_right_full",
+    "join_semi_anti",
+    "set_ops",
+    "scalar_string_date_math",
+    "array_map_json",
+    "distinct_dedup_exact",
+    "multimodal_meta_stats",
+    "multimodal_image_features",
+    # -- (c) stalest r4-era refreshes: §2.8 joins/subqueries/windows -------
+    "join_theta_range",
+    "join_asof",
+    "subquery_scalar_in",
+    "window_trailing_range",
+    "unpivot_metrics",
+    "window_rank_distribution",
+    "agg_string_bool",
+    "agg_corr_exact",
+    "events_funnel",
+    "retention_cohorts",
+    "sessionize_islands",
+    "events_anomaly_zscore",
+    # -- (c) geo r4-era ----------------------------------------------------
+    "geo_transform_27700_to_4326",
+    "geo_bbox_join_grid",
+    "geo_cell_rollup",
+    "geo_haversine_radius",
+    # -- (c) multimodal r4-era ---------------------------------------------
+    "multimodal_audio_energy",
+    "multimodal_scene_cut",
+    # -- (c) layout / skew r4-era ------------------------------------------
+    "agg_skew_salted",
+    "events_partition_pruned",
+    "join_range_bucketed",
+    "events_multigrain_rollup",
+    "events_gap_fill_locf",
+    "join_skew_salted",
+    # -- (c) dedup chain + correlated subquery r4-era ----------------------
+    "dedup_verify_levenshtein",
+    "dedup_survivorship_merge",
+    "subquery_exists_correlated",
+    # -- (d) queries CHANGED this round (long-cents money arithmetic,
+    #        functions/num.py) — changed code outranks stale refreshes, so
+    #        these displace the two lakehouse r4 slots to round 7 ----------
     "pricing_summary",
     "join_broadcast_4way",
-    "agg_distinct",
-    "agg_approx_distinct",
-    "grouping_sets_cube_rollup",
-    "window_rank_topn",
-    "window_analytic",
-    "sort_limit_topk",
-    # -- (d) §2.10 LLM pipeline L1-L9: r3-era verdicts ---------------------
-    "text_stats",
-    "text_normalize_tokenize",
-    "dedup_exact_hash",
-    "dedup_minhash_lsh",
-    "embed_normalize",
-    "knn_cosine_topk",
-    "similarity_search_query",
-    "multimodal_join",
-    "text_analysis_grouped",
-    # -- (d) §2.12b layout/skew + null-safe + stateful stream: r3-era ------
-    "agg_percentiles",
-    "pivot_lang_counts",
-    "agg_histogram",
-    "join_null_safe",
-    "join_bucketed_colocated",
-    "stream_user_state",
 )
 
 DRIVER_WINDOW = 50

@@ -127,6 +127,9 @@ _BOUNDSHEET, _LABELSST, _LABEL, _RSTRING = 0x0085, 0x00FD, 0x0204, 0x00D6
 _NUMBER, _RK, _MULRK, _BOOLERR, _FORMULA, _STRING = (
     0x0203, 0x027E, 0x00BD, 0x0205, 0x0006, 0x0207,
 )
+# records MS-XLS permits between a string-result FORMULA and its STRING
+# (SHRFMLA / ARRAY / TABLE share the formula expression)
+_FORMULA_INTERVENERS = frozenset({0x04BC, 0x0221, 0x0236})
 
 
 def _records(stream: bytes, pos: int = 0):
@@ -255,6 +258,12 @@ def parse_xls(data: bytes) -> tuple[list[str], list[list]]:
     cells: dict[tuple[int, int], object] = {}
     pending_str: tuple[int, int] | None = None  # FORMULA awaiting its STRING
     for op, payload, _off in _records(stream, sheet_offsets[0]):
+        # a string-result FORMULA's STRING must follow immediately (only
+        # SHRFMLA/ARRAY/TABLE may intervene, MS-XLS 2.4.127); any other
+        # record clears the expectation so a malformed file can't attribute
+        # a later unrelated STRING to the wrong cell (round-6 advice fix)
+        if pending_str is not None and op not in _FORMULA_INTERVENERS and op != _STRING:
+            pending_str = None
         if op == _EOF:
             break
         elif op == _FORMULA:
