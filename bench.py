@@ -36,19 +36,18 @@ def main() -> None:
     from duckdb_postgis_spark import registry
     from duckdb_postgis_spark.catalog import load_tables
 
-    # Bench session tuned for THIS data size (sub-GB): at ms scale the cost
-    # is task scheduling, not data — so few fat splits (8MB) and a 2-way
-    # shuffle beat wide parallelism, and AQE's stage barriers only add
-    # latency. At cluster scale the defaults in session.get_spark (AQE on,
-    # 128MB splits, shuffle partitions ~ cores) apply instead; operators
-    # whose cost is CPU not scan (mapInPandas matmul) set their own
-    # parallelism via explicit repartition and are insensitive to this.
+    # Bench session tuned for THIS data size (sub-GB): scan parallelism is
+    # bounded by the testdata layout anyway (one row group per file → one
+    # scan task per table), AQE's stage barriers only add latency at ms
+    # scale, and an 8-way shuffle covers the tiny aggregate exchanges;
+    # sort-heavy operators (window_rank_topn) pin their own shuffle width
+    # to core count.  At cluster scale the defaults in session.get_spark
+    # (AQE on, 128MB splits, shuffle partitions ~ cores) apply instead.
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("duckdb-postgis-spark-bench")
         .config("spark.sql.adaptive.enabled", "false")
-        .config("spark.sql.shuffle.partitions", "2")
-        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.locality.wait", "0")

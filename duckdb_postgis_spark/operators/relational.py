@@ -423,16 +423,40 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-column COUNT DISTINCT. Scale: Spark expands multi-distinct via
-    grouping-id, one shuffle per distinct set; for 100 TB prefer
-    approx_count_distinct (R11) or pre-aggregated sketches."""
+    """Multi-column COUNT DISTINCT, hand-rolled as a union-expand with a
+    packed long key instead of Spark's Expand-based multi-distinct.
+
+    Why not plain countDistinct ×3: Catalyst plans that as Expand (3×rows)
+    into a partial distinct-agg whose hash key is the full 5-column
+    (group, gid, k1, k2, k3) row — and the whole map side runs inside the
+    scan task.  This formulation makes the same computation explicit:
+    three column-pruned scans of (l_returnflag, key), each key packed as
+    ``key*4 + gid`` into ONE long, unioned (narrow — the branches run as
+    parallel tasks of a single stage), then distinct pairs → per-flag
+    counts.  Same two shuffles, same shuffle volume (the distinct pair
+    set), but the partial dedup parallelizes across branches and hashes a
+    (string, long) key instead of five columns — measured 809 vs 1211 ms
+    at sf0.1/local[32] under the fresh-plan bench.
+
+    Scale (100 TB): bytes read ≈ the Expand plan (each branch prunes to 2
+    columns; only l_returnflag is read 3×, and it RLE-compresses to ~
+    nothing), map parallelism is 3× better, and the pack arithmetic is
+    exact for keys < 2^61 (TPC-H SF-100k orderkey ~6e12 ≪ that).  For
+    truly unbounded cardinality prefer approx_count_distinct (R11) or
+    pre-aggregated sketches."""
     li = table(spark, sf_dir, "lineitem")
+    u = (
+        li.select("l_returnflag", (F.col("l_partkey") * 4).alias("gk"))
+        .unionAll(li.select("l_returnflag", F.col("l_suppkey") * 4 + 1))
+        .unionAll(li.select("l_returnflag", F.col("l_orderkey") * 4 + 2))
+    )
+    pairs = u.groupBy("l_returnflag", "gk").agg(F.lit(1))
     return (
-        li.groupBy("l_returnflag")
+        pairs.groupBy("l_returnflag")
         .agg(
-            F.countDistinct("l_partkey").alias("nd_part"),
-            F.countDistinct("l_suppkey").alias("nd_supp"),
-            F.countDistinct("l_orderkey").alias("nd_order"),
+            F.count(F.when(F.col("gk") % 4 == 0, 1)).alias("nd_part"),
+            F.count(F.when(F.col("gk") % 4 == 1, 1)).alias("nd_supp"),
+            F.count(F.when(F.col("gk") % 4 == 2, 1)).alias("nd_order"),
         )
         .orderBy("l_returnflag")
     )
@@ -539,9 +563,12 @@ def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts WindowGroupLimit so each partition keeps only 3 rows pre-sort —
     no full materialization.  The window's sort is the critical path, so the
     shuffle width is pinned to max(configured shuffle partitions, cores):
-    a sort-heavy window should never run with fewer sort tasks than cores
-    (the bench session's 2-way shuffle starved it: 86→64 ms at sf0.1), and
-    on a cluster the configured width wins, so this is identity there."""
+    a sort-heavy window should never run with fewer sort tasks than cores,
+    and on a cluster the configured width wins, so this is identity there.
+    Round-6 settle (verdict #3), measured under the fresh-plan-per-run
+    bench: 7 reps at sf0.1/local[32], median (min-max) — pinned width 337
+    (314-365) vs unpinned-at-sp8 454 (357-538) vs unpinned-at-sp32 384
+    (347-436) ms: the pin wins beyond run-to-run spread, so it stays."""
     orders = table(spark, sf_dir, "orders")
     try:
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))

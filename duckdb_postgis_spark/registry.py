@@ -51,8 +51,9 @@ ORACLES: dict[str, str] = {}
 # green, (a)-(c) rotate out with verdicts standing.  Must-ins: any query
 # ADDED in round 6 with an oracle (first verdicts first), plus any r6
 # failures for a re-prove; then refresh the remaining r4-era holders not
-# windowed here — upsert_latest_wins + scd2_history (displaced by the two
-# round-6 money-arithmetic changes), S1-S5 batch twins, stream_static_join,
+# windowed here — upsert_latest_wins, scd2_history and
+# subquery_exists_correlated (displaced by the three round-6 changed
+# queries), S1-S5 batch twins, stream_static_join,
 # stream_stream_join, stream_tumbling_live, stream_upsert_live,
 # maintenance_compact_roundtrip,
 # shards_write_roundtrip, and the §2.12e training set (text_gopher_quality,
@@ -112,15 +113,16 @@ PRIORITY: tuple[str, ...] = (
     "events_multigrain_rollup",
     "events_gap_fill_locf",
     "join_skew_salted",
-    # -- (c) dedup chain + correlated subquery r4-era ----------------------
+    # -- (c) dedup chain r4-era --------------------------------------------
     "dedup_verify_levenshtein",
     "dedup_survivorship_merge",
-    "subquery_exists_correlated",
-    # -- (d) queries CHANGED this round (long-cents money arithmetic,
-    #        functions/num.py) — changed code outranks stale refreshes, so
-    #        these displace the two lakehouse r4 slots to round 7 ----------
+    # -- (d) queries CHANGED this round (long-cents money arithmetic in
+    #        num.py; union-packed multi-distinct) — changed code outranks
+    #        stale refreshes, so these displace the two lakehouse r4 slots
+    #        and subquery_exists_correlated to round 7 ---------------------
     "pricing_summary",
     "join_broadcast_4way",
+    "agg_distinct",
 )
 
 DRIVER_WINDOW = 50
