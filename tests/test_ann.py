@@ -105,6 +105,41 @@ def test_similarity_search_quantized_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_similarity_search_quantized_constant_vector(spark, tmp_path):
+    """A constant vector has max==min → quantizer scale 0.  Before the
+    round-6 guard, (x - q_min)/scale produced NULL codes and the vector
+    silently vanished from the candidate set even as a true top-10
+    neighbor (round-5 advisor finding).  With code==0 the asymmetric
+    formula degrades to the exact dot, so the constant vector must rank
+    first here (cosine 1.0 against the constant query)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 8
+    rows = [
+        {"vec_id": 0, "embedding": [2.0] * dim},          # the query
+        {"vec_id": 1, "embedding": [3.0] * dim},          # constant: scale==0
+    ] + [
+        {"vec_id": i, "embedding": [1.0 + (j % (i + 1)) for j in range(dim)]}
+        for i in range(2, 14)
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r["embedding"] for r in rows], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    got = registry.QUERIES["similarity_search_quantized"](
+        spark, str(tmp_path)
+    ).collect()
+    assert got, "constant-vector corpus returned no rows"
+    assert got[0].vec_id == 1, f"constant vector not ranked first: {got[:3]}"
+    assert abs(got[0].cosine - 1.0) < 1e-9
+
+
 def test_pca_power_iteration_matches_numpy(spark, sf_dir):
     """PC1 from distributed power iteration must align with numpy's exact
     eigendecomposition of the covariance-free Gram direction (|cos| >=
