@@ -135,6 +135,32 @@ def test_probe_rejects_insane_encoding_without_statistics(tmp_path):
         _probe_events_ts(path)
 
 
+def test_probe_stats_less_skips_nulls(tmp_path):
+    """Round-6 advice fix: a stats-less file whose FIRST sampled batch
+    contains NULL ts values must not TypeError on None arithmetic — the
+    probe filters nulls and validates the remaining real values."""
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [None, None, 1_700_000_000_000_000_000], pa.int64()
+            ),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(t, path, write_statistics=False)
+    assert _probe_events_ts(path) == "int64_nanos"
+
+
+def test_probe_stats_less_all_null_fails_loud(tmp_path):
+    """Round-6 advice fix: all-null stats-less ts used to slip the gate
+    silently (lo stayed None); now it refuses loudly."""
+    t = pa.table({"ts": pa.array([None] * 5, pa.int64())})
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(t, path, write_statistics=False)
+    with pytest.raises(ValueError, match="no non-null values"):
+        _probe_events_ts(path)
+
+
 def test_probe_reprobes_after_inplace_rewrite(tmp_path):
     """The probe cache keys on (path, size, mtime): rewriting the same path
     with a drifted encoding must re-probe and fail, not reuse the cached

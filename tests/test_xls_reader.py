@@ -298,6 +298,36 @@ def test_read_xls_formula_cached_results(spark, tmp_path):
     assert rows == [(1.0, "", False, 5), (2.5, "fs", True, None)]
 
 
+def test_read_xls_orphan_string_not_misattributed(spark, tmp_path):
+    """Round-6 advice fix: a string-result FORMULA whose STRING record is
+    MISSING must not capture a later unrelated STRING record.  Here the
+    string-FORMULA at (1,0) is followed by a NUMBER cell (clearing the
+    expectation) and then an orphan STRING — which must be ignored, leaving
+    (1,0) absent (None), not 'orphan'."""
+    strings = ["a", "b"]
+    sheet = (
+        _bof(0x0010)
+        + _labelsst(0, 0, 0) + _labelsst(0, 1, 1)
+        + _formula_special(1, 0, 0)      # string-result FORMULA, no STRING
+        + _number(1, 1, 7.0)             # intervening cell record
+        + _string("orphan")              # must NOT attach to (1,0)
+        + _labelsst(2, 0, 1) + _number(2, 1, 8.0)  # types the 'a' column
+        + _rec(0x000A, b"")
+    )
+    sst = _sst(strings)
+    sheet_name = b"Sheet1"
+    bsheet = _rec(0x0085, struct.pack("<IHBB", 0, 0, len(sheet_name), 0) + sheet_name)
+    globals_ = _bof(0x0005) + sst + bsheet + _rec(0x000A, b"")
+    bsheet = _rec(0x0085, struct.pack("<IHBB", len(globals_), 0, len(sheet_name), 0) + sheet_name)
+    globals_ = _bof(0x0005) + sst + bsheet + _rec(0x000A, b"")
+    path = str(tmp_path / "orphan.xls")
+    with open(path, "wb") as fh:
+        fh.write(write_cfb_xls(globals_ + sheet))
+    df = read_excel(spark, path)
+    rows = sorted([tuple(r) for r in df.collect()], key=lambda r: str(r[0]))
+    assert rows == [("b", 8.0), (None, 7.0)], rows
+
+
 def test_xls_sniffed_as_excel(tmp_path):
     """The sniffer's magic-byte table must route D0CF11E0 to excel, so the
     new decode path is reachable through read_file."""
