@@ -325,7 +325,8 @@ def test_read_xls_orphan_string_not_misattributed(spark, tmp_path):
         fh.write(write_cfb_xls(globals_ + sheet))
     df = read_excel(spark, path)
     rows = sorted([tuple(r) for r in df.collect()], key=lambda r: str(r[0]))
-    assert rows == [("b", 8.0), (None, 7.0)], rows
+    # integral cached doubles surface as ints (reader convention)
+    assert rows == [(None, 7), ("b", 8)], rows
 
 
 def test_xls_sniffed_as_excel(tmp_path):
