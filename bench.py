@@ -100,7 +100,7 @@ def main() -> None:
         for name in headline:
             queries[name](spark, sf_dir).toArrow()
 
-    # plan-only cost per query, MEASURED (median of 3): python DSL build +
+    # plan-only cost per query, MEASURED (median of 5): python DSL build +
     # Catalyst analysis/optimization + physical planning, no execution.
     # DuckDB's equivalent parse+plan is ~1ms; Spark's py4j+Catalyst is
     # ~30-50ms and scale-independent, so it would swamp ms-scale queries —
@@ -108,7 +108,7 @@ def main() -> None:
     plan_ms: dict[str, float] = {}
     for name in headline:
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df._jdf.queryExecution().executedPlan()

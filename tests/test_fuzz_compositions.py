@@ -323,3 +323,44 @@ def _run_one(spark: SparkSession, sf_dir: str, seed: int) -> None:
 def test_fuzz_composition_parity(spark, sf_dir, chunk):
     for i in range(SEEDS_PER_CHUNK):
         _run_one(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
+
+
+# --------------------------------------------------------------------------
+# rollup / cube family: multi-level aggregation parity over a random base
+# (the NULL-as-subtotal marker rows are where engines disagree first)
+# --------------------------------------------------------------------------
+def _run_rollup(spark: SparkSession, sf_dir: str, seed: int) -> None:
+    rng = random.Random(50_000 + seed)
+    df, sql_from, cols = _base(rng, spark, sf_dir)
+    keys = rng.sample(cols["cat"], min(2, len(cols["cat"])))
+    money = cols["money"][0]
+    mode = rng.choice(["rollup", "cube"])
+
+    aggs = [
+        (F.count(F.lit(1)).alias("n"), "COUNT(*) AS n"),
+        (dsum(money).alias("s_money"), f"{sql_dsum(money)} AS s_money"),
+    ]
+    if rng.random() < 0.5:
+        num = rng.choice(cols["num"])
+        aggs.append((F.max(num).alias("mx"), f"MAX({num}) AS mx"))
+
+    grouped = (df.rollup(*keys) if mode == "rollup" else df.cube(*keys))
+    gdf = grouped.agg(*[c for c, _ in aggs])
+    key_sql = ", ".join(keys)
+    agg_sql = ", ".join(s for _, s in aggs)
+    sql = (
+        f"SELECT {key_sql}, {agg_sql} FROM {sql_from} t "
+        f"GROUP BY {mode.upper()} ({key_sql})"
+    )
+
+    s_cols, s_rows = gdf.columns, [tuple(r) for r in gdf.collect()]
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, f"rollup/cube mismatch seed={seed}\nSQL: {sql}"
+
+
+@pytest.mark.parametrize("chunk", range(3))
+def test_fuzz_rollup_cube_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_rollup(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)

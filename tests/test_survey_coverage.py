@@ -101,46 +101,43 @@ def test_every_survey_operator_is_registered():
 
 def test_driver_window_covers_required_families():
     """The driver verifies only the first DRIVER_WINDOW entries of
-    queries().  Round-5 rotation policy (CORRECTNESS_r04 was 50/50, so all
-    r4 slots rotate out with verdicts standing): the window holds (a) the
-    three live streams whose batch twins went green in r4 but that never
-    had a driver verdict, (b) every query ADDED in round 5 (first verdicts
-    outrank refreshes), (c) every query whose only verdict is from
-    round-1-era code, and (d) the remaining §2.8/§2.10 core refresh slots,
-    bench headliners first."""
+    queries().  Round-6 rotation policy (CORRECTNESS_r05 was 50/50, so all
+    r5 slots rotate out with verdicts standing): the window holds (a) the
+    ten oracle-bearing queries added after the r5 freeze — no driver
+    verdict yet, first verdicts outrank refreshes, (b) the eleven queries
+    whose only verdict rests on round-3-era code, (c) the stalest r4-era
+    refreshes, and (d) the queries whose code CHANGED in round 6
+    (long-cents arithmetic, union-packed distinct)."""
     window = set(list(registry.all_queries())[: registry.DRIVER_WINDOW])
-    live_streams = {
-        "stream_sliding_live", "stream_watermark_late_live",
-        "stream_dedup_live",
+    must_ins = {
+        "agg_approx_percentiles", "events_autocorrelation",
+        "agg_mode_per_group", "events_changepoint_cusum",
+        "join_semi_bloom_prefilter", "geo_knn_join", "pipeline_geo_file_e2e",
+        "snapshot_time_travel", "join_scd2_point_in_time",
+        "stream_session_live",
     }
-    round5_new = {
-        "sample_temperature_weighted", "text_unigram_likelihood",
-        "text_pii_scrub", "dedup_exact_prefix", "multimodal_dedup_exact",
-        "stream_stream_left_outer", "stream_chained_dedup_agg",
-        "incremental_agg_merge", "embed_quantize_int8",
+    r3_era = {
+        "scan_project", "filter_pred", "join_inner_hash",
+        "join_left_right_full", "join_semi_anti", "set_ops",
+        "scalar_string_date_math", "array_map_json", "distinct_dedup_exact",
+        "multimodal_meta_stats", "multimodal_image_features",
     }
-    r1_era = {
-        "geo_point_wkt", "geo_crs_infer_ranges", "geo_wkb_roundtrip",
-        "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-        "text_language_id", "text_quality_score", "text_token_count",
-        "text_fingerprint", "text_tfidf_top_terms", "text_shingle_udtf",
-        "cogroup_reconcile", "dedup_cluster_components",
-        "multimodal_frame_sample",
+    r4_era = {
+        "join_theta_range", "join_asof", "subquery_scalar_in",
+        "window_trailing_range", "unpivot_metrics",
+        "window_rank_distribution", "agg_string_bool", "agg_corr_exact",
+        "events_funnel", "retention_cohorts", "sessionize_islands",
+        "events_anomaly_zscore",
+        "geo_transform_27700_to_4326", "geo_bbox_join_grid",
+        "geo_cell_rollup", "geo_haversine_radius",
+        "multimodal_audio_energy", "multimodal_scene_cut",
+        "agg_skew_salted", "events_partition_pruned", "join_range_bucketed",
+        "events_multigrain_rollup", "events_gap_fill_locf",
+        "join_skew_salted",
+        "dedup_verify_levenshtein", "dedup_survivorship_merge",
     }
-    r3_era_core = {
-        # §2.8 refresh: bench headliners + changed/windowed queries
-        "pricing_summary", "join_broadcast_4way", "agg_distinct",
-        "agg_approx_distinct", "grouping_sets_cube_rollup",
-        "window_rank_topn", "window_analytic", "sort_limit_topk",
-        # §2.10 L1-L9
-        "text_stats", "text_normalize_tokenize", "dedup_exact_hash",
-        "dedup_minhash_lsh", "embed_normalize", "knn_cosine_topk",
-        "similarity_search_query", "multimodal_join", "text_analysis_grouped",
-        # §2.12b layout/skew + null-safe + stateful stream
-        "agg_percentiles", "pivot_lang_counts", "agg_histogram",
-        "join_null_safe", "join_bucketed_colocated", "stream_user_state",
-    }
-    required = live_streams | round5_new | r1_era | r3_era_core
+    changed_r6 = {"pricing_summary", "join_broadcast_4way", "agg_distinct"}
+    required = must_ins | r3_era | r4_era | changed_r6
     missing = sorted(required - window)
     assert not missing, f"outside driver window: {missing}"
     assert len(required) == registry.DRIVER_WINDOW
