@@ -161,14 +161,34 @@ def rebuild_events_ts(df: DataFrame) -> DataFrame:
     )
 
 
+#: logical-DataFrame cache keyed by (session id, sf_dir, table, file
+#: size+mtime).  A base relation's DataFrame is just an analyzed logical
+#: plan — reusing it does NOT reuse any execution state (each downstream
+#: query builds a fresh physical plan → fresh RDDs → full re-execution),
+#: it only skips the repeated py4j read + parquet schema fetch (~30-60 ms
+#: per table per call).  This mirrors the DuckDB oracle setup, which
+#: registers its views over the same files once per session.  The
+#: size/mtime key drops the entry if the file is rewritten in place, the
+#: same staleness rule as the events-ts probe cache.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    st = os.stat(path)
+    key = (spark, sf_dir, name, st.st_size, st.st_mtime_ns)
+    df = _TABLE_CACHE.get(key)
+    if df is not None:
+        return df
     if name == "events":
-        path = f"{sf_dir}/{name}.parquet"
         _probe_events_ts(path)  # loud sanity gate, cached per path
         # harmless when ts is a real timestamp; required for legacy nanos
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return rebuild_events_ts(spark.read.parquet(path))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = rebuild_events_ts(spark.read.parquet(path))
+    else:
+        df = spark.read.parquet(path)
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
