@@ -364,3 +364,78 @@ def _run_rollup(spark: SparkSession, sf_dir: str, seed: int) -> None:
 def test_fuzz_rollup_cube_parity(spark, sf_dir, chunk):
     for i in range(SEEDS_PER_CHUNK):
         _run_rollup(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
+
+
+# --------------------------------------------------------------------------
+# two-level re-aggregation family (TPC-H Q13 shape): per-key aggregate →
+# LEFT JOIN back to the dimension → aggregate the aggregate.  The nullable
+# inner-agg columns flowing through the outer join into COUNT/SUM/COALESCE
+# are the classic cross-engine divergence surface.
+# --------------------------------------------------------------------------
+def _run_reagg(spark: SparkSession, sf_dir: str, seed: int) -> None:
+    rng = random.Random(70_000 + seed)
+    oc, osql = _o_pred(rng)
+    orders = table(spark, sf_dir, "orders").filter(oc)
+    inner = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_ord"),
+        dsum("o_totalprice").alias("tot"),
+    )
+    inner_sql = (
+        f"SELECT o_custkey, COUNT(*) AS n_ord, "
+        f"{sql_dsum('o_totalprice')} AS tot "
+        f"FROM orders WHERE {osql} GROUP BY o_custkey"
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    if rng.random() < 0.5:
+        cc, csql = _c_pred(rng)
+        cust = cust.filter(cc)
+        cust_sql = f"(SELECT * FROM customer WHERE {csql})"
+    else:
+        cust_sql = "customer"
+    joined = cust.join(inner, cust.c_custkey == inner.o_custkey, "left")
+
+    mode = rng.choice(["by_segment", "by_count"])
+    if mode == "by_segment":
+        keys, key_sql = ["c_mktsegment"], "c_mktsegment"
+        gdf = joined.groupBy("c_mktsegment")
+    else:
+        # Q13 proper: distribution of customers by order count, zero bucket
+        # included via COALESCE over the outer-join null
+        joined = joined.withColumn("n_bucket", F.coalesce("n_ord", F.lit(0)))
+        keys, key_sql = ["n_bucket"], "COALESCE(n_ord, 0) AS n_bucket"
+        gdf = joined.groupBy("n_bucket")
+
+    aggs = [
+        (F.count(F.lit(1)).alias("n_cust"), "COUNT(*) AS n_cust"),
+        # COUNT over the nullable inner aggregate — skips the no-order rows
+        (F.count("n_ord").alias("n_with"), "COUNT(n_ord) AS n_with"),
+        (dsum("tot").alias("s_tot"), f"{sql_dsum('tot')} AS s_tot"),
+    ]
+    if rng.random() < 0.5:
+        aggs.append(
+            (
+                F.sum(F.coalesce("n_ord", F.lit(0))).cast("long").alias("s_n"),
+                "CAST(SUM(COALESCE(n_ord, 0)) AS BIGINT) AS s_n",
+            )
+        )
+    gdf = gdf.agg(*[c for c, _ in aggs])
+    agg_sql = ", ".join(s for _, s in aggs)
+    group_expr = "c_mktsegment" if mode == "by_segment" else "COALESCE(n_ord, 0)"
+    sql = (
+        f"SELECT {key_sql}, {agg_sql} "
+        f"FROM {cust_sql} c LEFT JOIN ({inner_sql}) i "
+        f"ON c.c_custkey = i.o_custkey GROUP BY {group_expr}"
+    )
+
+    s_cols, s_rows = gdf.columns, [tuple(r) for r in gdf.collect()]
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, f"reagg mismatch seed={seed}\nSQL: {sql}"
+
+
+@pytest.mark.parametrize("chunk", range(3))
+def test_fuzz_reagg_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_reagg(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
