@@ -78,6 +78,40 @@ def test_pricing_summary_partial_agg(plans):
     assert "Coalesce" in final_tree
 
 
+def test_pricing_summary_stays_on_long_fast_path(plans):
+    """Round 6: the money aggregates run as long/decimal-free partial sums
+    inside whole-stage codegen — no per-row BigDecimal.  The only DECIMAL
+    in the plan is the 6-row hi/lo recombination AFTER the final
+    aggregate (lsum_split), never in the scan-side partial aggregate."""
+    p = plans("pricing_summary")
+    final_tree = p.split("== Initial Plan ==")[0]
+    assert "partial_sum" in p
+    assert final_tree.count("Exchange") == 1  # one 6-row agg shuffle
+    # FLOOR-based cents in the hot path; the old decimal(18,2) input casts
+    # are gone — the only decimals left are the 6-row lsum_split
+    # recombination (decimal(38,0)) after the final aggregate
+    assert "FLOOR" in p
+    assert "decimal(18,2)" not in p
+    assert "decimal(38,0)" in p
+
+
+def test_agg_distinct_union_packed_plan(plans):
+    """Round 6: multi-distinct as a 3-branch union with packed long keys —
+    NO Expand node (that was the single-task 3×row blowup), exactly the
+    two aggregation shuffles (distinct pairs, then per-flag counts) plus
+    the tiny ordering exchange, and 3 column-pruned scans."""
+    p = plans("agg_distinct")
+    final_tree = p.split("== Initial Plan ==")[0]
+    assert "Expand" not in final_tree
+    assert final_tree.count("Scan parquet") == 3
+    assert final_tree.count("Exchange") <= 3
+    assert "Union" in final_tree
+    # branch scans prune to exactly two columns each
+    assert "ReadSchema: struct<l_partkey:bigint,l_returnflag:string>" in p
+    assert "ReadSchema: struct<l_suppkey:bigint,l_returnflag:string>" in p
+    assert "ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>" in p
+
+
 def test_semi_anti_join_types(plans):
     p = plans("join_semi_anti")
     assert "LeftSemi" in p and "LeftAnti" in p
