@@ -439,3 +439,102 @@ def _run_reagg(spark: SparkSession, sf_dir: str, seed: int) -> None:
 def test_fuzz_reagg_parity(spark, sf_dir, chunk):
     for i in range(SEEDS_PER_CHUNK):
         _run_reagg(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
+
+
+# --------------------------------------------------------------------------
+# events time-series family: filter → time-grain rollup → series window →
+# per-type aggregate.  Exercises the streaming batch-twin surface (grain
+# bucketing, lag/running sums over the series) plus the ts-encoding
+# rebuild in catalog.table.  DuckDB gotcha honored: date_trunc('day')
+# returns DATE there, so the oracle casts the grain back to TIMESTAMP.
+# --------------------------------------------------------------------------
+def _run_events(spark: SparkSession, sf_dir: str, seed: int) -> None:
+    rng = random.Random(30_000 + seed)
+
+    preds = []
+    if rng.random() < 0.6:
+        types = rng.sample(
+            ["click", "view", "purchase", "signup", "error"], rng.randint(1, 3)
+        )
+        inlist = ", ".join(f"'{t}'" for t in types)
+        preds.append(
+            (F.col("event_type").isin(types), f"event_type IN ({inlist})")
+        )
+    if rng.random() < 0.5:
+        v = rng.randint(5, 80)
+        preds.append((F.col("value") <= v, f"value <= {v}"))
+    if rng.random() < 0.4:
+        m = rng.randint(2, 5)
+        r = rng.randrange(m)
+        preds.append((F.col("user_id") % m == r, f"user_id % {m} = {r}"))
+    if not preds:
+        preds.append((F.col("value") >= 0, "value >= 0"))
+    cond = preds[0][0]
+    for c, _ in preds[1:]:
+        cond = cond & c
+    where = " AND ".join(s for _, s in preds)
+
+    grain = rng.choice(["hour", "day"])
+    ev = table(spark, sf_dir, "events").filter(cond)
+    h = ev.groupBy(
+        "event_type", F.date_trunc(grain, "ts").alias("g")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        dsum("value").alias("v"),
+    )
+    h_sql = (
+        f"SELECT event_type, CAST(date_trunc('{grain}', ts) AS TIMESTAMP) AS g, "
+        f"COUNT(*) AS c, {sql_dsum('value')} AS v "
+        f"FROM events WHERE {where} GROUP BY 1, 2"
+    )
+
+    wfn = rng.choice(["lag", "running", "none"])
+    if wfn == "lag":
+        w = Window.partitionBy("event_type").orderBy("g")
+        h = h.withColumn("wv", F.lag("c", 1).over(w))
+        h_sql = (
+            f"SELECT t.*, LAG(c, 1) OVER (PARTITION BY event_type ORDER BY g)"
+            f" AS wv FROM ({h_sql}) t"
+        )
+    elif wfn == "running":
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("g")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        h = h.withColumn("wv", F.sum("c").over(w))
+        h_sql = (
+            f"SELECT t.*, SUM(c) OVER (PARTITION BY event_type ORDER BY g "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wv "
+            f"FROM ({h_sql}) t"
+        )
+
+    aggs = [
+        (F.count(F.lit(1)).alias("n_buckets"), "COUNT(*) AS n_buckets"),
+        (F.sum("c").cast("long").alias("n_events"), "CAST(SUM(c) AS BIGINT) AS n_events"),
+        (F.min("c").cast("long").alias("mn_c"), "CAST(MIN(c) AS BIGINT) AS mn_c"),
+        (F.max("c").cast("long").alias("mx_c"), "CAST(MAX(c) AS BIGINT) AS mx_c"),
+        (dsum("v").alias("s_v"), f"{sql_dsum('v')} AS s_v"),
+    ]
+    if wfn != "none":
+        aggs.append(
+            (
+                F.sum("wv").cast("long").alias("s_w"),
+                "CAST(SUM(wv) AS BIGINT) AS s_w",
+            )
+        )
+    gdf = h.groupBy("event_type").agg(*[c for c, _ in aggs])
+    agg_sql = ", ".join(s for _, s in aggs)
+    sql = f"SELECT event_type, {agg_sql} FROM ({h_sql}) s GROUP BY event_type"
+
+    s_cols, s_rows = gdf.columns, [tuple(r) for r in gdf.collect()]
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, f"events-series mismatch seed={seed}\nSQL: {sql}"
+
+
+@pytest.mark.parametrize("chunk", range(3))
+def test_fuzz_events_series_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_events(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
