@@ -113,7 +113,11 @@ def main() -> None:
             df = queries[name](spark, sf_dir)
             df._jdf.queryExecution().executedPlan()
             times.append(time.perf_counter() - t0)
-        plan_ms[name] = statistics.median(times) * 1000
+        # min, not median: the deterministic lower bound of plan cost, so
+        # the subtraction below cannot overstate how fast execution is —
+        # GC/JIT noise in a plan rep inflates the reported query time
+        # (conservative) instead of deflating it
+        plan_ms[name] = min(times) * 1000
 
     results: dict[str, float] = {}
     run_full_ms: dict[str, float] = {}

@@ -14,6 +14,7 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
@@ -21,7 +22,10 @@ import traceback
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 
-SF_DIR = "/root/testdata/sf0.01"
+#: override with SPARK_GRAFT_REPLICA_SF_DIR to rehearse at another scale
+#: (round 6: a full sf0.1 sweep doubles as a perf-cliff check on the
+#: window before the driver runs it)
+SF_DIR = os.environ.get("SPARK_GRAFT_REPLICA_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main() -> int:
