@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from duckdb_postgis_spark.catalog import table
-from duckdb_postgis_spark.functions.num import dsum, sql_dsum
+from duckdb_postgis_spark.functions.num import cents, dsum, sql_cents, sql_dsum
 from tests.oracle_harness import normalize, run_oracle
 
 SEEDS_PER_CHUNK = 20
@@ -538,3 +538,60 @@ def _run_events(spark: SparkSession, sf_dir: str, seed: int) -> None:
 def test_fuzz_events_series_parity(spark, sf_dir, chunk):
     for i in range(SEEDS_PER_CHUNK):
         _run_events(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
+
+
+# --------------------------------------------------------------------------
+# set-operations family: UNION / UNION ALL / INTERSECT (ALL) / EXCEPT (ALL)
+# between two randomly-filtered projections of the same table.  Bag vs set
+# semantics and duplicate handling are exactly where engines drift.
+# --------------------------------------------------------------------------
+def _run_setop(spark: SparkSession, sf_dir: str, seed: int) -> None:
+    rng = random.Random(40_000 + seed)
+    proj = ["l_returnflag", "l_linestatus", "l_quantity"]
+    proj_sql = ", ".join(proj)
+    ac, asql = _li_pred(rng)
+    bc, bsql = _li_pred(rng)
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(ac).select(*proj)
+    b = li.filter(bc).select(*proj)
+    a_sql = f"SELECT {proj_sql} FROM lineitem WHERE {asql}"
+    b_sql = f"SELECT {proj_sql} FROM lineitem WHERE {bsql}"
+
+    op = rng.choice(["union", "union_all", "intersect", "intersect_all",
+                     "except", "except_all"])
+    if op == "union":
+        res, op_sql = a.union(b).distinct(), "UNION"
+    elif op == "union_all":
+        res, op_sql = a.unionAll(b), "UNION ALL"
+    elif op == "intersect":
+        res, op_sql = a.intersect(b), "INTERSECT"
+    elif op == "intersect_all":
+        res, op_sql = a.intersectAll(b), "INTERSECT ALL"
+    elif op == "except":
+        res, op_sql = a.subtract(b), "EXCEPT"  # subtract == EXCEPT DISTINCT
+    else:
+        res, op_sql = a.exceptAll(b), "EXCEPT ALL"
+
+    # aggregate to a compact deterministic summary (the multiset itself is
+    # also compared — count per key catches bag-semantics drift directly)
+    gdf = res.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("l_quantity")).alias("s_qty_c"),
+    )
+    sql = (
+        f"SELECT l_returnflag, COUNT(*) AS n, "
+        f"CAST(SUM({sql_cents('l_quantity')}) AS BIGINT) AS s_qty_c "
+        f"FROM (({a_sql}) {op_sql} ({b_sql})) t GROUP BY l_returnflag"
+    )
+
+    s_cols, s_rows = gdf.columns, [tuple(r) for r in gdf.collect()]
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, f"setop mismatch seed={seed} op={op}\nSQL: {sql}"
+
+
+@pytest.mark.parametrize("chunk", range(3))
+def test_fuzz_setops_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_setop(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
