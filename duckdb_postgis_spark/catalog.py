@@ -175,7 +175,13 @@ _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
-    st = os.stat(path)
+    try:
+        st = os.stat(path)
+    except FileNotFoundError:
+        # keep the error contract: a wrong sf_dir surfaces Spark's typed
+        # PATH_NOT_FOUND AnalysisException (tests/test_oracle_parity.py),
+        # not a driver-side stat crash
+        return spark.read.parquet(path)
     key = (spark, sf_dir, name, st.st_size, st.st_mtime_ns)
     df = _TABLE_CACHE.get(key)
     if df is not None:
@@ -193,6 +199,91 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: table(spark, sf_dir, t) for t in TABLES}
+
+
+# --------------------------------------------------------------------------
+# scan-layout normalization (ingest-time OPTIMIZE)
+# --------------------------------------------------------------------------
+#: derived layouts live next to the other materializations (plans/layout.py)
+_SCAN_LAYOUT_ROOT = "/tmp/duckdb_postgis_spark_layout/scan"
+#: below this, a single row group is already the right layout
+_SCAN_LAYOUT_MIN_ROWS = 50_000
+#: don't create row groups smaller than this (metadata overhead dominates)
+_SCAN_LAYOUT_MIN_GROUP = 16_384
+
+
+def ensure_scan_layout(
+    sf_dir: str, target_groups: int = 32
+) -> tuple[str, float]:
+    """Materialize a scan-parallel copy of ``sf_dir`` and return
+    ``(optimized_dir, one_time_cost_seconds)``.
+
+    Parquet scans parallelize at ROW-GROUP granularity — in Spark AND in
+    DuckDB — so a file with one row group is scanned by exactly one
+    thread/task no matter how many cores exist.  The driver's testdata
+    ships every table as a single row group (sf0.1 lineitem: 600k rows,
+    1 row group), which serializes every scan in both engines — a layout
+    artifact of the generator's writer defaults, not an engine property.
+    At 100 TB the ingest path owns the layout (this is what Delta/Iceberg
+    OPTIMIZE and every warehouse loader do), so the engine provides the
+    same step: rewrite large single-row-group files into
+    ~``target_groups`` row groups, once, cached by source file size+mtime.
+    Values are bit-identical (straight Arrow round-trip, ``version=2.6``
+    so TIMESTAMP(NANOS) survives; multiset-equality pinned in
+    tests/test_layout_plans.py); small tables are symlinked untouched.
+    The events ts sanity gate re-probes the rewritten file through the
+    normal ``table()`` path, so an encoding-corrupting rewrite would fail
+    loudly, never silently.
+
+    ``bench.py`` reports BOTH layouts (raw = the driver's files
+    as-shipped, optimized = this layout) and BASELINE.md records DuckDB's
+    own numbers on both — DuckDB speeds up 1.7× total (up to 7× on the
+    scan-heavy queries) too, confirming the raw layout starves both
+    engines and the optimized-layout comparison is engine-vs-engine, not
+    a trick.
+    """
+    import hashlib
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    sig_parts = [sf_dir, str(target_groups)]
+    for t in TABLES:
+        st = os.stat(f"{sf_dir}/{t}.parquet")
+        sig_parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    token = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:16]
+    out = f"{_SCAN_LAYOUT_ROOT}/{token}"
+    if os.path.exists(f"{out}/_SUCCESS"):
+        return out, 0.0
+
+    t0 = _time.perf_counter()
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        dst = f"{tmp}/{t}.parquet"
+        pf = pq.ParquetFile(src)
+        rows = pf.metadata.num_rows
+        groups = max(1, min(target_groups, rows // _SCAN_LAYOUT_MIN_GROUP))
+        if rows < _SCAN_LAYOUT_MIN_ROWS or pf.metadata.num_row_groups >= groups:
+            # already scan-friendly (or too small to matter): link as-is.
+            # os.stat follows the link, so every size/mtime cache key
+            # (table cache, ts probe) keys on the REAL file.
+            os.symlink(os.path.abspath(src), dst)
+            continue
+        row_group_size = -(-rows // groups)  # ceil
+        pq.write_table(
+            pf.read(), dst, row_group_size=row_group_size, version="2.6"
+        )
+    open(f"{tmp}/_SUCCESS", "w").close()
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # concurrent builder won the rename race: theirs is complete
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out, _time.perf_counter() - t0
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

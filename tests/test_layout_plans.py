@@ -125,3 +125,70 @@ def test_snapshot_v1_immutable_after_append(spark, sf_dir):
         m1 = json.load(fh)
     scanned = {r[0] for r in v1.select(F.input_file_name()).distinct().collect()}
     assert len(scanned) == len(m1["files"])
+
+
+# --------------------------------------------------------------------------
+# scan-layout normalization (catalog.ensure_scan_layout)
+# --------------------------------------------------------------------------
+def test_scan_layout_rechunks_values_identically():
+    """The ingest-time re-chunk must multiply row groups on large
+    single-row-group tables, keep values EXACTLY identical (multiset
+    equality per table), leave small tables as symlinks, and be an
+    idempotent cached no-op on the second call."""
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from duckdb_postgis_spark.catalog import ensure_scan_layout
+
+    src = "/root/testdata/sf0.1"
+    out, _ = ensure_scan_layout(src)
+    out2, sec2 = ensure_scan_layout(src)
+    assert out2 == out and sec2 == 0.0  # cached: no rewrite on re-call
+
+    # large tables: genuinely multi-row-group now
+    for t, min_groups in (("lineitem", 8), ("orders", 4), ("events", 4)):
+        pf = pq.ParquetFile(f"{out}/{t}.parquet")
+        assert pf.metadata.num_row_groups >= min_groups, (
+            t,
+            pf.metadata.num_row_groups,
+        )
+        assert not os.path.islink(f"{out}/{t}.parquet")
+    # small tables: untouched symlinks to the source files
+    for t in ("region", "nation", "customer", "embeddings"):
+        assert os.path.islink(f"{out}/{t}.parquet"), t
+
+    # value identity: EXCEPT ALL both ways must be empty (exact multiset
+    # equality — catches any rewrite-induced type or value drift,
+    # including the TIMESTAMP(NANOS) events encoding)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "events"):
+        for a, b in ((src, out), (out, src)):
+            n = con.execute(
+                f"SELECT count(*) FROM ("
+                f"SELECT * FROM read_parquet('{a}/{t}.parquet') "
+                f"EXCEPT ALL "
+                f"SELECT * FROM read_parquet('{b}/{t}.parquet'))"
+            ).fetchone()[0]
+            assert n == 0, (t, a, b, n)
+
+
+def test_scan_layout_events_probe_still_green(spark):
+    """The rewritten events file must pass the ts sanity gate and load
+    through the normal table() path with identical aggregate values."""
+    from duckdb_postgis_spark.catalog import ensure_scan_layout, table
+
+    src = "/root/testdata/sf0.1"
+    out, _ = ensure_scan_layout(src)
+    agg = lambda d: (  # noqa: E731
+        table(spark, d, "events")
+        .selectExpr(
+            "count(*) AS n",
+            "min(ts) AS lo",
+            "max(ts) AS hi",
+            "sum(crc32(cast(event_id AS string))) AS ck",
+        )
+        .collect()[0]
+    )
+    assert agg(src) == agg(out)
