@@ -595,3 +595,122 @@ def _run_setop(spark: SparkSession, sf_dir: str, seed: int) -> None:
 def test_fuzz_setops_parity(spark, sf_dir, chunk):
     for i in range(SEEDS_PER_CHUNK):
         _run_setop(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
+
+
+# --------------------------------------------------------------------------
+# subquery-membership family: IN / NOT IN / EXISTS / NOT EXISTS with
+# NULL-injected keys.  NOT IN under three-valued logic is the classic
+# engine-divergence trap (a single NULL in the subquery empties the
+# result; a NULL outer key never qualifies; an EMPTY subquery qualifies
+# everything) — the Spark side renders the DataFrame-level REWRITE
+# (semi/anti join + broadcast null/empty statistics) rather than Spark
+# SQL, so the fuzzer proves our relational rewrites carry exact SQL
+# semantics, not merely that two SQL engines agree.
+# --------------------------------------------------------------------------
+_SUBQ_SHAPES = [
+    # (outer table, inner table, outer key, inner key, cat col, money col)
+    ("lineitem", "orders", "l_orderkey", "o_orderkey", "l_returnflag", "l_extendedprice"),
+    ("orders", "customer", "o_custkey", "c_custkey", "o_orderpriority", "o_totalprice"),
+    ("orders", "lineitem", "o_orderkey", "l_orderkey", "o_orderstatus", "o_totalprice"),
+    ("customer", "orders", "c_custkey", "o_custkey", "c_mktsegment", "c_acctbal"),
+]
+
+_INNER_PREDS = {
+    "orders": _o_pred,
+    "customer": _c_pred,
+    "lineitem": _li_pred,
+}
+
+
+def _run_subquery_membership(spark: SparkSession, sf_dir: str, seed: int) -> None:
+    rng = random.Random(250_000 + seed)
+    ot, it, ok, ik, cat, money = rng.choice(_SUBQ_SHAPES)
+    form = rng.choice(["in", "not_in", "exists", "not_exists"])
+
+    # key expressions: with p=0.6 inject NULLs via NULLIF(key % M, r) on
+    # either side (same modulus → overlapping domains); identical text is
+    # valid in both Spark SQL and DuckDB.
+    m = rng.randint(3, 9)
+    okey_sql = (
+        f"NULLIF({ok} % {m}, {rng.randrange(m)})"
+        if rng.random() < 0.6
+        else f"{ok} % {m}"
+    )
+    ikey_sql = (
+        f"NULLIF({ik} % {m}, {rng.randrange(m)})"
+        if rng.random() < 0.6
+        else f"{ik} % {m}"
+    )
+    ipred_c, ipred_sql = _INNER_PREDS[it](rng)
+    # sometimes make the subquery EMPTY (the other semantics corner)
+    if rng.random() < 0.15:
+        ipred_sql = f"({ipred_sql}) AND 1 = 0"
+        ipred_c = ipred_c & F.lit(False)
+
+    outer = table(spark, sf_dir, ot).withColumn("ok_", F.expr(okey_sql))
+    inner = (
+        table(spark, sf_dir, it)
+        .filter(ipred_c)
+        .select(F.expr(ikey_sql).alias("ik_"))
+    )
+
+    if form == "in":
+        kept = outer.join(inner, F.col("ok_") == F.col("ik_"), "left_semi")
+        cond = f"{okey_sql} IN (SELECT {ikey_sql} FROM {it} WHERE {ipred_sql})"
+    elif form == "not_in":
+        # three-valued rewrite: anti-join removes matches; a broadcast
+        # 1-row statistic decides the NULL/empty corners — keep a row iff
+        # the subquery is empty, OR (outer key non-NULL AND the subquery
+        # contains no NULL).  This is exactly SQL's x NOT IN (S).
+        stats = inner.agg(
+            F.count(F.lit(1)).alias("n_inner_"),
+            F.count(F.when(F.col("ik_").isNull(), 1)).alias("n_null_"),
+        )
+        kept = (
+            outer.join(inner, F.col("ok_") == F.col("ik_"), "left_anti")
+            .crossJoin(F.broadcast(stats))
+            .filter(
+                (F.col("n_inner_") == 0)
+                | (F.col("ok_").isNotNull() & (F.col("n_null_") == 0))
+            )
+        )
+        cond = (
+            f"{okey_sql} NOT IN (SELECT {ikey_sql} FROM {it} WHERE {ipred_sql})"
+        )
+    elif form == "exists":
+        kept = outer.join(inner, F.col("ok_") == F.col("ik_"), "left_semi")
+        cond = (
+            f"EXISTS (SELECT 1 FROM {it} WHERE {ipred_sql} "
+            f"AND {ikey_sql} = {okey_sql})"
+        )
+    else:
+        kept = outer.join(inner, F.col("ok_") == F.col("ik_"), "left_anti")
+        cond = (
+            f"NOT EXISTS (SELECT 1 FROM {it} WHERE {ipred_sql} "
+            f"AND {ikey_sql} = {okey_sql})"
+        )
+
+    gdf = kept.groupBy(cat).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(money).alias("s_money"),
+    )
+    sql = (
+        f"SELECT {cat}, COUNT(*) AS n, {sql_dsum(money)} AS s_money "
+        f"FROM {ot} WHERE {cond} GROUP BY {cat}"
+    )
+
+    s_cols = [cat, "n", "s_money"]
+    s_rows = [tuple(r) for r in gdf.select(*s_cols).collect()]
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, (
+        f"subquery-membership mismatch seed={seed} form={form}\nSQL: {sql}\n"
+        f"spark {len(ns)} rows vs oracle {len(no)} rows"
+    )
+
+
+@pytest.mark.parametrize("chunk", range(3))
+def test_fuzz_subquery_membership_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_subquery_membership(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
