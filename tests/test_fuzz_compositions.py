@@ -714,3 +714,122 @@ def _run_subquery_membership(spark: SparkSession, sf_dir: str, seed: int) -> Non
 def test_fuzz_subquery_membership_parity(spark, sf_dir, chunk):
     for i in range(SEEDS_PER_CHUNK):
         _run_subquery_membership(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
+
+
+# --------------------------------------------------------------------------
+# window-frame grammar family: bounded ROWS frames, RANGE frames with
+# numeric offsets, first/last_value.  Frame-boundary off-by-ones and the
+# ROWS-vs-RANGE peer-row distinction are classic engine-divergence bugs
+# that family 1 (only UNBOUNDED PRECEDING..CURRENT ROW) cannot reach.
+# Empty frames (both bounds FOLLOWING near a partition tail) exercise the
+# NULL-aggregate corner.  RANGE draws order by a NON-unique numeric column
+# on purpose — the frame is value-determined, so results stay
+# deterministic under ties for tie-insensitive aggregates only
+# (count/min/max/decimal-sum; first/last_value is ROWS-only here).
+# --------------------------------------------------------------------------
+def _frame_bounds_rows(rng: random.Random):
+    start = rng.choice(["ub", "prec", "cur"])
+    end = rng.choice(["cur", "foll", "ub"])
+    if start == "cur" and end == "cur" and rng.random() < 0.5:
+        start = "prec"  # keep single-row frames rare
+    k1, k2 = rng.randint(1, 4), rng.randint(1, 4)
+    lo = Window.unboundedPreceding if start == "ub" else (-k1 if start == "prec" else 0)
+    hi = Window.unboundedFollowing if end == "ub" else (k2 if end == "foll" else 0)
+    lo_sql = (
+        "UNBOUNDED PRECEDING" if start == "ub"
+        else (f"{k1} PRECEDING" if start == "prec" else "CURRENT ROW")
+    )
+    hi_sql = (
+        "UNBOUNDED FOLLOWING" if end == "ub"
+        else (f"{k2} FOLLOWING" if end == "foll" else "CURRENT ROW")
+    )
+    return lo, hi, f"ROWS BETWEEN {lo_sql} AND {hi_sql}"
+
+
+def _run_window_frames(spark: SparkSession, sf_dir: str, seed: int) -> None:
+    rng = random.Random(300_000 + seed)
+    df, sql_from, cols = _base(rng, spark, sf_dir)
+    pk = rng.choice(cols["cat"])
+    uniq = cols["uniq"]
+    money = cols["money"][0]
+    num = rng.choice(cols["num"])
+    mode = rng.choice(["rows", "rows", "range"])  # 2:1 rows:range
+
+    if mode == "rows":
+        order_sql = ", ".join(f"{u} ASC" for u in uniq)
+        w = Window.partitionBy(pk).orderBy(*[F.col(u).asc() for u in uniq])
+        lo, hi, frame_sql = _frame_bounds_rows(rng)
+        w = w.rowsBetween(lo, hi)
+        over = f"(PARTITION BY {pk} ORDER BY {order_sql} {frame_sql})"
+        fn = rng.choice(["count", "min", "max", "dsum", "first", "last"])
+    else:
+        # RANGE over a non-unique numeric order column, offset bounds
+        a, b = rng.randint(0, 50), rng.randint(0, 50)
+        w = (
+            Window.partitionBy(pk)
+            .orderBy(F.col(num).asc())
+            .rangeBetween(-a, b)
+        )
+        over = (
+            f"(PARTITION BY {pk} ORDER BY {num} ASC "
+            f"RANGE BETWEEN {a} PRECEDING AND {b} FOLLOWING)"
+        )
+        fn = rng.choice(["count", "min", "max", "dsum"])
+
+    if fn == "count":
+        wc = F.count(F.lit(1)).over(w).cast("long")
+        wsql = f"CAST(COUNT(*) OVER {over} AS BIGINT)"
+    elif fn == "min":
+        wc = F.min(F.col(num)).over(w).cast("long")
+        wsql = f"CAST(MIN({num}) OVER {over} AS BIGINT)"
+    elif fn == "max":
+        wc = F.max(F.col(num)).over(w).cast("long")
+        wsql = f"CAST(MAX({num}) OVER {over} AS BIGINT)"
+    elif fn == "dsum":
+        wc = (
+            F.sum(F.col(money).cast("decimal(18,2)")).over(w).cast("double")
+        )
+        wsql = f"CAST(SUM(CAST({money} AS DECIMAL(18,2))) OVER {over} AS DOUBLE)"
+    elif fn == "first":
+        wc = F.first(F.col(num)).over(w).cast("long")
+        wsql = f"CAST(FIRST_VALUE({num}) OVER {over} AS BIGINT)"
+    else:
+        wc = F.last(F.col(num)).over(w).cast("long")
+        wsql = f"CAST(LAST_VALUE({num}) OVER {over} AS BIGINT)"
+
+    df = df.withColumn("wval", wc)
+    inner_sql = f"(SELECT t.*, {wsql} AS wval FROM {sql_from} t)"
+
+    # fold the frame values into a deterministic group-level digest:
+    # exact decimal sum for money frames, BIGINT sum otherwise (values
+    # bounded × row count ≪ 2^53/2^63 at test scale)
+    if fn == "dsum":
+        vagg, vsql = dsum("wval").alias("v"), f"{sql_dsum('wval')} AS v"
+    else:
+        vagg = F.sum("wval").cast("long").alias("v")
+        vsql = "CAST(SUM(wval) AS BIGINT) AS v"
+    gdf = df.groupBy(pk).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("wval").alias("n_nonnull"),
+        vagg,
+    )
+    sql = (
+        f"SELECT {pk}, COUNT(*) AS n, COUNT(wval) AS n_nonnull, {vsql} "
+        f"FROM {inner_sql} s GROUP BY {pk}"
+    )
+
+    s_cols = [pk, "n", "n_nonnull", "v"]
+    s_rows = [tuple(r) for r in gdf.select(*s_cols).collect()]
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, (
+        f"window-frame mismatch seed={seed} mode={mode} fn={fn}\n"
+        f"SQL: {sql}\nspark {len(ns)} rows vs oracle {len(no)} rows"
+    )
+
+
+@pytest.mark.parametrize("chunk", range(3))
+def test_fuzz_window_frame_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_window_frames(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
