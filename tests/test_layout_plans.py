@@ -192,3 +192,26 @@ def test_scan_layout_events_probe_still_green(spark):
         .collect()[0]
     )
     assert agg(src) == agg(out)
+
+
+def test_scan_layout_parallelizes_the_scan(spark):
+    """The point of the re-chunk: under data-sized file splits the raw
+    single-row-group lineitem lands in ONE working scan partition (all
+    other splits are empty — row groups are assigned by midpoint), while
+    the normalized layout spreads rows across many partitions."""
+    from duckdb_postgis_spark.catalog import ensure_scan_layout
+
+    src = "/root/testdata/sf0.1"
+    out, _ = ensure_scan_layout(src)
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 20))
+    ns.conf.set("spark.sql.files.openCostInBytes", str(128 << 10))
+
+    def working_partitions(d: str) -> int:
+        df = ns.read.parquet(f"{d}/lineitem.parquet").withColumn(
+            "pid", F.spark_partition_id()
+        )
+        return df.groupBy("pid").count().count()
+
+    assert working_partitions(src) == 1
+    assert working_partitions(out) >= 8
