@@ -459,3 +459,68 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = agg(read_snapshot(spark, root, 1), 1)
     v2 = agg(read_snapshot(spark, root, 2), 2)
     return v1.unionByName(v2).orderBy("version", "lang")
+
+
+# --------------------------------------------------------------------------
+# scan-layout normalization as a driver-checkable maintenance query
+# --------------------------------------------------------------------------
+@query(
+    "maintenance_scan_layout",
+    oracle="""
+    SELECT 'lineitem' AS tbl, COUNT(*) AS n,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', COUNT(*),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'events', COUNT(*),
+           CAST(SUM(event_id) AS BIGINT),
+           CAST(SUM(CAST(user_id AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events
+    ORDER BY tbl
+    """,
+)
+def maintenance_scan_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time scan-layout normalization (OPTIMIZE) correctness gate.
+
+    ``catalog.ensure_scan_layout`` rewrites large single-row-group parquet
+    into ~32 row groups so scans parallelize (row-group granularity in
+    Spark AND DuckDB — see BASELINE.md's 2×2 matrix; the reference has no
+    storage layout at all, it materializes one in-memory table per file,
+    ``core_processor.rs:391-428``).  This query reads the three rewritten
+    tables FROM THE NORMALIZED COPY and digests them (row count, key sum,
+    exact decimal value sum); the oracle recomputes the digests from the
+    raw files — any value the rewrite corrupts, drops, or duplicates is a
+    driver hash failure.  Row-group multiplication and symlinking of
+    small tables are pinned in tests/test_layout_plans.py.
+
+    Scale: the rewrite is a one-time narrow pass per table (at 100 TB this
+    is the ingest/compaction job that owns the layout); the digest itself
+    is three column-pruned parallel scans with partial aggregation."""
+    from duckdb_postgis_spark.catalog import ensure_scan_layout
+
+    opt_dir, _ = ensure_scan_layout(sf_dir)
+
+    def digest(tbl: str, key: str, val: str) -> DataFrame:
+        return (
+            table(spark, opt_dir, tbl)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(key).alias("key_sum"),
+                F.sum(F.col(val).cast("decimal(18,2)"))
+                .cast("double")
+                .alias("val_sum"),
+            )
+            .select(F.lit(tbl).alias("tbl"), "n", "key_sum", "val_sum")
+        )
+
+    return (
+        digest("lineitem", "l_orderkey", "l_extendedprice")
+        .unionByName(digest("orders", "o_orderkey", "o_totalprice"))
+        .unionByName(digest("events", "event_id", "user_id"))
+        .orderBy("tbl")
+    )

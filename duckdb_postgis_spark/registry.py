@@ -49,7 +49,8 @@ ORACLES: dict[str, str] = {}
 #
 # ROUND-7 ROTATION PLAN (execute at round-7 start): if CORRECTNESS_r06 is
 # green, (a)-(c) rotate out with verdicts standing.  Must-ins: any query
-# ADDED in round 6 with an oracle (first verdicts first), plus any r6
+# ADDED in round 6 with an oracle (as of r6 close exactly one exists:
+# maintenance_scan_layout — first verdicts first), plus any r6
 # failures for a re-prove; then refresh the remaining r4-era holders not
 # windowed here — upsert_latest_wins, scd2_history and
 # subquery_exists_correlated (displaced by the three round-6 changed
