@@ -833,3 +833,97 @@ def _run_window_frames(spark: SparkSession, sf_dir: str, seed: int) -> None:
 def test_fuzz_window_frame_parity(spark, sf_dir, chunk):
     for i in range(SEEDS_PER_CHUNK):
         _run_window_frames(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
+
+
+# --------------------------------------------------------------------------
+# correlated scalar-aggregate subquery family: WHERE cmp((SELECT agg ...
+# correlated), const).  The classic decorrelation traps: COUNT over an
+# empty correlated group is 0 (a naive join rewrite yields NULL — the
+# rewrite must COALESCE and must KEEP unmatched outer rows), while
+# MIN/MAX/SUM over an empty group are NULL (three-valued comparison drops
+# the row).  The Spark side renders the left-join + group-agg rewrite
+# explicitly, so parity proves the rewrite, not just engine agreement.
+# --------------------------------------------------------------------------
+_SCALAR_SHAPES = [
+    # (outer, inner, outer key, inner key, cat, money)
+    ("orders", "lineitem", "o_orderkey", "l_orderkey", "o_orderpriority", "o_totalprice"),
+    ("customer", "orders", "c_custkey", "o_custkey", "c_mktsegment", "c_acctbal"),
+]
+
+
+def _run_scalar_subquery(spark: SparkSession, sf_dir: str, seed: int) -> None:
+    rng = random.Random(350_000 + seed)
+    ot, it, ok, ik, cat, money = rng.choice(_SCALAR_SHAPES)
+    ipred_c, ipred_sql = _INNER_PREDS[it](rng)
+    if rng.random() < 0.2:  # force many empty correlated groups
+        ipred_sql = f"({ipred_sql}) AND {ik} % 17 = 3"
+        ipred_c = ipred_c & (F.col(ik) % 17 == 3)
+
+    agg = rng.choice(["count", "min", "max", "dsum"])
+    inum = {"lineitem": "l_suppkey", "orders": "o_custkey"}[it]
+    imoney = {"lineitem": "l_extendedprice", "orders": "o_totalprice"}[it]
+    if agg == "count":
+        vagg, vsql = F.count(F.lit(1)).cast("long"), "COUNT(*)"
+        const = rng.randint(0, 5)
+    elif agg == "min":
+        vagg, vsql = F.min(inum).cast("long"), f"MIN({inum})"
+        const = rng.randint(1, 1000)
+    elif agg == "max":
+        vagg, vsql = F.max(inum).cast("long"), f"MAX({inum})"
+        const = rng.randint(1, 1000)
+    else:
+        vagg = F.sum(F.col(imoney).cast("decimal(18,2)")).cast("double")
+        vsql = f"CAST(SUM(CAST({imoney} AS DECIMAL(18,2))) AS DOUBLE)"
+        const = rng.randint(1_000, 200_000)
+    cmp_op = rng.choice([">", "<=", "="]) if agg != "dsum" else rng.choice([">", "<="])
+
+    subq = (
+        f"(SELECT CAST({vsql} AS {'DOUBLE' if agg == 'dsum' else 'BIGINT'}) "
+        f"FROM {it} WHERE ({ipred_sql}) AND {ik} = {ot[0]}.{ok})"
+    )
+    cond = f"{subq} {cmp_op} {const}"
+    if agg == "count" and rng.random() < 0.5:
+        # exercise the empty-group-is-zero corner head-on
+        cmp_op, const = "=", 0
+        cond = f"{subq} = 0"
+
+    inner_g = (
+        table(spark, sf_dir, it)
+        .filter(ipred_c)
+        .groupBy(F.col(ik).alias("ik_"))
+        .agg(vagg.alias("v_"))
+    )
+    outer = table(spark, sf_dir, ot)
+    joined = outer.join(inner_g, F.col(ok) == F.col("ik_"), "left")
+    # COUNT over an empty correlated group is 0, not NULL; the other
+    # aggregates stay NULL and three-valued comparison drops the row
+    v = F.coalesce(F.col("v_"), F.lit(0)) if agg == "count" else F.col("v_")
+    kept = joined.filter(
+        (v > const) if cmp_op == ">" else (v <= const) if cmp_op == "<=" else (v == const)
+    )
+
+    gdf = kept.groupBy(cat).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(money).alias("s_money"),
+    )
+    sql = (
+        f"SELECT {cat}, COUNT(*) AS n, {sql_dsum(money)} AS s_money "
+        f"FROM {ot} {ot[0]} WHERE {cond} GROUP BY {cat}"
+    )
+
+    s_cols = [cat, "n", "s_money"]
+    s_rows = [tuple(r) for r in gdf.select(*s_cols).collect()]
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, (
+        f"scalar-subquery mismatch seed={seed} agg={agg} cmp={cmp_op} "
+        f"const={const}\nSQL: {sql}\n"
+        f"spark {len(ns)} rows vs oracle {len(no)} rows"
+    )
+
+
+@pytest.mark.parametrize("chunk", range(3))
+def test_fuzz_scalar_subquery_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_scalar_subquery(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
