@@ -83,12 +83,26 @@ def _str_expr(rng: random.Random, depth: int):
             return F.col(c), c
         s = rng.choice(["x", "AB", "zz", ""])
         return F.lit(s), f"'{s}'"
-    k = rng.randrange(6)
+    k = rng.randrange(10)
     a_c, a_s = _str_expr(rng, depth - 1)
     if k == 0:
         return F.upper(a_c), f"UPPER({a_s})"
     if k == 1:
         return F.lower(a_c), f"LOWER({a_s})"
+    if k == 6:
+        return F.trim(a_c), f"TRIM({a_s})"
+    if k == 7:
+        # non-empty FROM only (empty-pattern REPLACE semantics diverge)
+        frm, to = rng.choice([("a", "_"), ("an", "X"), ("E", ""), ("1", "9")])
+        return (
+            F.replace(a_c, F.lit(frm), F.lit(to)),
+            f"REPLACE({a_s}, '{frm}', '{to}')",
+        )
+    if k == 8:
+        return F.reverse(a_c), f"REVERSE({a_s})"
+    if k == 9:
+        n = rng.randint(0, 6)
+        return F.left(a_c, F.lit(n)), f"LEFT({a_s}, {n})"
     if k == 2:
         b_c, b_s = _str_expr(rng, depth - 1)
         return F.concat(a_c, b_c), f"({a_s} || {b_s})"
@@ -128,8 +142,26 @@ def _num_scalar(rng: random.Random):
 
 
 def _date_expr(rng: random.Random):
-    k = rng.randrange(5)
+    k = rng.randrange(8)
     c = _DATE_COL
+    if k == 5:
+        # month arithmetic clamps to month end identically (1996-01-31
+        # + 1 month = 1996-02-29 on both engines, parity-checked)
+        n = rng.randint(-6, 6)
+        return (
+            F.add_months(F.col(c).cast("date"), n),
+            f"CAST(CAST({c} AS DATE) + INTERVAL ({n}) MONTH AS DATE)",
+        )
+    if k == 6:
+        return (
+            F.last_day(F.col(c).cast("date")),
+            f"LAST_DAY(CAST({c} AS DATE))",
+        )
+    if k == 7:
+        return (
+            F.trunc(F.col(c).cast("date"), "month"),
+            f"CAST(DATE_TRUNC('month', CAST({c} AS DATE)) AS DATE)",
+        )
     if k == 0:
         return F.year(c).cast("long"), f"CAST(YEAR({c}) AS BIGINT)"
     if k == 1:
