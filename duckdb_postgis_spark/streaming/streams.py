@@ -18,6 +18,7 @@ Design notes per stream:
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -209,6 +210,14 @@ def run_available_now(
     # way — the conf travels with the checkpoint, not the code.
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # At the driver's correctness scale (sf0.01) every replay drains in
+    # seconds; at larger sweep scales (sf0.1+) the stream-stream joins
+    # legitimately need longer.  Overridable, and NEVER silent: a replay
+    # that does not finish raises instead of returning a partial memory
+    # table as if it were complete (observed at sf0.1 — the join returned
+    # 0 of its rows after a quiet stop(), which a correctness harness
+    # must treat as failure, not data).
+    timeout = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", str(timeout)))
     try:
         q = (
             sdf.writeStream.format("memory")
@@ -218,9 +227,14 @@ def run_available_now(
             .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
             .start()
         )
-        q.awaitTermination(timeout)
-        if q.isActive:
+        finished = q.awaitTermination(timeout)
+        if not finished or q.isActive:
             q.stop()
+            raise RuntimeError(
+                f"streaming replay {name!r} did not drain within {timeout}s "
+                "(AvailableNow still active) — refusing to return a partial "
+                "result; raise SPARK_GRAFT_STREAM_TIMEOUT for larger scales"
+            )
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -45,12 +45,18 @@ def main() -> int:
 
     def make_session():
         # the driver builds its own session with no custom confs —
-        # replicate that
-        return (
-            SparkSession.builder.master("local[8]")
-            .appName("driver-replica")
-            .getOrCreate()
-        )
+        # replicate that.  SPARK_GRAFT_REPLICA_DRIVER_MEM optionally sets
+        # the heap for BEYOND-driver-scale sweeps: at sf0.1 (10× the
+        # driver's correctness scale) the heaviest distinct aggregations
+        # legitimately exceed the 1 GiB default local heap during
+        # spill (observed: agg_approx_distinct OOMs a fresh plain session
+        # at sf0.1, runs fine at the driver's sf0.01); any real deployment
+        # sizes executor memory, the driver never runs sf0.1 correctness.
+        b = SparkSession.builder.master("local[8]").appName("driver-replica")
+        mem = os.environ.get("SPARK_GRAFT_REPLICA_DRIVER_MEM")
+        if mem:
+            b = b.config("spark.driver.memory", mem)
+        return b.getOrCreate()
 
     spark = make_session()
     queries = registry.all_queries()
