@@ -48,20 +48,33 @@ ORACLES: dict[str, str] = {}
 # (scripts/driver_replica.py --all, run at round-6 start: green).
 #
 # ROUND-7 ROTATION PLAN (execute at round-7 start): if CORRECTNESS_r06 is
-# green, (a)-(c) rotate out with verdicts standing.  Must-ins: any query
-# ADDED in round 6 with an oracle (as of r6 close exactly one exists:
-# maintenance_scan_layout — first verdicts first), plus any r6
-# failures for a re-prove; then refresh the remaining r4-era holders not
-# windowed here — upsert_latest_wins, scd2_history and
-# subquery_exists_correlated (displaced by the three round-6 changed
-# queries), S1-S5 batch twins, stream_static_join,
-# stream_stream_join, stream_tumbling_live, stream_upsert_live,
-# maintenance_compact_roundtrip,
-# shards_write_roundtrip, and the §2.12e training set (text_gopher_quality,
-# text_repetition_ratio, sample_stratified_hash, sample_reservoir_topk,
-# seq_pack_greedy, contamination_ngram_overlap, udaf_char_variance,
-# pipeline_training_e2e, source_quality_report) — after which every
-# oracle-bearing query holds an r5+ verdict.
+# green, (a)-(d) rotate out with verdicts standing.  Concrete window,
+# in order (validate with driver_replica before swapping into PRIORITY):
+#   (a) first driver verdict: maintenance_scan_layout (added post-freeze
+#       in r6; the only r6 query addition), plus any r6 window failures
+#       for a re-prove;
+#   (b) the live streams whose shared replay runner CHANGED in r6
+#       (run_available_now now raises on an undrained replay instead of
+#       returning partial data — semantics-neutral, but changed code
+#       outranks stale refreshes): stream_sliding_live,
+#       stream_watermark_late_live, stream_dedup_live, stream_user_state,
+#       stream_stream_left_outer, stream_chained_dedup_agg,
+#       stream_session_live, stream_tumbling_live, stream_upsert_live,
+#       stream_static_join, stream_stream_join;
+#   (c) the remaining r4-era holders: upsert_latest_wins, scd2_history,
+#       subquery_exists_correlated, stream_tumbling, stream_sliding,
+#       stream_session, stream_watermark_late, stream_dedup,
+#       maintenance_compact_roundtrip, shards_write_roundtrip, and the
+#       §2.12e training set (text_gopher_quality, text_repetition_ratio,
+#       sample_stratified_hash, sample_reservoir_topk, seq_pack_greedy,
+#       contamination_ngram_overlap, udaf_char_variance,
+#       pipeline_training_e2e, source_quality_report);
+#   (d) fill the remaining ~8 slots with the stalest r5 verdicts
+#       (L1-L9 core first: text_stats, text_normalize_tokenize,
+#       dedup_exact_hash, dedup_minhash_lsh, embed_normalize,
+#       knn_cosine_topk, similarity_search_query, multimodal_join).
+# After r7, every oracle-bearing query holds an r5+ verdict and the
+# full registry has swept hash-green at BOTH sf0.01 and sf0.1 (r6).
 PRIORITY: tuple[str, ...] = (
     # -- (a) post-r5-freeze additions: first driver verdicts ---------------
     "agg_approx_percentiles",
