@@ -1,0 +1,113 @@
+"""Live Structured-Streaming window-parameter fuzz.
+
+Each seed draws a (width, slide, watermark) triple, runs a REAL
+``readStream`` tumbling/sliding count through ``Trigger.AvailableNow``
+replay, and compares it against a DuckDB epoch-grid reconstruction of the
+same windows (the generalized form of the fixed S1/S2 oracles).  This
+fuzzes the streaming engine's window-assignment arithmetic itself —
+boundary alignment to the 1970 epoch, ceil(width/slide) membership, and
+non-divisible width/slide pairs — not just the two shapes the fixed
+corpus pins.  Watermark delay is drawn too.
+
+Append mode only emits windows CLOSED by the final watermark
+(max event time − delay), so the comparison applies the repo's standard
+safe-cutoff rule (stream_session_live / stream_stream_left_outer) to
+BOTH sides: only windows provably closed — end < max_ts − delay − slide
+— are compared; everything inside that cutoff must match exactly, and a
+window Spark wrongly dropped or wrongly emitted inside it is a failure.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_postgis_spark.streaming.streams import (
+    events_stream,
+    run_available_now,
+)
+from tests.oracle_harness import normalize, run_oracle
+
+SEEDS = 12
+
+
+def _oracle_sql(width_s: int, slide_s: int, cutoff_iso: str) -> str:
+    import math
+
+    k = math.ceil(width_s / slide_s)
+    return f"""
+    SELECT win_start, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM (
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + (CAST(floor(epoch(ts) / {slide_s}) AS BIGINT) * {slide_s}
+                  - g.i * {slide_s}) * INTERVAL 1 SECOND AS win_start,
+             ts, event_id
+      FROM events
+      CROSS JOIN (SELECT unnest(range({k})) AS i) g
+    ) x
+    WHERE win_start > ts - INTERVAL {width_s} SECOND
+      AND win_start + INTERVAL {width_s} SECOND < TIMESTAMP '{cutoff_iso}'
+    GROUP BY win_start
+    """
+
+
+def _run_one(spark, sf_dir: str, seed: int) -> None:
+    import datetime as dt
+
+    import duckdb
+
+    rng = random.Random(400_000 + seed)
+    slide_s = rng.choice([180, 300, 420, 900, 1800])
+    k = rng.choice([1, 2, 3, 4])
+    width_s = k * slide_s if rng.random() < 0.6 else k * slide_s + 60
+    wm_min = rng.choice([5, 10, 30])
+
+    max_ts = duckdb.connect().execute(
+        f"SELECT max(ts) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    if isinstance(max_ts, int):  # int64-nanos encoding rounds
+        max_ts = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=max_ts // 1000
+        )
+    cutoff = max_ts - dt.timedelta(minutes=wm_min) - dt.timedelta(
+        seconds=slide_s
+    )
+
+    sdf = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", f"{wm_min} minutes")
+        .groupBy(
+            F.window("ts", f"{width_s} seconds", f"{slide_s} seconds").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "id_sum")
+    )
+    out = run_available_now(sdf, f"fuzz_win_{seed}", "append").filter(
+        F.col("win_start") + F.expr(f"INTERVAL {width_s} SECONDS")
+        < F.lit(cutoff)
+    )
+
+    s_cols = ["win_start", "n", "id_sum"]
+    s_rows = [tuple(r) for r in out.select(*s_cols).collect()]
+    o_cols, o_rows, _ = run_oracle(
+        _oracle_sql(width_s, slide_s, cutoff.strftime("%Y-%m-%d %H:%M:%S.%f")),
+        sf_dir,
+    )
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, (
+        f"stream-window mismatch seed={seed} width={width_s}s "
+        f"slide={slide_s}s wm={wm_min}m: spark {len(ns)} rows "
+        f"vs oracle {len(no)} rows"
+    )
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_fuzz_stream_window_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS // 2):
+        _run_one(spark, sf_dir, chunk * (SEEDS // 2) + i)
