@@ -50,8 +50,30 @@ _TS_SANE_MAX = _dt.datetime(2100, 1, 1)
 def _probe_events_ts(path: str) -> str:
     """Cache-keyed on (path, size, mtime) so a driver that rewrites
     events.parquet in place during a long-lived process re-probes instead
-    of reusing a stale classification (ADVICE r4)."""
+    of reusing a stale classification (ADVICE r4).
+
+    ``path`` may be a single parquet file (the testdata shape) or a
+    DIRECTORY of part files (the shape every at-scale table has): for a
+    directory the probe walks a bounded number of parts — the encoding
+    must agree across parts, and the min/max sanity window applies to
+    their union."""
     st = os.stat(path)
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            raise ValueError(f"events table directory {path} has no part files")
+        kinds = {
+            _probe_events_ts(os.path.join(path, p)) for p in parts[:16]
+        }
+        if len(kinds) > 1:
+            raise ValueError(
+                f"events table at {path} mixes ts encodings across part "
+                f"files ({sorted(kinds)}) — refusing to load."
+            )
+        return kinds.pop()
     return _probe_events_ts_cached(path, st.st_size, st.st_mtime_ns)
 
 

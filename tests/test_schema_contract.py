@@ -182,3 +182,64 @@ def test_rebuild_rejects_unknown_spark_type(spark):
     df = spark.range(1).selectExpr("CAST(id AS STRING) AS ts")
     with pytest.raises(TypeError, match="unsupported Spark type"):
         rebuild_events_ts(df)
+
+
+def test_probe_handles_directory_tables(tmp_path, spark):
+    """At scale, tables are DIRECTORIES of parquet parts. The ts probe
+    must walk part files (bounded), require one consistent encoding, and
+    the catalog must load the directory with values identical to the
+    single-file source."""
+    import duckdb
+
+    from duckdb_postgis_spark.catalog import _probe_events_ts, table
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    con = duckdb.connect()
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{src}')").fetchone()[0]
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}') "
+            f"ORDER BY event_id LIMIT {hi - lo} OFFSET {lo}) "
+            f"TO '{d}/part-{i}.parquet' (FORMAT PARQUET)"
+        )
+    assert _probe_events_ts(str(d)) in ("timestamp", "int64_nanos")
+
+    # load via the public path: a sf_dir containing the directory table
+    got = (
+        table(spark, str(tmp_path), "events")
+        .selectExpr("count(*) AS n", "min(ts) AS lo", "max(ts) AS hi")
+        .collect()[0]
+    )
+    want = (
+        table(spark, "/root/testdata/sf0.001", "events")
+        .selectExpr("count(*) AS n", "min(ts) AS lo", "max(ts) AS hi")
+        .collect()[0]
+    )
+    assert got == want
+
+
+def test_probe_rejects_mixed_encoding_directory(tmp_path):
+    """A directory whose parts disagree on the ts encoding must fail
+    loudly, not silently pick one."""
+    import duckdb
+    import pytest as _pytest
+
+    from duckdb_postgis_spark.catalog import _probe_events_ts
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}') LIMIT 100) "
+        f"TO '{d}/part-0.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * REPLACE (CAST(epoch_ns(ts) AS BIGINT) AS ts) "
+        f"FROM read_parquet('{src}') LIMIT 100) "
+        f"TO '{d}/part-1.parquet' (FORMAT PARQUET)"
+    )
+    with _pytest.raises(ValueError, match="mixes ts encodings"):
+        _probe_events_ts(str(d))
