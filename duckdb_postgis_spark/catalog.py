@@ -284,6 +284,11 @@ def ensure_scan_layout(
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
         dst = f"{tmp}/{t}.parquet"
+        if os.path.isdir(src):
+            # directory-shaped table (the at-scale norm): many part files
+            # already parallelize the scan — link as-is
+            os.symlink(os.path.abspath(src), dst)
+            continue
         pf = pq.ParquetFile(src)
         rows = pf.metadata.num_rows
         groups = max(1, min(target_groups, rows // _SCAN_LAYOUT_MIN_GROUP))

@@ -524,3 +524,96 @@ def maintenance_scan_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(digest("events", "event_id", "user_id"))
         .orderBy("tbl")
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustered events (multi-dimensional file/row-group skipping)
+# --------------------------------------------------------------------------
+def _morton_z(ub: str, tb: str, bits: int = 16) -> F.Column:
+    """Morton (Z-curve) interleave of two ``bits``-wide ints, built as one
+    whole-stage-codegen arithmetic expression — no UDF."""
+    terms = " + ".join(
+        f"(shiftleft(shiftright({ub}, {i}) & 1, {2 * i}) + "
+        f"shiftleft(shiftright({tb}, {i}) & 1, {2 * i + 1}))"
+        for i in range(bits)
+    )
+    return F.expr(terms)
+
+
+def ensure_events_zorder(spark: SparkSession, sf_dir: str) -> str:
+    """Events rewritten in Z-order on (user_id, hour): the Delta/Iceberg
+    OPTIMIZE ZORDER technique.  Interleaving the bit patterns of both
+    dimensions and range-partitioning + sorting by the interleaved value
+    gives every output file a TIGHT bounding rectangle in (user, time)
+    space, so a conjunctive range predicate on either or both dimensions
+    skips most files via parquet min/max statistics — single-dimension
+    sorting can only ever cluster one of the two.
+
+    Bucketing is monotone (user_id & 0xffff; hours-since-epoch & 0xffff),
+    so file stats on the RAW columns stay selective; at user cardinality
+    beyond 2^16 widen the mask or bucket ids first.  The write is a
+    one-time narrow pass + one range exchange (at 100 TB: the clustering
+    compaction job)."""
+    path = f"{_LAYOUT_ROOT}/events_zorder_v2_{_token(sf_dir, 'events')}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        ev = (
+            table(spark, sf_dir, "events")
+            .withColumn("ub", F.expr("user_id & 65535"))
+            .withColumn(
+                "tb", F.expr("(cast(unix_timestamp(ts) as bigint) div 3600) & 65535")
+            )
+            .withColumn("z", _morton_z("ub", "tb"))
+            .drop("ub", "tb")
+        )
+        # INT96 — the plain-session default timestamp encoding — carries
+        # NO parquet min/max statistics, which would silently disable the
+        # very skipping this layout exists for; pin MICROS for the write
+        # regardless of session (session.get_spark also sets it globally)
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            (
+                ev.repartitionByRange(16, "z")
+                .sortWithinPartitions("z")
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+            else:
+                spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    return path
+
+
+@query(
+    "events_zorder_pruned",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 10 AND 19
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-range rollup against the Z-ordered layout: a (user-range ×
+    time-range) rectangle touches only the files whose Z-range intersects
+    it — most files are skipped on raw-column min/max statistics alone
+    (the skip ratio is pinned in tests/test_layout_plans.py; the filters
+    reach the scan as PushedFilters).  Values oracle-checked against the
+    unclustered original."""
+    path = ensure_events_zorder(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(
+            (F.col("user_id").between(10, 19))
+            & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-13 00:00:00").cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .orderBy("event_type")
+    )

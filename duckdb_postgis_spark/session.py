@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default) carries NO parquet min/max statistics,
+        # which silently disables timestamp row-group/file skipping on
+        # every table this engine writes; MICROS is the modern
+        # cross-engine encoding (matches the driver testdata)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")

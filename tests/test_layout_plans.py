@@ -215,3 +215,49 @@ def test_scan_layout_parallelizes_the_scan(spark):
 
     assert working_partitions(src) == 1
     assert working_partitions(out) >= 8
+
+
+def test_zorder_layout_skips_most_files(spark):
+    """The Z-order clustering property itself: each output file's
+    (user_id, ts) bounding rectangle is tight, so the query's rectangle
+    (users 10-19 x 3 days of 30) overlaps only a minority of files —
+    single-dimension sorting cannot bound both dimensions at once."""
+    import datetime as dt
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from duckdb_postgis_spark.plans.layout import ensure_events_zorder
+
+    path = ensure_events_zorder(spark, "/root/testdata/sf0.01")
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= 8, files
+
+    lo_t = dt.datetime(2024, 1, 10)
+    hi_t = dt.datetime(2024, 1, 13)
+    overlapping = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        stats = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema in ("user_id", "ts") and col.statistics:
+                    mn, mx = col.statistics.min, col.statistics.max
+                    if col.path_in_schema in stats:
+                        omn, omx = stats[col.path_in_schema]
+                        mn, mx = min(mn, omn), max(mx, omx)
+                    stats[col.path_in_schema] = (mn, mx)
+        if not stats:
+            continue  # empty range partition: zero row groups, no stats
+        umin, umax = stats["user_id"]
+        tmin, tmax = stats["ts"]
+        if isinstance(tmin, dt.datetime) and tmin.tzinfo:
+            tmin, tmax = tmin.replace(tzinfo=None), tmax.replace(tzinfo=None)
+        if umax >= 10 and umin <= 19 and tmax >= lo_t and tmin < hi_t:
+            overlapping += 1
+    # rectangle = 1/15 of users x 1/10 of time; Z-order must keep the
+    # overlap a minority (observed: ~3-5 of 16). A fully-sorted-by-one-
+    # dimension layout overlaps either all user-matching or all
+    # time-matching files.
+    assert overlapping <= len(files) // 2, (overlapping, len(files))

@@ -82,7 +82,7 @@ TRAINING = [
 LAKEHOUSE = [
     "upsert_latest_wins", "scd2_history", "maintenance_compact_roundtrip",
     "incremental_agg_merge", "snapshot_time_travel", "join_scd2_point_in_time",
-    "maintenance_scan_layout",
+    "maintenance_scan_layout", "events_zorder_pruned",
 ]
 
 ALL_DECLARED = (
