@@ -701,3 +701,77 @@ def pipeline_geo_file_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+@query(
+    "pipeline_geojson_e2e",
+    oracle=f"""
+    SELECT CAST(c_custkey AS BIGINT) AS id,
+           'POINT (' || CAST(CAST({_LON} AS DOUBLE) AS VARCHAR) || ' '
+                     || CAST(CAST({_LAT} AS DOUBLE) AS VARCHAR) || ')'
+               AS geom_wkt,
+           'GeoJSON' AS file_type,
+           '4326' AS source_crs,
+           'geometry_wkt' AS geom_col
+    FROM customer
+    ORDER BY id
+    """,
+)
+def pipeline_geojson_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12's GeoJSON twin: the whole reference lifecycle through the
+    SECOND reader path — content-based GeoJSON sniffing
+    (core_processor.rs:373-388), FeatureCollection explode + pure-python
+    geometry→WKT codec (st_read analog, core_processor.rs:393-398),
+    geometry-column detection on the WKT text column
+    (core_processor.rs:165-195), coordinate-probe CRS inference on WKT
+    (geo_strategy.rs:105-131 ladder → lon/lat range → 4326), and the
+    4326→4326 short-circuit transform (geo_strategy.rs:281-291).  Output
+    carries the WKT and every lifecycle verdict, so a regression in any
+    stage of the GEOJSON path is a driver hash failure.
+
+    The file derives deterministically from the customer dim (bounded
+    driver-side pyarrow read, G12 pattern); .5-decimal coordinates keep
+    double→string formatting engine-identical."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    src = f"{sf_dir}/customer.parquet"
+    st = _os.stat(src)
+    path = (
+        "/tmp/duckdb_postgis_spark_layout/"
+        f"geo_e2e_{st.st_size}_{st.st_mtime_ns}.geojson"
+    )
+    if not _os.path.exists(path):
+        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+        keys = _pq.read_table(src, columns=["c_custkey"]).column(0).to_pylist()
+        feats = [
+            {
+                "type": "Feature",
+                "properties": {"id": k},
+                "geometry": {
+                    "type": "Point",
+                    "coordinates": [(k % 360) - 179.5, (k % 180) - 89.5],
+                },
+            }
+            for k in sorted(keys)
+        ]
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"type": "FeatureCollection", "features": feats}, fh)
+        _os.replace(tmp, path)
+
+    from duckdb_postgis_spark.pipeline import process_file
+
+    res = process_file(spark, path)
+    return (
+        res.dataframe.select(
+            F.col("id").cast("long").alias("id"),
+            F.col(f"{res.geom_columns[0]}_wkt").alias("geom_wkt"),
+            F.lit(res.file_type).alias("file_type"),
+            F.lit(res.source_crs).alias("source_crs"),
+            F.lit(res.geom_columns[0]).alias("geom_col"),
+        )
+        .orderBy("id")
+    )

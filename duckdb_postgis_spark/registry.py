@@ -50,9 +50,9 @@ ORACLES: dict[str, str] = {}
 # ROUND-7 ROTATION PLAN (execute at round-7 start): if CORRECTNESS_r06 is
 # green, (a)-(d) rotate out with verdicts standing.  Concrete window,
 # in order (validate with driver_replica before swapping into PRIORITY):
-#   (a) first driver verdict: maintenance_scan_layout (added post-freeze
-#       in r6; the only r6 query addition), plus any r6 window failures
-#       for a re-prove;
+#   (a) first driver verdicts: maintenance_scan_layout,
+#       events_zorder_pruned and pipeline_geojson_e2e (added post-freeze
+#       in r6), plus any r6 window failures for a re-prove;
 #   (b) the live streams whose shared replay runner CHANGED in r6
 #       (run_available_now now raises on an undrained replay instead of
 #       returning partial data — semantics-neutral, but changed code
