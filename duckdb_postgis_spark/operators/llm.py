@@ -1246,16 +1246,23 @@ def text_shingle_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("shingle3", Shingle)
     docs = table(spark, sf_dir, "documents")
-    docs.filter(F.col("doc_id") % 50 == 0).createOrReplaceTempView(
-        "docs_for_shingle"
-    )
-    return spark.sql(
-        """
+    # per-invocation view name (fixed names race under concurrent queries
+    # / interleaved sf_dirs); spark.sql inlines the view at analysis, so
+    # it is dropped immediately after
+    import uuid as _uuid
+
+    view = f"docs_for_shingle_{_uuid.uuid4().hex[:12]}"
+    docs.filter(F.col("doc_id") % 50 == 0).createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
         SELECT d.doc_id, s.pos, s.shingle
-        FROM docs_for_shingle d, LATERAL shingle3(d.text) s
+        FROM {view} d, LATERAL shingle3(d.text) s
         ORDER BY d.doc_id, s.pos
         """
-    )
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 # --------------------------------------------------------------------------

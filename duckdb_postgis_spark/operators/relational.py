@@ -1054,20 +1054,30 @@ def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").alias("d"),
         "value",
     )
-    ev.createOrReplaceTempView("ev_grains")
-    return spark.sql(
-        """
+    # per-invocation view name: a FIXED name races under concurrent
+    # queries / interleaved sf_dirs (another call could replace the view
+    # between registration and analysis).  spark.sql analyzes eagerly and
+    # inlines the view, so the view can be dropped right after.
+    import uuid as _uuid
+
+    view = f"ev_grains_{_uuid.uuid4().hex[:12]}"
+    ev.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
         SELECT CASE WHEN h IS NOT NULL THEN 'hour'
                     WHEN d IS NOT NULL THEN 'day'
                     ELSE 'total' END AS grain,
                COALESCE(h, d, TIMESTAMP '1970-01-01 00:00:00') AS win_start,
                COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM ev_grains
+        FROM {view}
         GROUP BY GROUPING SETS ((h), (d), ())
         ORDER BY grain, win_start
         """
-    )
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 # --------------------------------------------------------------------------

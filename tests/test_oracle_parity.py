@@ -119,3 +119,30 @@ def test_bad_sf_dir_fails_clean(spark):
     for name in ("pricing_summary", "text_stats"):
         with pytest.raises(AnalysisException):
             registry.QUERIES[name](spark, "/root/testdata/sf-does-not-exist").collect()
+
+
+def test_concurrent_queries_do_not_cross_views(spark):
+    """A fixed temp-view name raced under concurrent invocations (another
+    call could replace the view between registration and analysis) —
+    view names are per-invocation now.  Eight concurrent invocations
+    across two sf dirs must each return exactly their single-threaded
+    result."""
+    import concurrent.futures as cf
+
+    from duckdb_postgis_spark import registry
+
+    registry.load_all()
+    names = ["events_multigrain_rollup", "text_shingle_udtf"]
+    dirs = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    expected = {
+        (n, d): registry.QUERIES[n](spark, d).count()
+        for n in names
+        for d in dirs
+    }
+    jobs = [(n, d) for n in names for d in dirs] * 2
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(
+            ex.map(lambda nd: registry.QUERIES[nd[0]](spark, nd[1]).count(), jobs)
+        )
+    for (n, d), got in zip(jobs, results):
+        assert got == expected[(n, d)], (n, d, got, expected[(n, d)])
