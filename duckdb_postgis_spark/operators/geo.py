@@ -775,3 +775,61 @@ def pipeline_geojson_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+@query(
+    "pipeline_nongeo_e2e",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS id,
+           CAST(c_custkey % 97 AS BIGINT) AS amount,
+           'CSV' AS file_type,
+           '4326' AS source_crs,
+           CAST(0 AS BIGINT) AS n_geom_cols
+    FROM customer
+    ORDER BY id
+    """,
+)
+def pipeline_nongeo_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's NonGeoStrategy lifecycle (non_geo_strategy.rs:11-28)
+    end-to-end: a file with NO geometry columns and NO coordinate-pair
+    match must pass through ``process_file`` as a straight copy — no
+    synthesized columns, no transform, geometry verdict empty — which is
+    exactly the branch G12/G13 never take (core_processor.rs:108-114
+    dispatches on geom_columns.is_empty()).  A false-positive in the
+    coordinate-pair matcher (e.g. a non-coordinate column name suddenly
+    matching one of the 14 patterns) changes the output schema and fails
+    the driver hash."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    src = f"{sf_dir}/customer.parquet"
+    st = _os.stat(src)
+    path = (
+        "/tmp/duckdb_postgis_spark_layout/"
+        f"geo_e2e_{st.st_size}_{st.st_mtime_ns}_nongeo.csv"
+    )
+    if not _os.path.exists(path):
+        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+        keys = _pq.read_table(src, columns=["c_custkey"]).column(0).to_pylist()
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("id,amount\n")
+            for k in sorted(keys):
+                fh.write(f"{k},{k % 97}\n")
+        _os.replace(tmp, path)
+
+    from duckdb_postgis_spark.pipeline import process_file
+
+    res = process_file(spark, path)
+    assert not res.geom_columns and res.coordinate_pair is None
+    return (
+        res.dataframe.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("amount").cast("long").alias("amount"),
+            F.lit(res.file_type).alias("file_type"),
+            F.lit(res.source_crs).alias("source_crs"),
+            F.lit(len(res.geom_columns)).cast("long").alias("n_geom_cols"),
+        )
+        .orderBy("id")
+    )

@@ -42,7 +42,7 @@ GEO = [
     "geo_point_wkt", "geo_crs_infer_ranges", "geo_transform_27700_to_4326",
     "geo_wkb_roundtrip", "geo_bbox_join_grid", "geo_cell_rollup",
     "geo_haversine_radius", "geo_knn_join", "pipeline_geo_file_e2e",
-    "pipeline_geojson_e2e",
+    "pipeline_geojson_e2e", "pipeline_nongeo_e2e",
 ]
 # §2.12a multimodal
 MULTIMODAL = [
