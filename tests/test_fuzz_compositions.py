@@ -927,3 +927,81 @@ def _run_scalar_subquery(spark: SparkSession, sf_dir: str, seed: int) -> None:
 def test_fuzz_scalar_subquery_parity(spark, sf_dir, chunk):
     for i in range(SEEDS_PER_CHUNK):
         _run_scalar_subquery(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
+
+
+# --------------------------------------------------------------------------
+# as-of join family: the union+window as-of REWRITE (Spark has no native
+# as-of) fuzzed against DuckDB's NATIVE ASOF LEFT JOIN — a stronger oracle
+# than the fixed join_asof query's hand-built SQL twin, because the two
+# sides share no formulation at all.  Ties are made deterministic by
+# pre-deduplicating the build side to one row per (user, ts) on both
+# engines; equal timestamps match (>= semantics, build row sorts first).
+# --------------------------------------------------------------------------
+def _run_asof(spark: SparkSession, sf_dir: str, seed: int) -> None:
+    rng = random.Random(450_000 + seed)
+    pivot = rng.choice(["c", "l", "p", "s", "v"])
+    flip = rng.random() < 0.5
+    a_pred = f"event_type {'<=' if flip else '>'} '{pivot}'"
+    b_pred = f"event_type {'>' if flip else '<='} '{pivot}'"
+    if rng.random() < 0.3:  # sparsify the build side → more no-match rows
+        m = rng.randint(2, 5)
+        b_pred = f"({b_pred}) AND event_id % {m} = 0"
+
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.expr(a_pred)).select(
+        "user_id", "ts", F.col("event_type").alias("a_type")
+    )
+    b = (
+        ev.filter(F.expr(b_pred))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("bid"))
+    )
+
+    tagged = a.select(
+        "user_id", "ts", "a_type", F.lit(1).alias("tag"), F.lit(None).cast("long").alias("bid")
+    ).unionByName(
+        b.select(
+            "user_id", "ts", F.lit(None).cast("string").alias("a_type"),
+            F.lit(0).alias("tag"), "bid",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        tagged.withColumn("m_bid", F.last("bid", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+    )
+    gdf = matched.groupBy("a_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("m_bid").alias("n_matched"),
+        F.sum("m_bid").alias("sum_bid"),
+    )
+
+    sql = f"""
+    WITH a AS (SELECT event_type AS a_type, user_id, ts
+               FROM events WHERE {a_pred}),
+         b AS (SELECT user_id, ts, CAST(MAX(event_id) AS BIGINT) AS bid
+               FROM events WHERE {b_pred} GROUP BY user_id, ts)
+    SELECT a.a_type, COUNT(*) AS n, COUNT(b.bid) AS n_matched,
+           CAST(SUM(b.bid) AS BIGINT) AS sum_bid
+    FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+    GROUP BY a.a_type
+    """
+    s_cols = ["a_type", "n", "n_matched", "sum_bid"]
+    s_rows = [tuple(r) for r in gdf.select(*s_cols).collect()]
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, (
+        f"asof mismatch seed={seed} a_pred={a_pred!r} b_pred={b_pred!r}\n"
+        f"spark {len(ns)} rows vs oracle {len(no)} rows"
+    )
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_fuzz_asof_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_asof(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
