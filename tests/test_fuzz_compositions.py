@@ -1005,3 +1005,77 @@ def _run_asof(spark: SparkSession, sf_dir: str, seed: int) -> None:
 def test_fuzz_asof_parity(spark, sf_dir, chunk):
     for i in range(SEEDS_PER_CHUNK):
         _run_asof(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
+
+
+# --------------------------------------------------------------------------
+# pivot family: Spark's pivot OPERATOR (PivotFirst / expand rewrite) vs
+# DuckDB conditional FILTER aggregation — two genuinely different
+# evaluation strategies for the same contract.  Random pivot-value
+# subsets exercise the empty-cell convention (pivot yields NULL, FILTER
+# yields 0 for counts — aligned via COALESCE exactly like the fixed A8
+# query) and the excluded-value rule (rows whose pivot value is not in
+# the explicit list must influence nothing).
+# --------------------------------------------------------------------------
+_PIVOT_SHAPES = [
+    # (table, group col, pivot col, value pool, money col)
+    ("orders", "o_orderstatus", "o_orderpriority",
+     ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+     "o_totalprice"),
+    ("lineitem", "l_linestatus", "l_returnflag", ["A", "N", "R"],
+     "l_extendedprice"),
+    ("customer", "c_mktsegment", "c_nationkey",
+     [0, 3, 7, 11, 17, 21], "c_acctbal"),
+]
+
+
+def _run_pivot(rng_seed: int, spark: SparkSession, sf_dir: str) -> None:
+    rng = random.Random(500_000 + rng_seed)
+    tbl, gk, pcol, pool, money = rng.choice(_PIVOT_SHAPES)
+    vals = sorted(rng.sample(pool, rng.randint(2, min(4, len(pool)))), key=str)
+    mode = rng.choice(["count", "dsum"])
+
+    def lit_sql(v):
+        return f"'{v}'" if isinstance(v, str) else str(v)
+
+    df = table(spark, sf_dir, tbl)
+    if mode == "count":
+        piv = df.groupBy(gk).pivot(pcol, vals).agg(F.count(F.lit(1)))
+        # pivot leaves NULL in empty cells; FILTER count yields 0
+        out = piv.select(
+            gk,
+            *[F.coalesce(F.col(str(v)), F.lit(0)).alias(f"v{i}") for i, v in enumerate(vals)],
+        )
+        cells = ", ".join(
+            f"COUNT(*) FILTER (WHERE {pcol} = {lit_sql(v)}) AS v{i}"
+            for i, v in enumerate(vals)
+        )
+    else:
+        piv = df.groupBy(gk).pivot(pcol, vals).agg(
+            F.sum(F.col(money).cast("decimal(18,2)")).cast("double")
+        )
+        # empty-cell SUM is NULL under BOTH forms — no coalesce
+        out = piv.select(
+            gk, *[F.col(str(v)).alias(f"v{i}") for i, v in enumerate(vals)]
+        )
+        cells = ", ".join(
+            f"CAST(SUM(CAST({money} AS DECIMAL(18,2))) "
+            f"FILTER (WHERE {pcol} = {lit_sql(v)}) AS DOUBLE) AS v{i}"
+            for i, v in enumerate(vals)
+        )
+
+    sql = f"SELECT {gk}, {cells} FROM {tbl} GROUP BY {gk}"
+    s_cols = out.columns
+    s_rows = [tuple(r) for r in out.collect()]
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, (
+        f"pivot mismatch seed={rng_seed} tbl={tbl} pcol={pcol} vals={vals} "
+        f"mode={mode}\nspark {len(ns)} rows vs oracle {len(no)} rows"
+    )
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_fuzz_pivot_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_pivot(chunk * SEEDS_PER_CHUNK + i, spark, sf_dir)
