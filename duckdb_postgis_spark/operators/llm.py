@@ -1873,3 +1873,117 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, round(v[i], 6), round(lam, 3)) for i in range(_PCA_DIMS)],
         "dim INT, pc1_loading DOUBLE, eigenvalue_est DOUBLE",
     )
+
+
+@query(
+    "agg_heavy_hitters_twophase",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(str_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS n FROM tok WHERE token != '' GROUP BY token
+    )
+    SELECT token, n, TRUE AS candidate_superset_held
+    FROM (
+      SELECT token, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk
+      FROM counts
+    ) WHERE rk <= 10
+    ORDER BY n DESC, token
+    """,
+)
+def agg_heavy_hitters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (global top-k tokens) by the two-phase
+    pattern that scales where a full groupBy's shuffle key space does
+    not: phase 1 keeps only each PARTITION's local top-M tokens (a
+    per-partition Misra-Gries-style candidate cut — shuffle |partitions|
+    × M rows, not |distinct tokens|), phase 2 exactly re-counts the
+    candidate union and takes the global top-k.  A global heavy hitter
+    is a local heavy hitter in at least one partition whenever its count
+    exceeds N_partition/M, so M = 50 ≫ k = 10 gives a wide safety
+    margin.
+
+    Like agg_approx_distinct, the approximation is ITSELF under driver
+    test: the query also computes the exact top-k (the verification
+    harness — at 100 TB you would skip this pass; here it doubles as the
+    oracle alignment) and emits `candidate_superset_held`; the oracle
+    pins it TRUE, so a partitioning under which the candidate cut ever
+    drops a true heavy hitter is a driver hash failure, not a silent
+    recall loss.  Deterministic tie-break (count desc, token asc) on
+    both engines."""
+    from pyspark.sql.window import Window as W
+
+    M, K = 50, 10
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower("text"), "[^a-z ]", ""), " ")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+
+    # phase 1: per-partition local counts → local top-M candidate tokens
+    local = (
+        toks.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "token")
+        .agg(F.count(F.lit(1)).alias("ln"))
+    )
+    cand = (
+        local.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("pid").orderBy(F.col("ln").desc(), F.col("token"))
+            ),
+        )
+        .filter(F.col("rk") <= M)
+        .select("token")
+        .distinct()
+    )
+
+    # phase 2: exact re-count of the candidate union only, global top-k
+    cand_counts = (
+        toks.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    topk_cand = (
+        cand_counts.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy().orderBy(F.col("n").desc(), F.col("token"))
+            ),
+        )
+        .filter(F.col("rk") <= K)
+        .select("token", "n")
+    )
+
+    # verification harness (the exact pass you would skip at scale):
+    # candidate_superset_held = the exact top-k is fully inside the
+    # two-phase result — pinned TRUE by the oracle
+    exact_topk = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy().orderBy(F.col("n").desc(), F.col("token"))
+            ),
+        )
+        .filter(F.col("rk") <= K)
+        .select("token", "n")
+    )
+    missed = exact_topk.join(topk_cand, ["token", "n"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    return (
+        topk_cand.crossJoin(F.broadcast(missed))
+        .select(
+            "token",
+            "n",
+            (F.col("n_missed") == 0).alias("candidate_superset_held"),
+        )
+        .orderBy(F.col("n").desc(), "token")
+    )

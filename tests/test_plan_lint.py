@@ -52,6 +52,9 @@ ALLOWED_BNLJ = {
     "stream_session_live",
     # the Bloom sketch is a broadcast 1-row collect_set aggregate
     "join_semi_bloom_prefilter",
+    # build side is an ungrouped count() over the missed-top-k anti-join —
+    # exactly 1 row at any SF (the verification-harness attach)
+    "agg_heavy_hitters_twophase",
 }
 ALLOWED_ROW_PY = {"text_shingle_udtf"}
 
