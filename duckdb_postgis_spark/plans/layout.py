@@ -617,3 +617,56 @@ def events_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_directory_table",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           min(ts) AS lo, max(ts) AS hi
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_directory_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale table shape made driver-checkable: events rewritten as
+    a DIRECTORY of parquet part files (every 100 TB table is one), loaded
+    back through the normal ``catalog.table`` path — which routes the ts
+    sanity gate through the bounded part-file walk (catalog.py) — and
+    digested per type.  The oracle recomputes the digests from the
+    original single-file table, so a part-file split that loses, splits
+    or re-encodes rows (including the TIMESTAMP encoding surviving the
+    rewrite) is a driver hash failure."""
+    src_stat = os.stat(f"{sf_dir}/events.parquet")
+    root = (
+        f"{_LAYOUT_ROOT}/events_dir_{src_stat.st_size}_{src_stat.st_mtime_ns}"
+    )
+    dir_path = f"{root}/events.parquet"
+    if not os.path.exists(f"{root}/_SUCCESS"):
+        ev = table(spark, sf_dir, "events")
+        # 4-part directory; MICROS so the encoding gate sees a modern file
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        try:
+            ev.repartition(4).write.mode("overwrite").parquet(dir_path)
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+            else:
+                spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        open(f"{root}/_SUCCESS", "w").close()
+    return (
+        table(spark, root, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+        )
+        .orderBy("event_type")
+    )

@@ -52,8 +52,8 @@ ORACLES: dict[str, str] = {}
 # in order (validate with driver_replica before swapping into PRIORITY):
 #   (a) first driver verdicts: maintenance_scan_layout,
 #       events_zorder_pruned, pipeline_geojson_e2e, pipeline_nongeo_e2e
-#       and agg_heavy_hitters_twophase (added post-freeze in r6), plus
-#       any r6 window failures for a re-prove;
+#       agg_heavy_hitters_twophase and events_directory_table (added
+#       post-freeze in r6), plus any r6 window failures for a re-prove;
 #   (b) the live streams whose shared replay runner CHANGED in r6
 #       (run_available_now now raises on an undrained replay instead of
 #       returning partial data — semantics-neutral, but changed code
