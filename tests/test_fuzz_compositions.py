@@ -1079,3 +1079,57 @@ def _run_pivot(rng_seed: int, spark: SparkSession, sf_dir: str) -> None:
 def test_fuzz_pivot_parity(spark, sf_dir, chunk):
     for i in range(SEEDS_PER_CHUNK):
         _run_pivot(chunk * SEEDS_PER_CHUNK + i, spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# unpivot family: Spark's unpivot OPERATOR (zero-shuffle Expand) vs the
+# DuckDB UNION ALL long form — the reshape dual of family 12.  Random
+# measure subsets exercise the null-row rule (unpivot DROPS rows whose
+# value is NULL by default; the UNION form filters explicitly) and the
+# value-column type unification.
+# --------------------------------------------------------------------------
+def _run_unpivot(rng_seed: int, spark: SparkSession, sf_dir: str) -> None:
+    rng = random.Random(550_000 + rng_seed)
+    measures_pool = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    measures = sorted(rng.sample(measures_pool, rng.randint(2, 4)))
+    pc, ps = _li_pred(rng)
+
+    li = table(spark, sf_dir, "lineitem").filter(pc)
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=measures,
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    gdf = long.groupBy("l_returnflag", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("s"),
+    )
+
+    arms = " UNION ALL ".join(
+        f"SELECT l_returnflag, '{m}' AS metric, CAST({m} AS DOUBLE) AS val "
+        f"FROM lineitem WHERE {ps}"
+        for m in measures
+    )
+    sql = f"""
+    SELECT l_returnflag, metric, COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS s
+    FROM ({arms}) u
+    WHERE val IS NOT NULL
+    GROUP BY l_returnflag, metric
+    """
+    s_cols = ["l_returnflag", "metric", "n", "s"]
+    s_rows = [tuple(r) for r in gdf.select(*s_cols).collect()]
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, (
+        f"unpivot mismatch seed={rng_seed} measures={measures} pred={ps!r}\n"
+        f"spark {len(ns)} rows vs oracle {len(no)} rows"
+    )
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_fuzz_unpivot_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_unpivot(chunk * SEEDS_PER_CHUNK + i, spark, sf_dir)
