@@ -111,3 +111,95 @@ def _run_one(spark, sf_dir: str, seed: int) -> None:
 def test_fuzz_stream_window_parity(spark, sf_dir, chunk):
     for i in range(SEEDS // 2):
         _run_one(spark, sf_dir, chunk * (SEEDS // 2) + i)
+
+
+# --------------------------------------------------------------------------
+# restart-geometry fuzz: the exactly-once-across-restart property of
+# tests/test_streaming_resume.py, under RANDOM landing geometries — split
+# modulus, slice boundaries, and which earlier slice gets replayed are
+# all drawn per seed, and the stream stops/restarts from one checkpoint
+# after every phase.  Invariants per seed: no key is ever emitted twice
+# (state recovered, not rebuilt), nothing is lost, and every phase
+# contributes (non-vacuous).
+# --------------------------------------------------------------------------
+RESTART_SEEDS = 4
+
+
+def _run_restart_fuzz(spark, sf_dir: str, tmp_path, seed: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(600_000 + seed)
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    users = t.column("user_id").to_pylist()
+    P = rng.choice([2, 3])
+    phases_tbl = [
+        t.filter(pa.array([u % P == i for u in users])) for i in range(P)
+    ]
+    assert all(p.num_rows for p in phases_tbl)
+
+    land = tmp_path / f"landing_{seed}"
+    land.mkdir()
+    ckpt = tmp_path / f"ckpt_{seed}"
+    out = tmp_path / f"out_{seed}"
+
+    def drain() -> set:
+        schema = spark.read.parquet(str(land)).schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", rng.choice([1, 2]))
+            .parquet(str(land))
+            .select("user_id")
+            .dropDuplicates(["user_id"])
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        assert q.awaitTermination(240), "restart-fuzz replay did not drain"
+        return {r.user_id for r in spark.read.parquet(str(out)).collect()}
+
+    part = 0
+    written = []  # slices already landed (for replays)
+    seen_prev: set = set()
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for i, tbl in enumerate(phases_tbl):
+            # land this phase as 1-2 random slices
+            cut = rng.randint(1, max(1, tbl.num_rows - 1))
+            slices = (
+                [tbl] if tbl.num_rows < 2 or rng.random() < 0.3
+                else [tbl.slice(0, cut), tbl.slice(cut)]
+            )
+            # plus a replay of a random earlier slice (must be suppressed
+            # by recovered state)
+            if written and rng.random() < 0.8:
+                slices.append(rng.choice(written))
+            for s in slices:
+                pq.write_table(s, land / f"part-{part}.parquet")
+                written.append(s)
+                part += 1
+            seen = drain()
+            assert seen - seen_prev, f"phase {i} vacuous (seed {seed})"
+            seen_prev = seen
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+
+    sink = spark.read.parquet(str(out)).groupBy("user_id").count().collect()
+    dupes = [r.user_id for r in sink if r["count"] > 1]
+    assert not dupes, f"seed {seed}: re-emitted after restart: {dupes[:5]}"
+    all_ids = set(users)
+    assert seen_prev == all_ids, f"seed {seed}: lost keys"
+
+
+@pytest.mark.parametrize("seed", range(RESTART_SEEDS))
+def test_fuzz_restart_geometry(spark, sf_dir, tmp_path, seed):
+    _run_restart_fuzz(spark, sf_dir, tmp_path, seed)
