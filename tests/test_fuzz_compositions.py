@@ -206,7 +206,19 @@ def _window(rng: random.Random, df: DataFrame, sql_from: str, cols: dict):
     order_sql = ", ".join(f"{u} ASC" for u in uniq)
     w = Window.partitionBy(pk).orderBy(*[F.col(u).asc() for u in uniq])
 
-    fn = rng.choice(["row_number", "rank", "lag", "running_sum", "pcount"])
+    fn = rng.choice(
+        ["row_number", "rank", "lag", "running_sum", "pcount", "ntile"]
+    )
+    if fn == "ntile":
+        # deterministic under the unique-tuple ordering
+        k = rng.randint(2, 8)
+        df = df.withColumn("wval", F.ntile(k).over(w))
+        sql = (
+            f"(SELECT t.*, NTILE({k}) OVER "
+            f"(PARTITION BY {pk} ORDER BY {order_sql}) AS wval "
+            f"FROM {sql_from} t)"
+        )
+        return df, sql, cols, fn
     if fn == "row_number":
         wc, wsql = F.row_number().over(w), (
             f"ROW_NUMBER() OVER (PARTITION BY {pk} ORDER BY {order_sql})"
