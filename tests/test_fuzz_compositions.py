@@ -1145,3 +1145,61 @@ def _run_unpivot(rng_seed: int, spark: SparkSession, sf_dir: str) -> None:
 def test_fuzz_unpivot_parity(spark, sf_dir, chunk):
     for i in range(SEEDS_PER_CHUNK):
         _run_unpivot(chunk * SEEDS_PER_CHUNK + i, spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# explicit GROUPING SETS + GROUPING() markers: the family-2 arm rollup/
+# cube cannot reach — arbitrary random set lists, with GROUPING(k)
+# columns disambiguating real-NULL group values from subtotal-marker
+# NULLs (the classic multi-level-aggregation divergence).  Spark side
+# goes through SQL (the DataFrame API has no grouping sets), DuckDB
+# through its own GROUPING SETS evaluator.
+# --------------------------------------------------------------------------
+def _run_grouping_sets(spark: SparkSession, sf_dir: str, seed: int) -> None:
+    import uuid
+
+    rng = random.Random(650_000 + seed)
+    df, sql_from, cols = _base(rng, spark, sf_dir)
+    ks = rng.sample(cols["cat"], min(2, len(cols["cat"])))
+    if len(ks) == 1:
+        ks = ks * 1
+    money = cols["money"][0]
+    # every selected/GROUPING() key must appear in at least one set
+    # (Spark enforces this; standard SQL agrees) — guarantee it by always
+    # drawing the full set, then random extras
+    if len(ks) == 2:
+        full = f"({ks[0]}, {ks[1]})"
+        extras = [f"({ks[0]})", f"({ks[1]})", "()"]
+    else:
+        full = f"({ks[0]})"
+        extras = ["()"]
+    sets = [full] + rng.sample(extras, rng.randint(1, len(extras)))
+    key_sql = ", ".join(dict.fromkeys(ks))
+    gcols = ", ".join(f"GROUPING({k}) AS g_{k}" for k in dict.fromkeys(ks))
+    body = (
+        f"SELECT {key_sql}, {gcols}, COUNT(*) AS n, "
+        f"{sql_dsum(money)} AS s_money "
+        f"FROM {sql_from} t GROUP BY GROUPING SETS ({', '.join(sets)})"
+    )
+
+    view = f"gs_{uuid.uuid4().hex[:10]}"
+    df.createOrReplaceTempView(view)
+    try:
+        sdf = df.sparkSession.sql(body.replace(f"FROM {sql_from} t", f"FROM {view} t"))
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+    finally:
+        df.sparkSession.catalog.dropTempView(view)
+    o_cols, o_rows, _ = run_oracle(body, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, (
+        f"grouping-sets mismatch seed={seed} keys={ks} sets={sets}\n"
+        f"spark {len(ns)} rows vs oracle {len(no)} rows"
+    )
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_fuzz_grouping_sets_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_grouping_sets(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
