@@ -1203,3 +1203,62 @@ def _run_grouping_sets(spark: SparkSession, sf_dir: str, seed: int) -> None:
 def test_fuzz_grouping_sets_parity(spark, sf_dir, chunk):
     for i in range(SEEDS_PER_CHUNK):
         _run_grouping_sets(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
+
+
+# --------------------------------------------------------------------------
+# distinct-aggregate family: COUNT(DISTINCT)/SUM(DISTINCT) with
+# NULL-injected inputs alongside plain aggregates in one GROUP BY —
+# Catalyst plans mixed distinct/non-distinct aggregation through Expand,
+# a rewrite with its own null-handling rules (DISTINCT ignores NULLs;
+# COUNT(*) does not; SUM(DISTINCT) sums the distinct value SET).
+# --------------------------------------------------------------------------
+def _run_distinct_aggs(spark: SparkSession, sf_dir: str, seed: int) -> None:
+    rng = random.Random(700_000 + seed)
+    df, sql_from, cols = _base(rng, spark, sf_dir)
+    gk = rng.choice(cols["cat"])
+    num = rng.choice(cols["num"])
+    money = cols["money"][0]
+
+    m = rng.randint(3, 9)
+    r = rng.randrange(m)
+    nk = f"NULLIF({num} % {m}, {r})"  # NULL-injected distinct input
+
+    aggs = [
+        (F.count(F.lit(1)).alias("n"), "COUNT(*) AS n"),
+        (
+            F.countDistinct(F.expr(nk)).alias("nd"),
+            f"COUNT(DISTINCT {nk}) AS nd",
+        ),
+    ]
+    if rng.random() < 0.7:
+        aggs.append(
+            (
+                F.sum_distinct(F.expr(nk)).cast("long").alias("sd"),
+                f"CAST(SUM(DISTINCT {nk}) AS BIGINT) AS sd",
+            )
+        )
+    if rng.random() < 0.6:  # mixed distinct + plain exact sum → Expand
+        aggs.append(
+            (dsum(money).alias("s_money"), f"{sql_dsum(money)} AS s_money")
+        )
+
+    gdf = df.groupBy(gk).agg(*[c for c, _ in aggs])
+    sql = (
+        f"SELECT {gk}, {', '.join(s for _, s in aggs)} "
+        f"FROM {sql_from} t GROUP BY {gk}"
+    )
+    s_cols = gdf.columns
+    s_rows = [tuple(r) for r in gdf.collect()]
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, (
+        f"distinct-agg mismatch seed={seed} key={nk}\n"
+        f"spark {len(ns)} rows vs oracle {len(no)} rows"
+    )
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_fuzz_distinct_aggs_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_distinct_aggs(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
