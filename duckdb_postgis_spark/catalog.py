@@ -278,8 +278,12 @@ def ensure_scan_layout(
     if os.path.exists(f"{out}/_SUCCESS"):
         return out, 0.0
 
+    import uuid
+
     t0 = _time.perf_counter()
-    tmp = f"{out}.tmp.{os.getpid()}"
+    # unique per builder (pid alone collides for two THREADS of one
+    # process); the rename below keeps the publish step atomic either way
+    tmp = f"{out}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
