@@ -1262,3 +1262,67 @@ def _run_distinct_aggs(spark: SparkSession, sf_dir: str, seed: int) -> None:
 def test_fuzz_distinct_aggs_parity(spark, sf_dir, chunk):
     for i in range(SEEDS_PER_CHUNK):
         _run_distinct_aggs(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
+
+
+# --------------------------------------------------------------------------
+# range-join family: random band residuals — equi key + numeric band, or
+# pure inequality band (BNLJ territory) — aggregated to per-key digests.
+# Exercises the non-equi join path (condition pushed into the join vs
+# post-filter) that equi-join families never touch.
+# --------------------------------------------------------------------------
+def _run_range_join(spark: SparkSession, sf_dir: str, seed: int) -> None:
+    rng = random.Random(750_000 + seed)
+    w = rng.randint(500, 20_000)  # price band half-width
+    equi = rng.random() < 0.7
+    oc, osql = _o_pred(rng)
+
+    o = table(spark, sf_dir, "orders").filter(oc)
+    a = o.select(
+        F.col("o_orderkey").alias("a_id"),
+        F.col("o_custkey").alias("a_ck"),
+        (F.col("o_custkey") % 10).alias("a_g"),
+        F.col("o_totalprice").alias("a_p"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("b_id"),
+        (F.col("o_custkey") % 10).alias("b_g"),
+        F.col("o_totalprice").alias("b_p"),
+    )
+    band = (
+        (F.col("b_p") >= F.col("a_p") - w)
+        & (F.col("b_p") <= F.col("a_p") + w)
+        & (F.col("a_id") < F.col("b_id"))
+    )
+    cond = ((F.col("a_g") == F.col("b_g")) & band) if equi else band
+    joined = a.join(b, cond, "inner")
+    gdf = joined.groupBy("a_g").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("b_id")).alias("bid_sum"),
+    )
+
+    gsql = "a.o_custkey % 10" if True else ""
+    eq = "AND a.o_custkey % 10 = b.o_custkey % 10" if equi else ""
+    sql = f"""
+    WITH f AS (SELECT * FROM orders WHERE {osql})
+    SELECT {gsql} AS a_g, COUNT(*) AS n_pairs,
+           CAST(SUM(b.o_orderkey) AS BIGINT) AS bid_sum
+    FROM f a JOIN f b
+      ON b.o_totalprice BETWEEN a.o_totalprice - {w} AND a.o_totalprice + {w}
+     AND a.o_orderkey < b.o_orderkey {eq}
+    GROUP BY a_g
+    """
+    s_cols = ["a_g", "n_pairs", "bid_sum"]
+    s_rows = [tuple(r) for r in gdf.select(*s_cols).collect()]
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, (
+        f"range-join mismatch seed={seed} w={w} equi={equi}\n"
+        f"spark {len(ns)} rows vs oracle {len(no)} rows"
+    )
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_fuzz_range_join_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_range_join(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
