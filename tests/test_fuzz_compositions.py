@@ -1326,3 +1326,55 @@ def _run_range_join(spark: SparkSession, sf_dir: str, seed: int) -> None:
 def test_fuzz_range_join_parity(spark, sf_dir, chunk):
     for i in range(SEEDS_PER_CHUNK):
         _run_range_join(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
+
+
+# --------------------------------------------------------------------------
+# top-k / offset family: ORDER BY (full unique tuple, random direction
+# per column) + LIMIT k [OFFSET j] — exercises TakeOrderedAndProject,
+# the offset path (Spark 3.4+), and k/j beyond the row count.  Unique
+# ordering makes the selected row SET deterministic cross-engine.
+# --------------------------------------------------------------------------
+def _run_topk_offset(spark: SparkSession, sf_dir: str, seed: int) -> None:
+    rng = random.Random(800_000 + seed)
+    df, sql_from, cols = _base(rng, spark, sf_dir)
+    uniq = cols["uniq"]
+    dirs = [rng.choice(["ASC", "DESC"]) for _ in uniq]
+    k = rng.choice([1, 3, 10, 100, 10_000_000])
+    j = rng.choice([0, 0, 1, 7, 50])
+
+    order_cols = [
+        F.col(c).asc() if d == "ASC" else F.col(c).desc()
+        for c, d in zip(uniq, dirs)
+    ]
+    out = df.orderBy(*order_cols)
+    out = out.offset(j).limit(k) if j else out.limit(k)
+    # digest the selected row set (order-insensitive compare downstream)
+    money = cols["money"][0]
+    gdf = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(money).alias("s_money"),
+        F.sum(F.col(uniq[0])).alias("key_sum"),
+    )
+
+    order_sql = ", ".join(f"{c} {d}" for c, d in zip(uniq, dirs))
+    off = f"OFFSET {j}" if j else ""
+    sql = f"""
+    SELECT COUNT(*) AS n, {sql_dsum(money)} AS s_money,
+           SUM({uniq[0]}) AS key_sum
+    FROM (SELECT * FROM {sql_from} t ORDER BY {order_sql} LIMIT {k} {off})
+    """
+    s_cols = ["n", "s_money", "key_sum"]
+    s_rows = [tuple(r) for r in gdf.select(*s_cols).collect()]
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, (
+        f"topk-offset mismatch seed={seed} k={k} j={j} dirs={dirs}\n"
+        f"spark {len(ns)} rows vs oracle {len(no)} rows"
+    )
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_fuzz_topk_offset_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_topk_offset(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
