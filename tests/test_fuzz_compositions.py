@@ -1378,3 +1378,63 @@ def _run_topk_offset(spark: SparkSession, sf_dir: str, seed: int) -> None:
 def test_fuzz_topk_offset_parity(spark, sf_dir, chunk):
     for i in range(SEEDS_PER_CHUNK):
         _run_topk_offset(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
+
+
+# --------------------------------------------------------------------------
+# null-ordering family: ORDER BY a NULL-injected expression with EXPLICIT
+# NULLS FIRST/LAST + LIMIT, digested.  The engines' DEFAULT null
+# placement differs (Spark: NULLS FIRST on ASC; DuckDB: NULLS LAST), so
+# only explicit placement is portable — this family pins that the
+# explicit forms agree exactly through the top-k cut, where misplacement
+# changes which rows survive.
+# --------------------------------------------------------------------------
+def _run_null_order(spark: SparkSession, sf_dir: str, seed: int) -> None:
+    rng = random.Random(850_000 + seed)
+    df, sql_from, cols = _base(rng, spark, sf_dir)
+    uniq = cols["uniq"]
+    num = rng.choice(cols["num"])
+    m = rng.randint(3, 9)
+    r = rng.randrange(m)
+    nk = f"NULLIF({num} % {m}, {r})"
+    asc = rng.random() < 0.5
+    nulls_first = rng.random() < 0.5
+    k = rng.choice([5, 20, 200])
+
+    c = F.expr(nk)
+    if asc:
+        oc = c.asc_nulls_first() if nulls_first else c.asc_nulls_last()
+    else:
+        oc = c.desc_nulls_first() if nulls_first else c.desc_nulls_last()
+    tie = [F.col(u).asc() for u in uniq]
+    out = df.orderBy(oc, *tie).limit(k)
+    money = cols["money"][0]
+    gdf = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.expr(nk)).alias("n_nonnull"),
+        dsum(money).alias("s_money"),
+    )
+
+    d = "ASC" if asc else "DESC"
+    nf = "NULLS FIRST" if nulls_first else "NULLS LAST"
+    tie_sql = ", ".join(f"{u} ASC" for u in uniq)
+    sql = f"""
+    SELECT COUNT(*) AS n, COUNT({nk}) AS n_nonnull,
+           {sql_dsum(money)} AS s_money
+    FROM (SELECT * FROM {sql_from} t
+          ORDER BY {nk} {d} {nf}, {tie_sql} LIMIT {k})
+    """
+    s_cols = ["n", "n_nonnull", "s_money"]
+    s_rows = [tuple(r) for r in gdf.select(*s_cols).collect()]
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, (
+        f"null-order mismatch seed={seed} key={nk} {d} {nf} k={k}\n"
+        f"spark {len(ns)} rows vs oracle {len(no)} rows"
+    )
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_fuzz_null_ordering_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_null_order(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
