@@ -1438,3 +1438,65 @@ def _run_null_order(spark: SparkSession, sf_dir: str, seed: int) -> None:
 def test_fuzz_null_ordering_parity(spark, sf_dir, chunk):
     for i in range(SEEDS_PER_CHUNK):
         _run_null_order(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
+
+
+# --------------------------------------------------------------------------
+# join-multiplicity family: joins on deliberately LOW-cardinality keys
+# (modulo-compressed, sometimes NULL-injected) so both sides carry many
+# duplicates — pinning bag semantics (row multiplication), NULL-key
+# never-matches, and outer-join null padding, digested per join type.
+# --------------------------------------------------------------------------
+def _run_join_multiplicity(spark: SparkSession, sf_dir: str, seed: int) -> None:
+    rng = random.Random(900_000 + seed)
+    jt = rng.choice(["inner", "left", "full"])
+    m = rng.randint(2, 6)  # tiny key domain → heavy duplication
+    null_inject = rng.random() < 0.5
+    oc, osql = _o_pred(rng)
+    cc, csql = _c_pred(rng)
+
+    okey = f"NULLIF(o_custkey % {m}, 0)" if null_inject else f"o_custkey % {m}"
+    ckey = f"NULLIF(c_custkey % {m}, 0)" if null_inject else f"c_custkey % {m}"
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.expr(osql))
+        .select(F.expr(okey).alias("ok"), F.col("o_totalprice"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.expr(csql))
+        .select(F.expr(ckey).alias("ck"), F.col("c_custkey"))
+    )
+    joined = o.join(c, F.col("ok") == F.col("ck"), jt)
+    gdf = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_totalprice").alias("n_left"),
+        F.count("c_custkey").alias("n_right"),
+        F.sum("c_custkey").alias("right_sum"),
+    )
+
+    sqljt = {"inner": "JOIN", "left": "LEFT JOIN", "full": "FULL JOIN"}[jt]
+    sql = f"""
+    SELECT COUNT(*) AS n,
+           COUNT(o_totalprice) AS n_left,
+           COUNT(c_custkey) AS n_right,
+           CAST(SUM(c_custkey) AS BIGINT) AS right_sum
+    FROM (SELECT {okey} AS ok, o_totalprice FROM orders WHERE {osql}) o
+    {sqljt} (SELECT {ckey} AS ck, c_custkey FROM customer WHERE {csql}) c
+      ON o.ok = c.ck
+    """
+    s_cols = ["n", "n_left", "n_right", "right_sum"]
+    s_rows = [tuple(r) for r in gdf.select(*s_cols).collect()]
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, (
+        f"join-multiplicity mismatch seed={seed} jt={jt} m={m} "
+        f"nulls={null_inject}\nspark {ns} vs oracle {no}"
+    )
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_fuzz_join_multiplicity_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_join_multiplicity(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
