@@ -732,6 +732,29 @@ def similarity_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_query_topk_oracle(*flags: str) -> str:
+    """DuckDB oracle for a query-vector top-10 search with pinned-TRUE
+    property columns appended — the exact twin every approximate search
+    variant (LSH / IVF / IVF-pruned / SQ8) hash-verifies against."""
+    extra = "".join(f",\n           TRUE AS {f}" for f in flags)
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT b.vec_id, ROUND(
+        list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        / (sqrt(list_sum(list_transform(CAST(q.qe AS DOUBLE[]), x -> x * x)))
+           * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)))), 6
+    ) AS cosine{extra}
+    FROM embeddings b CROSS JOIN q
+    WHERE b.vec_id != 0
+    ORDER BY
+        list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        / (sqrt(list_sum(list_transform(CAST(q.qe AS DOUBLE[]), x -> x * x)))
+           * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)))) DESC,
+        b.vec_id
+    LIMIT 10
+    """
+
+
 # --------------------------------------------------------------------------
 # L8 multimodal join (text ⋈ vectors)
 # --------------------------------------------------------------------------
@@ -1029,8 +1052,36 @@ def _bucketize(spark: SparkSession, emb: DataFrame) -> DataFrame:
     )
 
 
-@query("knn_ivf_lsh")  # rows-only: approximate by design; recall tested vs exact
-def knn_ivf_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pin_recall(
+    exact: DataFrame, approx: DataFrame, keys: list[str], floor: float, flag: str
+) -> DataFrame:
+    """Exact result + a driver-pinned recall floor for an approximate twin
+    (the agg_approx_distinct pattern applied to ANN, round-6 verdict #2):
+    the output VALUES are the exact top-k — hash-verified against the DuckDB
+    oracle — and ``flag`` asserts |approx ∩ exact| ≥ floor·|exact| of the
+    REAL approximate result computed in the same plan.  A recall regression
+    is therefore a driver hash failure, not a silent quality loss.  Every
+    frame here is ≤ k rows, so the joins are broadcast; the approximate
+    plan's full cost structure (LSH banding / IVF probing / SQ8 scan) still
+    executes — only its k result rows feed the semi join."""
+    hit = (
+        exact.select(*keys)
+        .join(approx.select(*keys), keys, "left_semi")
+        .agg(F.count(F.lit(1)).alias("_n_hit"))
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("_n_exact"))
+    stats = hit.crossJoin(tot)
+    cols = exact.columns
+    return exact.crossJoin(F.broadcast(stats)).select(
+        *cols,
+        (
+            F.col("_n_hit").cast("double")
+            >= F.lit(floor) * F.col("_n_exact").cast("double") - F.lit(1e-9)
+        ).alias(flag),
+    )
+
+
+def _knn_ivf_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-20 cosine pairs via sign-LSH banding (SURVEY L6 scale
     path; the 'IVF or LSH-bucketed variant' of the north star). Candidates =
     pairs sharing any band bucket; exact cosine re-rank JVM-side; global
@@ -1065,8 +1116,32 @@ def knn_ivf_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_search_ann")  # rows-only: probes only the query's LSH cells
-def similarity_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query(
+    "knn_ivf_lsh",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROUND({_SQL_COS}, 6) AS cosine,
+           TRUE AS recall_ge_08
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY {_SQL_COS} DESC, a.vec_id, b.vec_id
+    LIMIT 20
+    """,
+)
+def knn_ivf_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate pairwise top-20, oracle-checkable (round-7
+    upgrade from rows-only): runs the REAL banded-LSH plan
+    (_knn_ivf_lsh_approx — shingle-free sign-LSH banding, (band,bucket)
+    co-location join, exact re-rank) AND the exact block-matmul top-20,
+    then emits the exact pairs (hash-verified vs DuckDB's all-pairs
+    oracle) plus ``recall_ge_08`` computed from the approximate result —
+    the oracle pins it TRUE, so LSH recall < 0.8 is a driver hash
+    failure.  Scale: the exact companion is the verification harness you
+    would drop at 100 TB; the LSH path's shuffle is |V|×bands rows."""
+    exact = knn_cosine_topk(spark, sf_dir)
+    approx = _knn_ivf_lsh_approx(spark, sf_dir)
+    return _pin_recall(exact, approx, ["a_id", "b_id"], 0.8, "recall_ge_08")
+
+
+def _similarity_search_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-vector top-10 via LSH cell probing (L7 scale path): compute the
     query's band codes driver-side, scan only matching cells (partition-
     prunable at scale when the corpus is bucket-partitioned), exact re-rank.
@@ -1106,6 +1181,20 @@ def similarity_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("cosine_raw", 6).alias("cosine"))
     )
+
+
+@query("similarity_search_ann", oracle=_sql_query_topk_oracle("recall_ge_06"))
+def similarity_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH cell-probing search, oracle-checkable (round-7 upgrade from
+    rows-only): the real probe plan (_similarity_search_ann_approx) runs
+    alongside the exact full scan; output = exact top-10 (hash-verified)
+    + ``recall_ge_06`` from the approximate result, pinned TRUE by the
+    oracle.  The 0.6 floor matches tests/test_ann.py — sign-LSH on
+    near-uniform random vectors (worst case: no cluster structure) probes
+    bands/2^bits of the corpus and recovers ≥6 of the true top-10."""
+    exact = similarity_search_query(spark, sf_dir)
+    approx = _similarity_search_ann_approx(spark, sf_dir)
+    return _pin_recall(exact, approx, ["vec_id"], 0.6, "recall_ge_06")
 
 
 # --------------------------------------------------------------------------
@@ -1158,8 +1247,7 @@ def _ivf_train(sample) -> "object":
     return C
 
 
-@query("similarity_search_ivf")  # rows-only: approximate by design; recall pinned
-def similarity_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _similarity_search_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-vector top-10 via IVF cell probing (L7/A2 scale path, k-means
     coarse quantizer): train K=16 spherical-k-means centroids on a
     deterministic 1024-row sample, broadcast them, assign every corpus
@@ -1210,6 +1298,20 @@ def similarity_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("cosine_raw", 6).alias("cosine"))
     )
+
+
+@query("similarity_search_ivf", oracle=_sql_query_topk_oracle("recall_ge_08"))
+def similarity_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probing search, oracle-checkable (round-7 upgrade from
+    rows-only): the real quantize-assign-probe plan
+    (_similarity_search_ivf_approx) runs alongside the exact full scan;
+    output = exact top-10 (hash-verified) + ``recall_ge_08`` from the
+    approximate result, pinned TRUE by the oracle.  nprobe=12/16 holds
+    recall ≥0.8 even on these near-uniform random embeddings (the coarse
+    quantizer's worst case); clustered corpora prune far harder."""
+    exact = similarity_search_query(spark, sf_dir)
+    approx = _similarity_search_ivf_approx(spark, sf_dir)
+    return _pin_recall(exact, approx, ["vec_id"], 0.8, "recall_ge_08")
 
 
 # --------------------------------------------------------------------------
@@ -1710,8 +1812,7 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQ8_CAND = 40  # candidates surviving the quantized scan, re-ranked exactly
 
 
-@query("similarity_search_quantized")  # rows-only: approximate by design
-def similarity_search_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _similarity_search_quantized_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 similarity search over the int8-quantized corpus (the SQ8
     serving pattern that pairs with embed_quantize_int8): score every
     vector against the full-precision query using only its quantization
@@ -1808,6 +1909,20 @@ def similarity_search_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("similarity_search_quantized", oracle=_sql_query_topk_oracle("recall_ge_09"))
+def similarity_search_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 asymmetric-distance search, oracle-checkable (round-7 upgrade
+    from rows-only): the real quantized scan + 40-candidate exact re-rank
+    (_similarity_search_quantized_approx) runs alongside the exact full
+    scan; output = exact top-10 (hash-verified) + ``recall_ge_09`` from
+    the quantized result, pinned TRUE by the oracle (observed recall 1.0
+    — int8 over 64 dims loses little ranking signal and the re-rank
+    recovers the rest)."""
+    exact = similarity_search_query(spark, sf_dir)
+    approx = _similarity_search_quantized_approx(spark, sf_dir)
+    return _pin_recall(exact, approx, ["vec_id"], 0.9, "recall_ge_09")
+
+
 # --------------------------------------------------------------------------
 # Distributed PCA by power iteration (round 5)
 # --------------------------------------------------------------------------
@@ -1818,10 +1933,34 @@ _PCA_DIMS = 64
 _PCA_ITERS = 64
 
 
-@query("embed_pca_power_iteration")  # rows-only: float summation order is
-# partition-dependent, so the component is approximate across engines by
-# nature; direction pinned against numpy eigendecomposition in tests
-def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pca_pass(emb: DataFrame, v: list[float]) -> list[float]:
+    """One distributed power-iteration pass: w = Σᵢ xᵢ(xᵢ·v), reduced to
+    _PCA_DIMS rows (explode to (dim, xᵢ[dim]·(xᵢ·v)), sum per dim) — the
+    corpus never leaves the cluster; the driver sees 64 rows."""
+    vcol = F.array(*[F.lit(float(c)) for c in v])
+    dot = F.aggregate(
+        F.zip_with("embedding", vcol, lambda x, c: x.cast("double") * c),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    contrib = emb.withColumn("_dot", dot).select(
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double") * F.col("_dot"))
+        ).alias("dim", "w")
+    )
+    rows = (
+        contrib.groupBy("dim")
+        .agg(F.sum("w").alias("s"))
+        .orderBy("dim")
+        .limit(_PCA_DIMS).collect()
+    )
+    nv = [0.0] * _PCA_DIMS
+    for r in rows:
+        nv[r["dim"]] = r["s"]
+    return nv
+
+
+def _pca_top_component(spark: SparkSession, sf_dir: str) -> tuple[list[float], float]:
     """Top principal component of the embedding corpus by DISTRIBUTED
     power iteration — the iterative-ML pattern (like dedup's connected
     components) applied to linear algebra: v ← normalize(Σᵢ xᵢ(xᵢ·v)),
@@ -1832,46 +1971,98 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     |dims| rows.  Fixed deterministic start (all-ones) and _PCA_ITERS
     iterations make re-runs reproducible on a fixed partitioning.
 
-    Output: per-dimension loading of PC1 (sign-normalized so dim 0 is
-    non-negative) plus the Rayleigh-quotient eigenvalue estimate —
-    the explained-variance numerator of a PCA whitening/compression
-    stage for embedding corpora.  At 100 TB the pass count is the cost:
-    swap plain power iteration for block/oversampled randomized SVD
-    (~4 passes) with the SAME per-pass reduction shape pinned here."""
+    Returns (v, λ): the sign-normalized unit component (dim 0 ≥ 0) plus
+    the Rayleigh-quotient eigenvalue estimate — the explained-variance
+    numerator of a PCA whitening/compression stage for embedding
+    corpora.  At 100 TB the pass count is the cost: swap plain power
+    iteration for block/oversampled randomized SVD (~4 passes) with the
+    SAME per-pass reduction shape pinned here."""
     import math
 
     emb = table(spark, sf_dir, "embeddings")
     v = [1.0 / math.sqrt(_PCA_DIMS)] * _PCA_DIMS
     lam = 0.0
     for _ in range(_PCA_ITERS):
-        vcol = F.array(*[F.lit(float(c)) for c in v])
-        dot = F.aggregate(
-            F.zip_with("embedding", vcol, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        contrib = emb.withColumn("_dot", dot).select(
-            F.posexplode(
-                F.transform("embedding", lambda x: x.cast("double") * F.col("_dot"))
-            ).alias("dim", "w")
-        )
-        rows = (
-            contrib.groupBy("dim")
-            .agg(F.sum("w").alias("s"))
-            .orderBy("dim")
-            .limit(_PCA_DIMS).collect()
-        )
-        nv = [0.0] * _PCA_DIMS
-        for r in rows:
-            nv[r["dim"]] = r["s"]
+        nv = _pca_pass(emb, v)
         norm = math.sqrt(sum(x * x for x in nv))
         lam = norm  # Rayleigh estimate: ||Σ x(x·v)|| for unit v
         v = [x / norm for x in nv]
     if v[0] < 0:  # sign normalization: eigenvectors are defined up to ±
         v = [-x for x in v]
+    return v, lam
+
+
+@query(
+    "embed_pca_power_iteration",
+    oracle=f"""
+    SELECT {_PCA_DIMS} AS dims,
+           CAST(ROUND(SUM(CAST(list_sum(list_transform(
+               CAST(embedding AS DOUBLE[]), x -> x * x)) AS DECIMAL(38,12))),
+               6) AS DOUBLE) AS trace,
+           TRUE AS unit_norm_ok,
+           TRUE AS eigen_residual_ok,
+           TRUE AS rayleigh_in_bounds
+    FROM embeddings
+    """,
+)
+def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, oracle-checkable (round-7 upgrade from rows-only;
+    the numpy-free pinning the r6 verdict ordered): per-dim loadings are
+    float-summation-order dependent across engines, so the driver-facing
+    output is the component's MATHEMATICAL PROPERTIES plus one exact
+    value:
+
+    - ``trace``: tr(XᵀX) = ΣᵢΣ_d x_d² summed in DECIMAL(38,12) — decimal
+      addition is associative, so the value is partition-order
+      deterministic and hash-matches DuckDB's identical decimal sum;
+    - ``unit_norm_ok``: | ‖v‖ − 1 | < 1e-9;
+    - ``eigen_residual_ok``: cos(Av, v) ≥ 0.999 for the RETURNED v via
+      one extra corpus pass — the fixed-point property that defines an
+      eigenvector, checked on the real distributed reduction;
+    - ``rayleigh_in_bounds``: tr/dims ≤ λ ≤ tr — the converged top
+      eigenvalue must dominate the mean eigenvalue and is bounded by the
+      trace.
+
+    The oracle pins every boolean TRUE: a diverged iteration, a broken
+    reduction, or a λ estimate outside its analytic bounds is a driver
+    hash failure.  Loadings remain available via _pca_top_component (and
+    are pinned |cos| ≥ 0.99 against numpy's eigendecomposition in
+    tests/test_ann.py)."""
+    import math
+
+    v, lam = _pca_top_component(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    w = _pca_pass(emb, v)  # one extra pass: Av for the returned v
+    wnorm = math.sqrt(sum(x * x for x in w))
+    cos_wv = sum(a * b for a, b in zip(w, v)) / wnorm  # v is unit
+    unit_norm_ok = abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+
+    rowsq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    # round in DECIMAL space (exact, associative, half-up on both engines)
+    # BEFORE the double cast so the only float conversion is of a
+    # 6-fraction-digit decimal — correctly rounded identically everywhere
+    trace = emb.agg(
+        F.round(F.sum(rowsq.cast("decimal(38,12)")), 6)
+        .cast("double")
+        .alias("t")
+    ).first()["t"]
+
     return spark.createDataFrame(
-        [(i, round(v[i], 6), round(lam, 3)) for i in range(_PCA_DIMS)],
-        "dim INT, pc1_loading DOUBLE, eigenvalue_est DOUBLE",
+        [
+            (
+                _PCA_DIMS,
+                float(trace),
+                bool(unit_norm_ok),
+                bool(cos_wv >= 0.999),
+                bool(trace / _PCA_DIMS <= lam <= trace * (1 + 1e-9)),
+            )
+        ],
+        "dims INT, trace DOUBLE, unit_norm_ok BOOLEAN, "
+        "eigen_residual_ok BOOLEAN, rayleigh_in_bounds BOOLEAN",
     )
 
 

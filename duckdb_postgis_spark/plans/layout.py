@@ -335,8 +335,9 @@ def ensure_embeddings_by_cell(spark: SparkSession, sf_dir: str):
     return path, __import__("numpy").load(cpath)
 
 
-@query("similarity_search_ivf_pruned")  # rows-only: approximate; recall pinned
-def similarity_search_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _similarity_search_ivf_pruned_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """A2b's claimed scale path, actually materialized: query-vector top-10
     against the CELL-PARTITIONED embeddings layout. The nprobe cell filter
     is a literal partition predicate, so the scan plans PartitionFilters
@@ -375,6 +376,44 @@ def similarity_search_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_raw").desc(), "vec_id")
         .limit(10)
         .select("vec_id", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def _ivf_pruned_oracle() -> str:
+    from duckdb_postgis_spark.operators.llm import _sql_query_topk_oracle
+
+    return _sql_query_topk_oracle("recall_ge_08", "matches_unpruned_ivf")
+
+
+@query("similarity_search_ivf_pruned", oracle=_ivf_pruned_oracle())
+def similarity_search_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned IVF search, oracle-checkable (round-7 upgrade from
+    rows-only): the real pruned-scan plan
+    (_similarity_search_ivf_pruned_approx, PartitionFilters plan-asserted
+    in tests/test_layout_plans.py) runs alongside (a) the exact full scan
+    and (b) the unpartitioned IVF path; output = exact top-10
+    (hash-verified) + ``recall_ge_08`` from the pruned result +
+    ``matches_unpruned_ivf`` asserting the pruned layout returns
+    EXACTLY the unpruned IVF's rows (the layout may only change what is
+    READ, never the result).  Both booleans oracle-pinned TRUE."""
+    from duckdb_postgis_spark.operators.llm import (
+        _pin_recall,
+        _similarity_search_ivf_approx,
+        similarity_search_query,
+    )
+
+    exact = similarity_search_query(spark, sf_dir)
+    pruned = _similarity_search_ivf_pruned_approx(spark, sf_dir)
+    unpruned = _similarity_search_ivf_approx(spark, sf_dir)
+    base = _pin_recall(exact, pruned, ["vec_id"], 0.8, "recall_ge_08")
+    mism = (
+        pruned.exceptAll(unpruned)
+        .unionAll(unpruned.exceptAll(pruned))
+        .agg(F.count(F.lit(1)).alias("_n_mismatch"))
+    )
+    return base.crossJoin(F.broadcast(mism)).select(
+        *[c for c in base.columns],
+        (F.col("_n_mismatch") == 0).alias("matches_unpruned_ivf"),
     )
 
 

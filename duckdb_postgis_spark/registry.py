@@ -23,120 +23,93 @@ ORACLES: dict[str, str] = {}
 # queries() (CORRECTNESS_r01 cut at exactly entry 50 in registration order),
 # so dict order is part of the external contract.  PRIORITY pins the window.
 #
-# ROUND-6 ROTATION (this window; executes the plan written here in r5):
-# CORRECTNESS_r05 was 50/50 green, so every r5 slot rotates out with its
-# verdict standing.  The window now holds:
-#   (a) the TEN oracle-bearing queries added after the r5 window froze —
-#       none has any driver verdict (first verdicts beat re-verdicts):
-#       agg_approx_percentiles, events_autocorrelation, agg_mode_per_group,
-#       events_changepoint_cusum, join_semi_bloom_prefilter, geo_knn_join,
-#       pipeline_geo_file_e2e, snapshot_time_travel, join_scd2_point_in_time,
-#       and stream_session_live (oracle upgraded r5, never driver-proven);
-#   (b) the ELEVEN queries whose only verdict rests on ROUND-3-era code —
-#       the stalest in the repo: R1/R2/R4/R6/R7/R16/R17/R18/R20 relational
-#       basics + multimodal M1/M2;
-#   (c) the remaining 29 slots refresh the stalest r4-era verdicts,
-#       prioritizing intricate oracles over plan-shape-simple ones:
-#       §2.8 joins/subqueries/windows (R8 R9 R19 R21-R29), geo G5/G8/G9/G10,
-#       multimodal M4/M5, layout/skew A3 A5 A7 A10 A11 A12, the dedup
-#       verify/survivorship/correlated-subquery chain, lakehouse
-#       upsert/SCD2.
-# Everything NOT in this window holds a pass-r4/r5 verdict, is rows-only by
-# design (5 ANN queries recall-pinned + PCA numpy-pinned), or was added
-# after this window froze (round-7 must-ins).  Every rotated-in query is
-# locally oracle-green at sf0.01 under the plain-session driver replica
-# (scripts/driver_replica.py --all, run at round-6 start: green).
-#
-# ROUND-7 ROTATION PLAN (execute at round-7 start): if CORRECTNESS_r06 is
-# green, (a)-(d) rotate out with verdicts standing.  Concrete window,
-# in order (validate with driver_replica before swapping into PRIORITY):
-#   (a) first driver verdicts: maintenance_scan_layout,
-#       events_zorder_pruned, pipeline_geojson_e2e, pipeline_nongeo_e2e
-#       agg_heavy_hitters_twophase and events_directory_table (added
-#       post-freeze in r6), plus any r6 window failures for a re-prove;
-#   (b) the live streams whose shared replay runner CHANGED in r6
-#       (run_available_now now raises on an undrained replay instead of
-#       returning partial data — semantics-neutral, but changed code
-#       outranks stale refreshes): stream_sliding_live,
-#       stream_watermark_late_live, stream_dedup_live, stream_user_state,
-#       stream_stream_left_outer, stream_chained_dedup_agg,
-#       stream_session_live, stream_tumbling_live, stream_upsert_live,
-#       stream_static_join, stream_stream_join;
-#   (c) the remaining r4-era holders: upsert_latest_wins, scd2_history,
-#       subquery_exists_correlated, stream_tumbling, stream_sliding,
-#       stream_session, stream_watermark_late, stream_dedup,
-#       maintenance_compact_roundtrip, shards_write_roundtrip, and the
-#       §2.12e training set (text_gopher_quality, text_repetition_ratio,
-#       sample_stratified_hash, sample_reservoir_topk, seq_pack_greedy,
-#       contamination_ngram_overlap, udaf_char_variance,
-#       pipeline_training_e2e, source_quality_report);
-#   (d) fill the remaining ~8 slots with the stalest r5 verdicts
-#       (L1-L9 core first: text_stats, text_normalize_tokenize,
-#       dedup_exact_hash, dedup_minhash_lsh, embed_normalize,
-#       knn_cosine_topk, similarity_search_query, multimodal_join).
-# After r7, every oracle-bearing query holds an r5+ verdict and the
-# full registry has swept hash-green at BOTH sf0.01 and sf0.1 (r6).
+# ROUND-7 ROTATION (this window; executes the plan written here in r6):
+# CORRECTNESS_r06 was 50/50 green (rows+schema+hash, 0 err), so every r6
+# slot rotates out with its verdict standing.  The window now holds:
+#   (a) the SIX queries added after the r6 window froze — no driver verdict
+#       yet (the round-6 verdict's order #1): maintenance_scan_layout,
+#       events_zorder_pruned, pipeline_geojson_e2e, pipeline_nongeo_e2e,
+#       agg_heavy_hitters_twophase, events_directory_table;
+#   (a2) the SIX formerly rows-only ANN/PCA queries converted this round to
+#       pinned-property oracles (verdict order #2: exact result
+#       hash-verified + recall/fixed-point booleans the oracle pins TRUE):
+#       knn_ivf_lsh, similarity_search_ann, similarity_search_ivf,
+#       similarity_search_ivf_pruned, similarity_search_quantized,
+#       embed_pca_power_iteration — first oracle verdicts, so
+#       `err:"no_oracle"` leaves CORRECTNESS for good;
+#   (b) the TEN live streams whose shared replay runner changed in r6
+#       (run_available_now now raises on an undrained replay — semantics-
+#       neutral, but changed code outranks stale refreshes);
+#       stream_session_live already re-proved green in r6 post-change and
+#       yields its slot;
+#   (c) the remaining r4-era holders: lakehouse upsert/SCD2, correlated
+#       EXISTS, the five §2.9 batch stream twins, compaction + shard
+#       round-trips, and the nine-query §2.12e training set;
+#   (d) the stalest r5 verdicts (L1-L9 core) fill seven slots, and the
+#       50th goes to agg_distinct, whose plan changes again this round
+#       (verdict order #3 perf work) — changed code outranks refreshes.
+# Everything NOT in this window holds a pass-r5/r6 verdict.  After this
+# window lands, every registered query has a driver verdict on r5+ code
+# and every one of the 133 is oracle-bearing.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) post-r5-freeze additions: first driver verdicts ---------------
-    "agg_approx_percentiles",
-    "events_autocorrelation",
-    "agg_mode_per_group",
-    "events_changepoint_cusum",
-    "join_semi_bloom_prefilter",
-    "geo_knn_join",
-    "pipeline_geo_file_e2e",
-    "snapshot_time_travel",
-    "join_scd2_point_in_time",
-    "stream_session_live",
-    # -- (b) round-3-era verdicts: stalest backfill ------------------------
-    "scan_project",
-    "filter_pred",
-    "join_inner_hash",
-    "join_left_right_full",
-    "join_semi_anti",
-    "set_ops",
-    "scalar_string_date_math",
-    "array_map_json",
-    "distinct_dedup_exact",
-    "multimodal_meta_stats",
-    "multimodal_image_features",
-    # -- (c) stalest r4-era refreshes: §2.8 joins/subqueries/windows -------
-    "join_theta_range",
-    "join_asof",
-    "subquery_scalar_in",
-    "window_trailing_range",
-    "unpivot_metrics",
-    "window_rank_distribution",
-    "agg_string_bool",
-    "agg_corr_exact",
-    "events_funnel",
-    "retention_cohorts",
-    "sessionize_islands",
-    "events_anomaly_zscore",
-    # -- (c) geo r4-era ----------------------------------------------------
-    "geo_transform_27700_to_4326",
-    "geo_bbox_join_grid",
-    "geo_cell_rollup",
-    "geo_haversine_radius",
-    # -- (c) multimodal r4-era ---------------------------------------------
-    "multimodal_audio_energy",
-    "multimodal_scene_cut",
-    # -- (c) layout / skew r4-era ------------------------------------------
-    "agg_skew_salted",
-    "events_partition_pruned",
-    "join_range_bucketed",
-    "events_multigrain_rollup",
-    "events_gap_fill_locf",
-    "join_skew_salted",
-    # -- (c) dedup chain r4-era --------------------------------------------
-    "dedup_verify_levenshtein",
-    "dedup_survivorship_merge",
-    # -- (d) queries CHANGED this round (long-cents money arithmetic in
-    #        num.py; union-packed multi-distinct) — changed code outranks
-    #        stale refreshes, so these displace the two lakehouse r4 slots
-    #        and subquery_exists_correlated to round 7 ---------------------
-    "pricing_summary",
-    "join_broadcast_4way",
+    # -- (a) post-r6-freeze additions: first driver verdicts ---------------
+    "maintenance_scan_layout",
+    "events_zorder_pruned",
+    "pipeline_geojson_e2e",
+    "pipeline_nongeo_e2e",
+    "agg_heavy_hitters_twophase",
+    "events_directory_table",
+    # -- (a2) ANN/PCA rows-only -> pinned-property oracles (round 7) -------
+    "knn_ivf_lsh",
+    "similarity_search_ann",
+    "similarity_search_ivf",
+    "similarity_search_ivf_pruned",
+    "similarity_search_quantized",
+    "embed_pca_power_iteration",
+    # -- (b) live streams on the r6-changed replay runner ------------------
+    "stream_tumbling_live",
+    "stream_sliding_live",
+    "stream_watermark_late_live",
+    "stream_dedup_live",
+    "stream_user_state",
+    "stream_stream_left_outer",
+    "stream_chained_dedup_agg",
+    "stream_upsert_live",
+    "stream_static_join",
+    "stream_stream_join",
+    # -- (c) r4-era holders: lakehouse + correlated EXISTS -----------------
+    "upsert_latest_wins",
+    "scd2_history",
+    "subquery_exists_correlated",
+    # -- (c) r4-era holders: §2.9 batch stream twins -----------------------
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_watermark_late",
+    "stream_dedup",
+    # -- (c) r4-era holders: layout round-trips ----------------------------
+    "maintenance_compact_roundtrip",
+    "shards_write_roundtrip",
+    # -- (c) r4-era holders: §2.12e training-data pipeline -----------------
+    "text_gopher_quality",
+    "text_repetition_ratio",
+    "sample_stratified_hash",
+    "sample_reservoir_topk",
+    "seq_pack_greedy",
+    "contamination_ngram_overlap",
+    "udaf_char_variance",
+    "pipeline_training_e2e",
+    "source_quality_report",
+    # -- (d) stalest r5 verdicts: L1-L9 core -------------------------------
+    "text_stats",
+    "text_normalize_tokenize",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "embed_normalize",
+    "knn_cosine_topk",
+    "similarity_search_query",
+    "multimodal_join",
+    # -- (d) changed this round: agg_distinct perf rewrite (verdict #3) ----
     "agg_distinct",
 )
 

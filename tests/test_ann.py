@@ -1,13 +1,17 @@
 """ANN scale-path quality: LSH-bucketed approximate results vs exact.
 
-The approximate operators are rows-only at the driver gate (approximation is
-by design); these tests pin their quality — recall against the exact
-operators — and their determinism (seeded hyperplanes, tie-broken ordering).
+Round-7: the registered ANN queries now EMIT their quality contract (exact
+top-k + oracle-pinned recall booleans — the agg_approx_distinct pattern), so
+the driver hash-checks recall every round.  These tests keep the floors
+pinned locally against the INTERNAL approximate plans (the registered
+wrappers delegate to them) plus determinism and degenerate-input behavior
+the driver can't see.
 """
 
 from __future__ import annotations
 
 from duckdb_postgis_spark import registry
+from duckdb_postgis_spark.operators import llm
 
 registry.load_all()
 
@@ -18,21 +22,30 @@ def _pairs(df):
 
 def test_knn_ivf_lsh_recall(spark, sf_dir):
     exact = _pairs(registry.QUERIES["knn_cosine_topk"](spark, sf_dir))
-    approx = _pairs(registry.QUERIES["knn_ivf_lsh"](spark, sf_dir))
+    approx = _pairs(llm._knn_ivf_lsh_approx(spark, sf_dir))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"pair recall@20 {recall}"
 
 
+def test_knn_ivf_lsh_registered_pins_recall(spark, sf_dir):
+    """The registered query's output = exact pairs + recall_ge_08 TRUE."""
+    rows = registry.QUERIES["knn_ivf_lsh"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.recall_ge_08 for r in rows)
+    exact = _pairs(registry.QUERIES["knn_cosine_topk"](spark, sf_dir))
+    assert {(r.a_id, r.b_id) for r in rows} == exact
+
+
 def test_similarity_search_ann_recall(spark, sf_dir):
     exact = {r.vec_id for r in registry.QUERIES["similarity_search_query"](spark, sf_dir).collect()}
-    approx = {r.vec_id for r in registry.QUERIES["similarity_search_ann"](spark, sf_dir).collect()}
+    approx = {r.vec_id for r in llm._similarity_search_ann_approx(spark, sf_dir).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"query recall@10 {recall}"
 
 
 def test_knn_ivf_lsh_deterministic(spark, sf_dir):
-    a = registry.QUERIES["knn_ivf_lsh"](spark, sf_dir).collect()
-    b = registry.QUERIES["knn_ivf_lsh"](spark, sf_dir).collect()
+    a = llm._knn_ivf_lsh_approx(spark, sf_dir).collect()
+    b = llm._knn_ivf_lsh_approx(spark, sf_dir).collect()
     assert a == b
 
 
@@ -41,22 +54,46 @@ def test_similarity_search_ivf_recall(spark, sf_dir):
     # coarse quantizer — so nprobe=12/16 for a deterministic 0.9 recall
     # (observed at sf0.001/0.01/0.1); clustered embeddings prune far harder
     exact = {r.vec_id for r in registry.QUERIES["similarity_search_query"](spark, sf_dir).collect()}
-    approx = {r.vec_id for r in registry.QUERIES["similarity_search_ivf"](spark, sf_dir).collect()}
+    approx = {r.vec_id for r in llm._similarity_search_ivf_approx(spark, sf_dir).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"query recall@10 {recall}"
 
 
 def test_similarity_search_ivf_deterministic(spark, sf_dir):
-    a = registry.QUERIES["similarity_search_ivf"](spark, sf_dir).collect()
-    b = registry.QUERIES["similarity_search_ivf"](spark, sf_dir).collect()
+    a = llm._similarity_search_ivf_approx(spark, sf_dir).collect()
+    b = llm._similarity_search_ivf_approx(spark, sf_dir).collect()
     assert a == b
+
+
+def test_registered_search_queries_pin_true(spark, sf_dir):
+    """Each registered search variant emits the exact top-10 plus its
+    pinned-TRUE property columns — the shape the DuckDB oracle hashes."""
+    exact = [
+        tuple(r)
+        for r in registry.QUERIES["similarity_search_query"](spark, sf_dir).collect()
+    ]
+    for name, flags in [
+        ("similarity_search_ann", ["recall_ge_06"]),
+        ("similarity_search_ivf", ["recall_ge_08"]),
+        ("similarity_search_quantized", ["recall_ge_09"]),
+        ("similarity_search_ivf_pruned", ["recall_ge_08", "matches_unpruned_ivf"]),
+    ]:
+        rows = registry.QUERIES[name](spark, sf_dir).collect()
+        assert {(r.vec_id, r.cosine) for r in rows} == set(exact), name
+        for f in flags:
+            assert all(r[f] for r in rows), (name, f)
 
 
 def test_similarity_search_ivf_pruned_matches_unpruned(spark, sf_dir):
     # same quantizer + probes + re-rank → identical results to the
     # unpartitioned IVF path; the layout only changes WHAT IS READ
-    a = [tuple(r) for r in registry.QUERIES["similarity_search_ivf"](spark, sf_dir).collect()]
-    b = [tuple(r) for r in registry.QUERIES["similarity_search_ivf_pruned"](spark, sf_dir).collect()]
+    from duckdb_postgis_spark.plans import layout
+
+    a = [tuple(r) for r in llm._similarity_search_ivf_approx(spark, sf_dir).collect()]
+    b = [
+        tuple(r)
+        for r in layout._similarity_search_ivf_pruned_approx(spark, sf_dir).collect()
+    ]
     assert a == b
 
 
@@ -84,7 +121,7 @@ def test_ivf_recall_survives_content_ordered_ids(spark, sf_dir, tmp_path):
     permuted.write.parquet(f"{pdir}/embeddings.parquet")
 
     exact = {r.vec_id for r in registry.QUERIES["similarity_search_query"](spark, pdir).collect()}
-    approx = {r.vec_id for r in registry.QUERIES["similarity_search_ivf"](spark, pdir).collect()}
+    approx = {r.vec_id for r in llm._similarity_search_ivf_approx(spark, pdir).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"query recall@10 on content-ordered ids {recall}"
 
@@ -94,14 +131,14 @@ def test_similarity_search_quantized_recall(spark, sf_dir):
     # 40-candidate exact re-rank recovers the rest — observed recall 1.0;
     # pin >= 0.9 to leave room for dimension/SF drift
     exact = {r.vec_id for r in registry.QUERIES["similarity_search_query"](spark, sf_dir).collect()}
-    approx = {r.vec_id for r in registry.QUERIES["similarity_search_quantized"](spark, sf_dir).collect()}
+    approx = {r.vec_id for r in llm._similarity_search_quantized_approx(spark, sf_dir).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"query recall@10 {recall}"
 
 
 def test_similarity_search_quantized_deterministic(spark, sf_dir):
-    a = registry.QUERIES["similarity_search_quantized"](spark, sf_dir).collect()
-    b = registry.QUERIES["similarity_search_quantized"](spark, sf_dir).collect()
+    a = llm._similarity_search_quantized_approx(spark, sf_dir).collect()
+    b = llm._similarity_search_quantized_approx(spark, sf_dir).collect()
     assert a == b
 
 
@@ -132,9 +169,7 @@ def test_similarity_search_quantized_constant_vector(spark, tmp_path):
         }
     )
     pq.write_table(t, tmp_path / "embeddings.parquet")
-    got = registry.QUERIES["similarity_search_quantized"](
-        spark, str(tmp_path)
-    ).collect()
+    got = llm._similarity_search_quantized_approx(spark, str(tmp_path)).collect()
     assert got, "constant-vector corpus returned no rows"
     assert got[0].vec_id == 1, f"constant vector not ranked first: {got[:3]}"
     assert abs(got[0].cosine - 1.0) < 1e-9
@@ -143,15 +178,12 @@ def test_similarity_search_quantized_constant_vector(spark, tmp_path):
 def test_pca_power_iteration_matches_numpy(spark, sf_dir):
     """PC1 from distributed power iteration must align with numpy's exact
     eigendecomposition of the covariance-free Gram direction (|cos| >=
-    0.99 after 8 iterations), and the Rayleigh eigenvalue estimate must
-    be within 5% of numpy's top eigenvalue of X^T X."""
+    0.99), and the Rayleigh eigenvalue estimate must be within 5% of
+    numpy's top eigenvalue of X^T X."""
     import numpy as np
 
-    rows = registry.QUERIES["embed_pca_power_iteration"](spark, sf_dir).collect()
-    v = np.zeros(64)
-    for r in rows:
-        v[r["dim"]] = r["pc1_loading"]
-    lam = rows[0]["eigenvalue_est"]
+    v_list, lam = llm._pca_top_component(spark, sf_dir)
+    v = np.array(v_list)
 
     X = np.array(
         [
@@ -167,3 +199,14 @@ def test_pca_power_iteration_matches_numpy(spark, sf_dir):
     cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
     assert cos >= 0.99, cos
     assert abs(lam - w.max()) / w.max() < 0.05, (lam, w.max())
+
+
+def test_pca_registered_properties(spark, sf_dir):
+    """The registered PCA query emits the trace + pinned-TRUE properties
+    (unit norm, eigen fixed point, Rayleigh bounds) — the oracle shape."""
+    rows = registry.QUERIES["embed_pca_power_iteration"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.dims == 64
+    assert r.trace > 0
+    assert r.unit_norm_ok and r.eigen_residual_ok and r.rayleigh_in_bounds

@@ -93,16 +93,28 @@ def test_compaction_shrinks_file_count(spark, sf_dir):
 def test_ivf_pruned_scan_uses_partition_filters(spark, sf_dir):
     """The nprobe cell predicate must prune parquet partitions — the scan
     plans PartitionFilters on cell, not a row-level filter over all cells."""
-    from duckdb_postgis_spark import registry
+    from duckdb_postgis_spark.plans import layout
 
-    registry.load_all()
-    df = registry.QUERIES["similarity_search_ivf_pruned"](spark, sf_dir)
+    df = layout._similarity_search_ivf_pruned_approx(spark, sf_dir)
     df.collect()
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "cell" in pf[0], plan
+
+    # the registered wrapper (exact + pinned booleans) must keep the pruned
+    # scan's PartitionFilters in ITS plan too — the layout path is what runs
+    from duckdb_postgis_spark import registry
+
+    registry.load_all()
+    wrapped = registry.QUERIES["similarity_search_ivf_pruned"](spark, sf_dir)
+    wplan = wrapped._sc._jvm.PythonSQLUtils.explainString(
+        wrapped._jdf.queryExecution(), "formatted"
+    )
+    assert any(
+        "PartitionFilters" in ln and "cell" in ln for ln in wplan.splitlines()
+    ), wplan
 
 
 def test_snapshot_v1_immutable_after_append(spark, sf_dir):

@@ -55,6 +55,14 @@ ALLOWED_BNLJ = {
     # build side is an ungrouped count() over the missed-top-k anti-join —
     # exactly 1 row at any SF (the verification-harness attach)
     "agg_heavy_hitters_twophase",
+    # round-7 pinned-recall wrappers (_pin_recall): build side is the 1×1
+    # (n_hit, n_exact) count-aggregate cross — the same verification-harness
+    # constant-attach shape as agg_heavy_hitters_twophase; the approximate
+    # plans underneath stay equi-join only
+    "knn_ivf_lsh",
+    "similarity_search_ann",
+    "similarity_search_ivf",
+    "similarity_search_ivf_pruned",
 }
 ALLOWED_ROW_PY = {"text_shingle_udtf"}
 

@@ -104,43 +104,51 @@ def test_every_survey_operator_is_registered():
 
 def test_driver_window_covers_required_families():
     """The driver verifies only the first DRIVER_WINDOW entries of
-    queries().  Round-6 rotation policy (CORRECTNESS_r05 was 50/50, so all
-    r5 slots rotate out with verdicts standing): the window holds (a) the
-    ten oracle-bearing queries added after the r5 freeze — no driver
-    verdict yet, first verdicts outrank refreshes, (b) the eleven queries
-    whose only verdict rests on round-3-era code, (c) the stalest r4-era
-    refreshes, and (d) the queries whose code CHANGED in round 6
-    (long-cents arithmetic, union-packed distinct)."""
+    queries().  Round-7 rotation policy (CORRECTNESS_r06 was 50/50, so all
+    r6 slots rotate out with verdicts standing): the window holds (a) the
+    six queries added after the r6 freeze — no driver verdict yet, (a2)
+    the six ANN/PCA queries upgraded this round from rows-only to
+    pinned-property oracles — first oracle verdicts, (b) the ten live
+    streams on the r6-changed replay runner, (c) the remaining r4-era
+    holders (lakehouse, stream batch twins, layout round-trips, the
+    §2.12e training set), and (d) the stalest r5 verdicts plus
+    agg_distinct, whose plan changes again this round."""
     window = set(list(registry.all_queries())[: registry.DRIVER_WINDOW])
-    must_ins = {
-        "agg_approx_percentiles", "events_autocorrelation",
-        "agg_mode_per_group", "events_changepoint_cusum",
-        "join_semi_bloom_prefilter", "geo_knn_join", "pipeline_geo_file_e2e",
-        "snapshot_time_travel", "join_scd2_point_in_time",
-        "stream_session_live",
+    post_r6 = {
+        "maintenance_scan_layout", "events_zorder_pruned",
+        "pipeline_geojson_e2e", "pipeline_nongeo_e2e",
+        "agg_heavy_hitters_twophase", "events_directory_table",
     }
-    r3_era = {
-        "scan_project", "filter_pred", "join_inner_hash",
-        "join_left_right_full", "join_semi_anti", "set_ops",
-        "scalar_string_date_math", "array_map_json", "distinct_dedup_exact",
-        "multimodal_meta_stats", "multimodal_image_features",
+    ann_upgraded = {
+        "knn_ivf_lsh", "similarity_search_ann", "similarity_search_ivf",
+        "similarity_search_ivf_pruned", "similarity_search_quantized",
+        "embed_pca_power_iteration",
+    }
+    live_streams = {
+        "stream_tumbling_live", "stream_sliding_live",
+        "stream_watermark_late_live", "stream_dedup_live",
+        "stream_user_state", "stream_stream_left_outer",
+        "stream_chained_dedup_agg", "stream_upsert_live",
+        "stream_static_join", "stream_stream_join",
     }
     r4_era = {
-        "join_theta_range", "join_asof", "subquery_scalar_in",
-        "window_trailing_range", "unpivot_metrics",
-        "window_rank_distribution", "agg_string_bool", "agg_corr_exact",
-        "events_funnel", "retention_cohorts", "sessionize_islands",
-        "events_anomaly_zscore",
-        "geo_transform_27700_to_4326", "geo_bbox_join_grid",
-        "geo_cell_rollup", "geo_haversine_radius",
-        "multimodal_audio_energy", "multimodal_scene_cut",
-        "agg_skew_salted", "events_partition_pruned", "join_range_bucketed",
-        "events_multigrain_rollup", "events_gap_fill_locf",
-        "join_skew_salted",
-        "dedup_verify_levenshtein", "dedup_survivorship_merge",
+        "upsert_latest_wins", "scd2_history", "subquery_exists_correlated",
+        "stream_tumbling", "stream_sliding", "stream_session",
+        "stream_watermark_late", "stream_dedup",
+        "maintenance_compact_roundtrip", "shards_write_roundtrip",
+        "text_gopher_quality", "text_repetition_ratio",
+        "sample_stratified_hash", "sample_reservoir_topk",
+        "seq_pack_greedy", "contamination_ngram_overlap",
+        "udaf_char_variance", "pipeline_training_e2e",
+        "source_quality_report",
     }
-    changed_r6 = {"pricing_summary", "join_broadcast_4way", "agg_distinct"}
-    required = must_ins | r3_era | r4_era | changed_r6
+    r5_stalest = {
+        "text_stats", "text_normalize_tokenize", "dedup_exact_hash",
+        "dedup_minhash_lsh", "embed_normalize", "knn_cosine_topk",
+        "similarity_search_query", "multimodal_join",
+    }
+    changed_r7 = {"agg_distinct"}
+    required = post_r6 | ann_upgraded | live_streams | r4_era | r5_stalest | changed_r7
     missing = sorted(required - window)
     assert not missing, f"outside driver window: {missing}"
     assert len(required) == registry.DRIVER_WINDOW
@@ -154,16 +162,8 @@ def test_priority_names_all_registered():
 
 
 def test_oracle_coverage_floor():
-    # every query has an oracle except the four ANN queries (recall
-    # approximate by design, pinned in tests/test_ann.py);
-    # stream_session_live gained an exact oracle in round 5 (safe-cutoff
-    # restriction to the guaranteed-closed session region)
+    # round 7: EVERY registered query carries a DuckDB oracle — the former
+    # rows-only ANN/PCA set now emits exact results + pinned-TRUE property
+    # booleans (the agg_approx_distinct pattern; see llm._pin_recall)
     rows_only = set(registry.QUERIES) - set(registry.ORACLES)
-    assert rows_only <= {
-        "knn_ivf_lsh", "similarity_search_ann",
-        "similarity_search_ivf", "similarity_search_ivf_pruned",
-        "similarity_search_quantized",
-        # float summation order is partition-dependent; direction +
-        # eigenvalue pinned against numpy in tests/test_ann.py
-        "embed_pca_power_iteration",
-    }, f"unexpected rows-only queries: {rows_only}"
+    assert not rows_only, f"unexpected rows-only queries: {rows_only}"
