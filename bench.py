@@ -186,6 +186,14 @@ def main() -> None:
                 "metric": "headline_median_total_sec",
                 "value": total,
                 "unit": "sec",
+                # ADVICE r6: the headline moved to the optimized scan layout
+                # in r6, so longitudinal tooling must not compare r6+ totals
+                # against BENCH_r1-r5 (different layout AND different clock).
+                # bench_schema marks the break explicitly; the
+                # layout-qualified aliases carry the same numbers under
+                # unambiguous names.
+                "bench_schema": 2,
+                "total_opt_layout_sec": total,
                 "queries": results,
                 "queries_raw_layout": results_raw,
                 "total_raw_layout_sec": round(sum(results_raw.values()), 4),

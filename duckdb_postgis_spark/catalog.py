@@ -54,9 +54,13 @@ def _probe_events_ts(path: str) -> str:
 
     ``path`` may be a single parquet file (the testdata shape) or a
     DIRECTORY of part files (the shape every at-scale table has): for a
-    directory the probe walks a bounded number of parts — the encoding
-    must agree across parts, and the min/max sanity window applies to
-    their union."""
+    directory the probe walks EVERY part — the encoding must agree across
+    all parts, and the min/max sanity window applies to their union.
+    (ADVICE r6: a bounded sample let a mixed encoding in part 17+ load
+    silently.)  Footer reads are driver-cheap — the same O(#files)
+    metadata cost Spark's own scan planning already pays — and each part's
+    verdict is cached by (path, size, mtime), so repeat loads are
+    stat-only."""
     st = os.stat(path)
     if os.path.isdir(path):
         parts = sorted(
@@ -66,7 +70,7 @@ def _probe_events_ts(path: str) -> str:
         if not parts:
             raise ValueError(f"events table directory {path} has no part files")
         kinds = {
-            _probe_events_ts(os.path.join(path, p)) for p in parts[:16]
+            _probe_events_ts(os.path.join(path, p)) for p in parts
         }
         if len(kinds) > 1:
             raise ValueError(
@@ -195,6 +199,23 @@ def rebuild_events_ts(df: DataFrame) -> DataFrame:
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _staleness_sig(path: str, st: os.stat_result) -> tuple:
+    """Cache-staleness signature for a table path.  A plain file keys on
+    its own (size, mtime).  A DIRECTORY-shaped table keys on the sorted
+    per-part (name, size, mtime) tuples: rewriting a part file in place
+    does not touch the directory inode's stat, so keying on the directory
+    itself would silently serve the stale DataFrame (ADVICE r6) — the
+    same rule the per-part ts probe already applies."""
+    if os.path.isdir(path):
+        sig = []
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                pst = os.stat(os.path.join(path, f))
+                sig.append((f, pst.st_size, pst.st_mtime_ns))
+        return tuple(sig)
+    return (st.st_size, st.st_mtime_ns)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     try:
@@ -204,7 +225,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # PATH_NOT_FOUND AnalysisException (tests/test_oracle_parity.py),
         # not a driver-side stat crash
         return spark.read.parquet(path)
-    key = (spark, sf_dir, name, st.st_size, st.st_mtime_ns)
+    key = (spark, sf_dir, name, _staleness_sig(path, st))
     df = _TABLE_CACHE.get(key)
     if df is not None:
         return df

@@ -822,7 +822,15 @@ def pipeline_nongeo_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_postgis_spark.pipeline import process_file
 
     res = process_file(spark, path)
-    assert not res.geom_columns and res.coordinate_pair is None
+    if res.geom_columns or res.coordinate_pair is not None:
+        # explicit raise, not assert: the invariant must hold under
+        # ``python -O`` too (ADVICE r6) — a false-positive pair match here
+        # means the NonGeoStrategy dispatch verdict is wrong
+        raise ValueError(
+            "pipeline_nongeo_e2e: lifecycle misdetected geometry on a "
+            f"non-geo file (geom_columns={res.geom_columns!r}, "
+            f"coordinate_pair={res.coordinate_pair!r})"
+        )
     return (
         res.dataframe.select(
             F.col("id").cast("long").alias("id"),

@@ -87,9 +87,16 @@ def _run_one(spark, sf_dir: str, seed: int) -> None:
         )
         .select(F.col("w.start").alias("win_start"), "n", "id_sum")
     )
+    # pass the cutoff as a STRING cast to timestamp (ADVICE r6): F.lit on a
+    # naive datetime converts through the driver's system timezone, while
+    # the DuckDB side parses the same naive literal under UTC — on a
+    # non-UTC host the two safe-cutoff boundaries would diverge.  The
+    # string→timestamp cast interprets under the session timezone on both
+    # engines, the same convention the layout queries use.
+    cutoff_str = cutoff.strftime("%Y-%m-%d %H:%M:%S.%f")
     out = run_available_now(sdf, f"fuzz_win_{seed}", "append").filter(
         F.col("win_start") + F.expr(f"INTERVAL {width_s} SECONDS")
-        < F.lit(cutoff)
+        < F.lit(cutoff_str).cast("timestamp")
     )
 
     s_cols = ["win_start", "n", "id_sum"]
