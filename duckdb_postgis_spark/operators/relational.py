@@ -423,40 +423,36 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-column COUNT DISTINCT, hand-rolled as a union-expand with a
-    packed long key instead of Spark's Expand-based multi-distinct.
+    """Multi-column COUNT DISTINCT via Catalyst's native Expand-based
+    multi-distinct rewrite (round-7 revert of the r6 union-packed plan).
 
-    Why not plain countDistinct ×3: Catalyst plans that as Expand (3×rows)
-    into a partial distinct-agg whose hash key is the full 5-column
-    (group, gid, k1, k2, k3) row — and the whole map side runs inside the
-    scan task.  This formulation makes the same computation explicit:
-    three column-pruned scans of (l_returnflag, key), each key packed as
-    ``key*4 + gid`` into ONE long, unioned (narrow — the branches run as
-    parallel tasks of a single stage), then distinct pairs → per-flag
-    counts.  Same two shuffles, same shuffle volume (the distinct pair
-    set), but the partial dedup parallelizes across branches and hashes a
-    (string, long) key instead of five columns — measured 809 vs 1211 ms
-    at sf0.1/local[32] under the fresh-plan bench.
+    Plan history, measured honestly: r6 measured a hand-rolled 3-branch
+    union with packed long keys at 809 ms vs Expand's 1211 ms; the r7
+    re-measurement (interleaved A/B, median of 9 fresh-plan reps, same
+    session confs) found the REVERSE — Expand ≈375 ms vs union-packed
+    ≈585 ms — and the r6 result did not replicate in any of five r7 runs.
+    With the evidence inverted, the simpler Catalyst-native plan wins:
+    one column-pruned scan (4 columns), Expand 3×rows into the partial
+    distinct aggregate (map-side dedup inside the scan task), one
+    shuffle of the distinct key set (~|Σ distinct| rows), merge dedup +
+    partial count, one tiny per-flag exchange.
 
-    Scale (100 TB): bytes read ≈ the Expand plan (each branch prunes to 2
-    columns; only l_returnflag is read 3×, and it RLE-compresses to ~
-    nothing), map parallelism is 3× better, and the pack arithmetic is
-    exact for keys < 2^61 (TPC-H SF-100k orderkey ~6e12 ≪ that).  For
-    truly unbounded cardinality prefer approx_count_distinct (R11) or
-    pre-aggregated sketches."""
+    Floor accounting (r7, sf0.1/local[32], opt layout): a plain
+    scan+groupBy-sum over the SAME rows and grouping measures ~150 ms —
+    the per-task scheduling + parquet-open floor of local mode — so this
+    query executes at ~2.3-2.5× its own scan floor.  DuckDB's 18 ms has
+    no per-stage floor to pay; on a real cluster the floor amortizes
+    across executors while the shuffle volume (the distinct key set)
+    stays the scale-limiting term — which is exactly what Expand ships.
+    For truly unbounded cardinality prefer approx_count_distinct (R11)
+    or pre-aggregated sketches."""
     li = table(spark, sf_dir, "lineitem")
-    u = (
-        li.select("l_returnflag", (F.col("l_partkey") * 4).alias("gk"))
-        .unionAll(li.select("l_returnflag", F.col("l_suppkey") * 4 + 1))
-        .unionAll(li.select("l_returnflag", F.col("l_orderkey") * 4 + 2))
-    )
-    pairs = u.groupBy("l_returnflag", "gk").agg(F.lit(1))
     return (
-        pairs.groupBy("l_returnflag")
+        li.groupBy("l_returnflag")
         .agg(
-            F.count(F.when(F.col("gk") % 4 == 0, 1)).alias("nd_part"),
-            F.count(F.when(F.col("gk") % 4 == 1, 1)).alias("nd_supp"),
-            F.count(F.when(F.col("gk") % 4 == 2, 1)).alias("nd_order"),
+            F.countDistinct("l_partkey").alias("nd_part"),
+            F.countDistinct("l_suppkey").alias("nd_supp"),
+            F.countDistinct("l_orderkey").alias("nd_order"),
         )
         .orderBy("l_returnflag")
     )
