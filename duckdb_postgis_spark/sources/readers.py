@@ -294,9 +294,11 @@ def _parse_shp_geoms(shp: bytes) -> list[bytes | None]:
 
 def _shape_to_wkb(shp: bytes, pos: int) -> bytes | None:
     shape_type = struct.unpack("<i", shp[pos : pos + 4])[0]
-    base = shape_type % 10  # 11→1 (PointZ), 23→3 (PolyLineM), ...
     if shape_type == 0:
         return None
+    if shape_type == 31:  # MultiPatch (round 7; GDAL's st_read reads these)
+        return _multipatch_to_wkb(shp, pos)
+    base = shape_type % 10  # 11→1 (PointZ), 23→3 (PolyLineM), ...
     if base == 1:  # Point
         x, y = struct.unpack("<dd", shp[pos + 4 : pos + 20])
         return _wkb_point(x, y)
@@ -304,7 +306,8 @@ def _shape_to_wkb(shp: bytes, pos: int) -> bytes | None:
         (npts,) = struct.unpack("<i", shp[pos + 36 : pos + 40])
         pts = _read_xy(shp, pos + 40, npts)
         return _wkb_header(4, npts) + b"".join(_wkb_point(x, y) for x, y in pts)
-    if base in (3, 5):  # PolyLine / Polygon: bbox, numParts, numPoints, parts, points
+    if base in (3, 5):
+        # PolyLine / Polygon: bbox, numParts, numPoints, parts, points
         nparts, npts = struct.unpack("<ii", shp[pos + 36 : pos + 44])
         parts = list(struct.unpack(f"<{nparts}i", shp[pos + 44 : pos + 44 + 4 * nparts]))
         pts = _read_xy(shp, pos + 44 + 4 * nparts, npts)
@@ -317,6 +320,70 @@ def _shape_to_wkb(shp: bytes, pos: int) -> bytes | None:
             return _wkb_header(5, len(lines)) + b"".join(lines)
         return _assemble_polygons(rings)
     raise ValueError(f"unsupported shapefile shape type {shape_type}")
+
+
+#: MultiPatch part types (ESRI spec): triangle strip, triangle fan, outer
+#: ring, inner ring, first ring, ring (role unspecified → winding heuristic)
+_MP_TRI_STRIP, _MP_TRI_FAN, _MP_OUTER, _MP_INNER, _MP_FIRST, _MP_RING = range(6)
+
+
+def _multipatch_to_wkb(shp: bytes, pos: int) -> bytes:
+    """MultiPatch (type 31) → 2D WKB MultiPolygon, the same surface
+    flattening GDAL's shapefile driver applies under Force2D
+    (geo_strategy.rs:283-291 forces 2D anyway): triangle strips/fans
+    explode into one triangle polygon each; OuterRing/FirstRing start a
+    polygon, InnerRing attaches as a hole of the most recent polygon, and
+    bare Ring parts fall back to the winding heuristic used for plain
+    polygons.  The record layout is bbox, numParts, numPoints, parts[],
+    partTypes[], points[] (Z/M payloads trail and are skipped via the
+    record length)."""
+    nparts, npts = struct.unpack("<ii", shp[pos + 36 : pos + 44])
+    off = pos + 44
+    parts = list(struct.unpack(f"<{nparts}i", shp[off : off + 4 * nparts]))
+    off += 4 * nparts
+    ptypes = list(struct.unpack(f"<{nparts}i", shp[off : off + 4 * nparts]))
+    off += 4 * nparts
+    pts = _read_xy(shp, off, npts)
+    bounds = parts + [npts]
+
+    def closed(ring: list[tuple[float, float]]) -> list[tuple[float, float]]:
+        return ring if ring and ring[0] == ring[-1] else ring + [ring[0]]
+
+    polys: list[list[list[tuple[float, float]]]] = []
+    for i, ptype in enumerate(ptypes):
+        seg = pts[bounds[i] : bounds[i + 1]]
+        if ptype == _MP_TRI_STRIP:
+            for j in range(len(seg) - 2):
+                polys.append([[seg[j], seg[j + 1], seg[j + 2], seg[j]]])
+        elif ptype == _MP_TRI_FAN:
+            for j in range(1, len(seg) - 1):
+                polys.append([[seg[0], seg[j], seg[j + 1], seg[0]]])
+        elif ptype in (_MP_OUTER, _MP_FIRST):
+            polys.append([closed(seg)])
+        elif ptype == _MP_INNER:
+            if polys:
+                polys[-1].append(closed(seg))
+            else:  # dangling hole: promote (GDAL tolerates these too)
+                polys.append([closed(seg)])
+        elif ptype == _MP_RING:
+            ring = closed(seg)
+            area = sum(
+                x1 * y2 - x2 * y1
+                for (x1, y1), (x2, y2) in zip(ring, ring[1:])
+            )
+            if area <= 0 or not polys:  # clockwise → new outer ring
+                polys.append([ring])
+            else:
+                polys[-1].append(ring)
+        else:
+            raise ValueError(f"unsupported MultiPatch part type {ptype}")
+    if not polys:
+        raise ValueError("MultiPatch record with no surface parts")
+    parts_wkb = [
+        struct.pack("<BII", 1, 3, len(p)) + b"".join(_ring_bytes(r) for r in p)
+        for p in polys
+    ]
+    return _wkb_header(6, len(parts_wkb)) + b"".join(parts_wkb)
 
 
 def _read_xy(shp: bytes, pos: int, npts: int) -> list[tuple[float, float]]:
@@ -554,6 +621,31 @@ def shp_multipoint_payload(points: list[tuple[float, float]]) -> bytes:
         + struct.pack("<dddd", min(xs), min(ys), max(xs), max(ys))
         + struct.pack("<i", len(points))
         + b"".join(struct.pack("<dd", x, y) for x, y in points)
+    )
+
+
+def shp_multipatch_payload(
+    parts: list[tuple[int, list[tuple[float, float]]]]
+) -> bytes:
+    """Test helper: one MultiPatch (31) record payload — parts are
+    (part_type, xy_points); the mandatory Z block (zmin, zmax, one zero per
+    point) trails the XY data exactly as in real files, so round-trip tests
+    prove the force-2D skip honors the record length."""
+    pts = [p for _, part in parts for p in part]
+    xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+    starts, acc = [], 0
+    for _, part in parts:
+        starts.append(acc)
+        acc += len(part)
+    return (
+        struct.pack("<i", 31)
+        + struct.pack("<dddd", min(xs), min(ys), max(xs), max(ys))
+        + struct.pack("<ii", len(parts), len(pts))
+        + struct.pack(f"<{len(parts)}i", *starts)
+        + struct.pack(f"<{len(parts)}i", *[t for t, _ in parts])
+        + b"".join(struct.pack("<dd", x, y) for x, y in pts)
+        + struct.pack("<dd", 0.0, 0.0)  # z range
+        + struct.pack(f"<{len(pts)}d", *([0.0] * len(pts)))  # z values
     )
 
 

@@ -300,6 +300,65 @@ def test_zipped_shapefile_multipolygon(spark, tmp_path):
     )
 
 
+def test_zipped_shapefile_multipatch_roundtrip(spark, tmp_path):
+    """MultiPatch (type 31, round 7 — the reference reads these via GDAL
+    st_read): triangle strip + triangle fan explode into one triangle
+    polygon each, OuterRing+InnerRing group into a holed polygon, and the
+    trailing Z block is skipped (force-2D, geo_strategy.rs:283-291)."""
+    from duckdb_postgis_spark.functions.wkb import to_wkt, wkb_decode
+    from duckdb_postgis_spark.sources.readers import (
+        read_zipped_shapefile,
+        shp_multipatch_payload,
+        write_sample_zip_shapefile_records,
+    )
+
+    strip = [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)]  # 2 triangles
+    fan = [(10.0, 10.0), (11.0, 10.0), (11.0, 11.0), (10.0, 11.0)]  # 2 tris
+    outer = [(20.0, 20.0), (20.0, 24.0), (24.0, 24.0), (24.0, 20.0), (20.0, 20.0)]
+    hole = [(21.0, 21.0), (22.0, 21.0), (22.0, 22.0), (21.0, 22.0), (21.0, 21.0)]
+    p = str(tmp_path / "patch.zip")
+    write_sample_zip_shapefile_records(
+        p,
+        [
+            shp_multipatch_payload(
+                [(0, strip), (1, fan), (2, outer), (3, hole)]
+            )
+        ],
+    )
+    rows = read_zipped_shapefile(spark, p).collect()
+    assert len(rows) == 1
+    wkt = to_wkt(wkb_decode(bytes(rows[0]["geometry_wkb"])))
+    assert wkt == (
+        "MULTIPOLYGON ("
+        "((0 0, 1 0, 0 1, 0 0)), ((1 0, 0 1, 1 1, 1 0)), "
+        "((10 10, 11 10, 11 11, 10 10)), ((10 10, 11 11, 10 11, 10 10)), "
+        "((20 20, 20 24, 24 24, 24 20, 20 20), (21 21, 22 21, 22 22, 21 22, 21 21)))"
+    )
+
+
+def test_zipped_shapefile_multipatch_bare_rings(spark, tmp_path):
+    """Bare Ring parts (type 5) fall back to the polygon winding heuristic:
+    two clockwise squares → two separate polygons."""
+    from duckdb_postgis_spark.functions.wkb import to_wkt, wkb_decode
+    from duckdb_postgis_spark.sources.readers import (
+        read_zipped_shapefile,
+        shp_multipatch_payload,
+        write_sample_zip_shapefile_records,
+    )
+
+    sq1 = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0), (0.0, 0.0)]  # CW
+    sq2 = [(5.0, 5.0), (5.0, 6.0), (6.0, 6.0), (6.0, 5.0), (5.0, 5.0)]  # CW
+    p = str(tmp_path / "rings.zip")
+    write_sample_zip_shapefile_records(
+        p, [shp_multipatch_payload([(5, sq1), (5, sq2)])]
+    )
+    rows = read_zipped_shapefile(spark, p).collect()
+    wkt = to_wkt(wkb_decode(bytes(rows[0]["geometry_wkb"])))
+    assert wkt == (
+        "MULTIPOLYGON (((0 0, 0 1, 1 1, 1 0, 0 0)), ((5 5, 5 6, 6 6, 6 5, 5 5)))"
+    )
+
+
 def test_gpkg_srs_metadata_wins_over_range_inference(spark, tmp_path):
     """CRS from gpkg_contents.srs_id → gpkg_spatial_ref_sys (reference reads
     st_read_meta auth_code, geo_strategy.rs:55-70). The coords below LOOK
