@@ -1020,6 +1020,142 @@ def test_fuzz_asof_parity(spark, sf_dir, chunk):
 
 
 # --------------------------------------------------------------------------
+# as-of TOLERANCE + mixed-null family (round-7; r6 verdict #9 named this
+# grammar as one of the two with the least seeds): the as-of rewrite under
+# (a) a tolerance band — the closest build row counts only when within
+# tol seconds, else the probe row reports NO match — and (b) NULL-injected
+# probe timestamps/keys and build timestamps.  DuckDB's native ASOF
+# handles NULLs by three-valued logic (a NULL key or ts never matches, the
+# probe row survives the LEFT join); the Spark union+window rewrite must
+# encode the same rules EXPLICITLY: build rows with NULL key/ts are
+# dropped before the union (they would otherwise poison
+# last(ignorenulls) for every later probe row in the partition — NULL
+# keys all land in ONE window partition), probe rows with NULL key/ts
+# bypass the window and ride through unmatched.  The matched build ts
+# travels as a struct so the tolerance test applies to the SAME row the
+# as-of selected.
+# --------------------------------------------------------------------------
+def _run_asof_tolerance(spark: SparkSession, sf_dir: str, seed: int) -> None:
+    rng = random.Random(460_000 + seed)
+    pivot = rng.choice(["c", "l", "p", "s", "v"])
+    flip = rng.random() < 0.5
+    a_pred = f"event_type {'<=' if flip else '>'} '{pivot}'"
+    b_pred = f"event_type {'>' if flip else '<='} '{pivot}'"
+    if rng.random() < 0.4:  # sparsify the build side → larger as-of gaps
+        m = rng.randint(2, 5)
+        b_pred = f"({b_pred}) AND event_id % {m} = 0"
+    tol_s = rng.choice([60, 600, 3600, 86400])
+    tol_us = tol_s * 1_000_000
+    null_m = rng.randint(3, 9)    # probe ts NULL-injection modulus
+    null_km = rng.randint(4, 11)  # probe key NULL-injection modulus
+    bnull_m = rng.randint(3, 9)   # build ts NULL-injection modulus
+
+    null_ts = f"CASE WHEN event_id % {null_m} = 0 THEN NULL ELSE ts END"
+    null_uid = f"CASE WHEN event_id % {null_km} = 1 THEN NULL ELSE user_id END"
+    b_null_ts = f"CASE WHEN event_id % {bnull_m} = 2 THEN NULL ELSE ts END"
+
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.expr(a_pred)).select(
+        F.expr(null_uid).alias("uid"),
+        F.expr(null_ts).alias("ats"),
+        F.col("event_type").alias("a_type"),
+    )
+    b = (
+        ev.filter(F.expr(b_pred))
+        .select(
+            F.col("user_id").alias("uid"),
+            F.expr(b_null_ts).alias("bts"),
+            "event_id",
+        )
+        # EXPLICIT null rule: a NULL-key/ts build row can never be an
+        # as-of match — drop before the union, or last(ignorenulls)
+        # would hand its bid to every later probe row
+        .filter(F.col("uid").isNotNull() & F.col("bts").isNotNull())
+        .groupBy("uid", "bts")
+        .agg(F.max("event_id").alias("bid"))
+    )
+    a_valid = a.filter(F.col("uid").isNotNull() & F.col("ats").isNotNull())
+    a_null = a.filter(F.col("uid").isNull() | F.col("ats").isNull())
+
+    brec_t = "struct<bts:timestamp,bid:bigint>"
+    tagged = a_valid.select(
+        "uid",
+        F.col("ats").alias("ts"),
+        "a_type",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast(brec_t).alias("brec"),
+    ).unionByName(
+        b.select(
+            "uid",
+            F.col("bts").alias("ts"),
+            F.lit(None).cast("string").alias("a_type"),
+            F.lit(0).alias("tag"),
+            F.struct(
+                F.col("bts").alias("bts"), F.col("bid").alias("bid")
+            ).alias("brec"),
+        )
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(F.col("ts").asc(), F.col("tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        tagged.withColumn("m", F.last("brec", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+    )
+    in_tol = F.col("m").isNotNull() & (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("m.bts"))
+        <= F.lit(tol_us)
+    )
+    res = matched.select(
+        "a_type", F.when(in_tol, F.col("m.bid")).alias("m_bid")
+    ).unionByName(
+        a_null.select("a_type", F.lit(None).cast("long").alias("m_bid"))
+    )
+    gdf = res.groupBy("a_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("m_bid").alias("n_matched"),
+        F.sum("m_bid").alias("sum_bid"),
+    )
+
+    sql = f"""
+    WITH a AS (SELECT {null_uid} AS uid, {null_ts} AS ats,
+                      event_type AS a_type
+               FROM events WHERE {a_pred}),
+         b0 AS (SELECT user_id AS uid, {b_null_ts} AS bts, event_id
+                FROM events WHERE {b_pred}),
+         b AS (SELECT uid, bts, CAST(MAX(event_id) AS BIGINT) AS bid
+               FROM b0 WHERE uid IS NOT NULL AND bts IS NOT NULL
+               GROUP BY uid, bts)
+    SELECT a.a_type, COUNT(*) AS n,
+           COUNT(CASE WHEN epoch_us(a.ats) - epoch_us(b.bts) <= {tol_us}
+                      THEN b.bid END) AS n_matched,
+           CAST(SUM(CASE WHEN epoch_us(a.ats) - epoch_us(b.bts) <= {tol_us}
+                         THEN b.bid END) AS BIGINT) AS sum_bid
+    FROM a ASOF LEFT JOIN b ON a.uid = b.uid AND a.ats >= b.bts
+    GROUP BY a.a_type
+    """
+    s_cols = ["a_type", "n", "n_matched", "sum_bid"]
+    s_rows = [tuple(r) for r in gdf.select(*s_cols).collect()]
+    o_cols, o_rows, _ = run_oracle(sql, sf_dir)
+    _, ns = normalize(s_cols, s_rows)
+    _, no = normalize(o_cols, o_rows)
+    assert ns == no, (
+        f"asof-tolerance mismatch seed={seed} tol={tol_s}s "
+        f"null_m={null_m} null_km={null_km} bnull_m={bnull_m} "
+        f"a_pred={a_pred!r} b_pred={b_pred!r}\n"
+        f"spark {len(ns)} rows vs oracle {len(no)} rows"
+    )
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_fuzz_asof_tolerance_nulls_parity(spark, sf_dir, chunk):
+    for i in range(SEEDS_PER_CHUNK):
+        _run_asof_tolerance(spark, sf_dir, chunk * SEEDS_PER_CHUNK + i)
+
+
+# --------------------------------------------------------------------------
 # pivot family: Spark's pivot OPERATOR (PivotFirst / expand rewrite) vs
 # DuckDB conditional FILTER aggregation — two genuinely different
 # evaluation strategies for the same contract.  Random pivot-value
