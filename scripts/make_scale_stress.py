@@ -1,0 +1,113 @@
+"""Build an upscaled STRESS copy of the driver's sf0.1 testdata.
+
+The driver ships sf{0.001,0.01,0.1}; the 100 TB brief wants evidence the
+plans survive another 10×.  This generator replicates every sf0.1 table
+K times (default 10 → "sf1-shaped": 6 M lineitem, 1.5 M orders, 1 M
+events), shifting every key column by replica·(max_key+1) so referential
+structure (orders⋈customer, lineitem keys, doc_id=vec_id) is preserved
+within each replica and keys never collide across replicas.  region and
+nation are dimensions and stay as-is.
+
+This is a TEST HARNESS artifact, not driver data: the correctness signal
+is unchanged (Spark and the DuckDB oracle read the SAME generated files
+side by side via scripts/driver_replica.py with
+SPARK_GRAFT_REPLICA_SF_DIR pointed here); only the scale is synthetic.
+
+Timestamps, embedding values, text and payloads are copied verbatim —
+replicas differ only in keys, which is exactly what stresses shuffle
+width, spill paths, broadcast thresholds and the ANN block count without
+perturbing value-hash semantics.
+
+Usage:  python scripts/make_scale_stress.py [K] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+#: per-table key columns to shift by replica * (max_key + 1)
+SHIFTS: dict[str, list[str]] = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_AS_IS = ["region", "nation"]
+
+#: strides must be consistent across tables sharing a key domain
+STRIDE_OF = {
+    "l_orderkey": "o_orderkey",
+    "l_partkey": "p_partkey",
+    "l_suppkey": "s_suppkey",
+    "o_custkey": "c_custkey",
+}
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_stress"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    strides: dict[str, int] = {}
+    for t, cols in SHIFTS.items():
+        for c in cols:
+            root = STRIDE_OF.get(c, c)
+            if root not in strides:
+                src_t = {
+                    "o_orderkey": "orders", "p_partkey": "part",
+                    "s_suppkey": "supplier", "c_custkey": "customer",
+                    "event_id": "events", "user_id": "events",
+                    "doc_id": "documents", "vec_id": "embeddings",
+                }.get(root, t)
+                (mx,) = con.execute(
+                    f"SELECT max({root}) FROM read_parquet('{SRC}/{src_t}.parquet')"
+                ).fetchone()
+                strides[root] = int(mx) + 1
+
+    for t in COPY_AS_IS:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) TO "
+            f"'{out}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 200000)"
+        )
+        print(f"{t}: copied")
+
+    for t, cols in SHIFTS.items():
+        desc = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+        ).fetchall()
+        names = [d[0] for d in desc]
+        sel = []
+        for c in names:
+            if c in cols:
+                stride = strides[STRIDE_OF.get(c, c)]
+                sel.append(f"({c} + r.i * {stride}) AS {c}")
+            else:
+                sel.append(c)
+        # TIMESTAMP columns must stay TIMESTAMP_MICROS (INT96 carries no
+        # stats; the engine's writers pin MICROS — mirror that here)
+        con.execute(
+            f"""COPY (
+                SELECT {', '.join(sel)}
+                FROM read_parquet('{SRC}/{t}.parquet'), range({k}) AS r(i)
+            ) TO '{out}/{t}.parquet'
+            (FORMAT PARQUET, ROW_GROUP_SIZE 200000)"""
+        )
+        (n,) = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{out}/{t}.parquet')"
+        ).fetchone()
+        print(f"{t}: {n} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
