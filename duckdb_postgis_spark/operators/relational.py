@@ -513,6 +513,80 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# R11b pre-aggregated HLL sketch table + lossless merge (round 7)
+# --------------------------------------------------------------------------
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_nd_order,
+           TRUE AS merged_within_5pct,
+           TRUE AS merge_close_to_direct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL 100 TB distinct path that R10/R11's docstrings point at:
+    a pre-aggregated SKETCH TABLE.  Phase 1 builds one DataSketches HLL
+    sketch per (flag, shard) — at warehouse scale this rollup would be
+    materialized incrementally at ingest (per partition/day) so the
+    expensive raw scan happens once, not per query.  Phase 2 answers the
+    distinct-count question by merging the 16 shard sketches per flag
+    with ``hll_union_agg`` — touching |shards| rows, not the corpus.
+
+    Two properties ride the output, oracle-pinned TRUE:
+    - ``merged_within_5pct``: the merged estimate sits within 5% of the
+      exact count (computed alongside as the verification harness);
+    - ``merge_close_to_direct``: the merged estimate sits within 2% of
+      the one-pass direct sketch over the raw rows.  NOT exact by
+      construction — measured on this data the union re-estimates
+      through DataSketches' HLL_8 union gadget while the direct path
+      stays HLL_4, a ~0.5% wobble — so the pinned claim is the honest
+      one: pre-aggregation costs at most a bounded re-estimation error,
+      and a Spark upgrade that broke sketch-merge compatibility outright
+      would still be a driver hash failure here.
+
+    Scale: phase 1 is one shuffle of |flags|×|shards| sketch blobs (each
+    ~KB); phase 2 shuffles |flags|×|shards| rows.  The exact companion
+    (one extra distinct agg) exists only as the test harness, exactly as
+    in agg_approx_distinct."""
+    li = table(spark, sf_dir, "lineitem")
+    shard = F.pmod(F.hash("l_orderkey"), F.lit(16)).alias("shard")
+    sketches = (
+        li.select("l_returnflag", shard, "l_orderkey")
+        .groupBy("l_returnflag", "shard")
+        .agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+    )
+    merged = sketches.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias("est_direct"),
+        F.countDistinct("l_orderkey").alias("exact_nd_order"),
+    )
+    within = (
+        F.abs(F.col("est_merged").cast("double") - F.col("exact_nd_order").cast("double"))
+        <= F.lit(0.05) * F.col("exact_nd_order").cast("double") + F.lit(1e-6)
+    )
+    close = (
+        F.abs(F.col("est_merged").cast("double") - F.col("est_direct").cast("double"))
+        <= F.lit(0.02) * F.col("est_direct").cast("double") + F.lit(1e-6)
+    )
+    return (
+        merged.join(direct, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_nd_order",
+            within.alias("merged_within_5pct"),
+            close.alias("merge_close_to_direct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
 # R12 rollup / cube
 # --------------------------------------------------------------------------
 @query(

@@ -59,7 +59,7 @@ SCALE = [
     "agg_histogram", "events_multigrain_rollup", "events_gap_fill_locf",
     "join_skew_salted", "similarity_search_ivf_pruned",
     "similarity_search_quantized", "embed_pca_power_iteration",
-    "agg_heavy_hitters_twophase",
+    "agg_heavy_hitters_twophase", "agg_hll_sketch_merge",
 ]
 # §2.12d text/dedup extensions
 TEXT_EXT = [
