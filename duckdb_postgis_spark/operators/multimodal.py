@@ -522,3 +522,150 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("survivor_doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# perceptual-hash near-dup (round 7): content-similarity dedup over media
+# --------------------------------------------------------------------------
+_PH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("b0", IntegerType()),
+        StructField("b1", IntegerType()),
+        StructField("b2", IntegerType()),
+        StructField("b3", IntegerType()),
+    ]
+)
+_PH_HAMMING_MAX = 8
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=_MEDIA_CTE
+    + """
+    , px AS (
+      SELECT doc_id, width, height,
+             CAST(u.i AS BIGINT) AS i,
+             (strpos('0123456789abcdef',
+                     substring(hex, CAST(u.i % octet_length(payload) AS INT) * 2 + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substring(hex, CAST(u.i % octet_length(payload) AS INT) * 2 + 2, 1)) - 1) AS v
+      FROM media, LATERAL unnest(range(0, CAST(width AS BIGINT) * height)) AS u(i)
+      WHERE media_type = 'image'
+    ),
+    cells AS (
+      SELECT doc_id,
+             ((i // width) // (height // 8)) * 8 + (i % width) // (width // 8) AS cell,
+             CAST(SUM(v) AS BIGINT) AS cs
+      FROM px GROUP BY doc_id, width, height,
+             ((i // width) // (height // 8)) * 8 + (i % width) // (width // 8)
+    ),
+    tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS tv FROM cells GROUP BY doc_id),
+    bits AS (
+      SELECT c.doc_id, CAST(cell // 16 AS INT) AS band, CAST(cell % 16 AS INT) AS pos,
+             CASE WHEN cs * 64 > tv THEN 1 ELSE 0 END AS b
+      FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, band, CAST(SUM(b * (1 << pos)) AS INT) AS code
+      FROM bits GROUP BY doc_id, band
+    ),
+    ph AS (
+      SELECT doc_id,
+             MAX(CASE WHEN band = 0 THEN code END) AS b0,
+             MAX(CASE WHEN band = 1 THEN code END) AS b1,
+             MAX(CASE WHEN band = 2 THEN code END) AS b2,
+             MAX(CASE WHEN band = 3 THEN code END) AS b3
+      FROM bands GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM ph a JOIN ph b
+        ON a.doc_id < b.doc_id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    )
+    SELECT c.a_id, c.b_id,
+           CAST(bit_count(xor(CAST(pa.b0 AS BIGINT), CAST(pb.b0 AS BIGINT)))
+              + bit_count(xor(CAST(pa.b1 AS BIGINT), CAST(pb.b1 AS BIGINT)))
+              + bit_count(xor(CAST(pa.b2 AS BIGINT), CAST(pb.b2 AS BIGINT)))
+              + bit_count(xor(CAST(pa.b3 AS BIGINT), CAST(pb.b3 AS BIGINT))) AS INT)
+               AS hamming
+    FROM cand c
+    JOIN ph pa ON pa.doc_id = c.a_id
+    JOIN ph pb ON pb.doc_id = c.b_id
+    WHERE bit_count(xor(CAST(pa.b0 AS BIGINT), CAST(pb.b0 AS BIGINT)))
+        + bit_count(xor(CAST(pa.b1 AS BIGINT), CAST(pb.b1 AS BIGINT)))
+        + bit_count(xor(CAST(pa.b2 AS BIGINT), CAST(pb.b2 AS BIGINT)))
+        + bit_count(xor(CAST(pa.b3 AS BIGINT), CAST(pb.b3 AS BIGINT))) <= 8
+    ORDER BY a_id, b_id
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over the image corpus — the
+    content-similarity dedup that byte-hash dedup (M6) cannot do: aHash
+    over the (fake-)decoded pixels.  Each image average-pools to an 8x8
+    grid; bit(cell) = 64*cell_sum > total_sum (the exact integer form of
+    cell_mean > global_mean — no division, replayable bit-for-bit from
+    the hex in DuckDB); the 64 bits split into four 16-bit bands.
+    Candidates = pairs agreeing on ANY band (the simhash/LSH banding —
+    a Hamming-<=8 pair must agree on >=1 of 4 bands by pigeonhole, so
+    banding loses nothing); exact Hamming re-rank keeps pairs <= 8.
+
+    Scale: phash extraction is a narrow mapInPandas (decode cost sits
+    executor-side, as in M2); the candidate join shuffles (band, code)
+    keys — |images|x4 rows — never pixels, never all pairs.  On this
+    corpus only byte-identical texts produce equal payloads, so the
+    expected output is the exact-dup pairs at Hamming 0; random-content
+    pairs sit at ~32 of 64 bits and cannot leak through the <=8 gate."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    cols = m.select("doc_id", "payload", "meta.width", "meta.height")
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload, w, h in pdf.itertuples(index=False):
+                w, h = int(w), int(h)
+                img = _fake_decode_frame(payload, w, h).astype("int64")
+                cells = img.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+                total = int(img.sum())
+                bits = (cells.ravel() * 64 > total).astype("int64")
+                bands = [
+                    int((bits[16 * k : 16 * (k + 1)] << np.arange(16)).sum())
+                    for k in range(4)
+                ]
+                out.append((doc_id, *bands))
+            yield pd.DataFrame(out, columns=[f.name for f in _PH_SCHEMA.fields])
+
+    ph = cols.mapInPandas(phash, schema=_PH_SCHEMA)
+    banded = ph.select(
+        "doc_id",
+        "b0", "b1", "b2", "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "code"),
+    )
+    a = banded.select(
+        "band", "code", F.col("doc_id").alias("a_id"),
+        F.col("b0").alias("a0"), F.col("b1").alias("a1"),
+        F.col("b2").alias("a2"), F.col("b3").alias("a3"),
+    )
+    b = banded.select(
+        "band", "code", F.col("doc_id").alias("b_id"),
+        F.col("b0").alias("c0"), F.col("b1").alias("c1"),
+        F.col("b2").alias("c2"), F.col("b3").alias("c3"),
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a{k}").cast("long").bitwiseXOR(F.col(f"c{k}").cast("long"))
+        )
+        for k in range(4)
+    )
+    return (
+        a.join(b, ["band", "code"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= _PH_HAMMING_MAX)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    )

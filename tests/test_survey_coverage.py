@@ -48,7 +48,7 @@ GEO = [
 MULTIMODAL = [
     "multimodal_meta_stats", "multimodal_image_features",
     "multimodal_frame_sample", "multimodal_audio_energy", "multimodal_scene_cut",
-    "multimodal_dedup_exact",
+    "multimodal_dedup_exact", "multimodal_phash_dedup",
 ]
 # §2.12b ANN / skew / layout
 SCALE = [
