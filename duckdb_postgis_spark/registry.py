@@ -51,6 +51,36 @@ ORACLES: dict[str, str] = {}
 # Everything NOT in this window holds a pass-r5/r6 verdict.  After this
 # window lands, every registered query has a driver verdict on r5+ code
 # and every one of the 133 is oracle-bearing.
+#
+# ROUND-8 ROTATION PLAN (execute at round-8 start): if CORRECTNESS_r07 is
+# green, all r7 slots rotate out with verdicts standing.  Window, in
+# order (validate with driver_replica before swapping into PRIORITY):
+#   (a) first driver verdicts for the TWO post-r7-freeze additions:
+#       agg_hll_sketch_merge (relational.py) and multimodal_phash_dedup
+#       (multimodal.py), plus any r7 window failures for a re-prove;
+#   (b) the 34 queries whose latest verdict is r5-era (neither the r6 nor
+#       the r7 window touched them): geo_point_wkt, geo_crs_infer_ranges,
+#       geo_wkb_roundtrip, incremental_agg_merge, dedup_ngram_jaccard,
+#       dedup_simhash, dedup_embedding_cosine, text_analysis_grouped,
+#       text_language_id, text_quality_score, text_token_count,
+#       text_fingerprint, text_shingle_udtf, text_tfidf_top_terms,
+#       cogroup_reconcile, dedup_cluster_components, dedup_exact_prefix,
+#       embed_quantize_int8, multimodal_frame_sample,
+#       multimodal_dedup_exact, agg_approx_distinct,
+#       grouping_sets_cube_rollup, window_rank_topn, window_analytic,
+#       sort_limit_topk, json_extract_events, agg_percentiles,
+#       pivot_lang_counts, agg_histogram, join_null_safe,
+#       sample_temperature_weighted, text_unigram_likelihood,
+#       text_pii_scrub, join_bucketed_colocated;
+#   (c) the remaining ~14 slots refresh the stalest r6 verdicts (the
+#       round-3-era-backfill set from the r6 window first: scan_project,
+#       filter_pred, join_inner_hash, join_left_right_full,
+#       join_semi_anti, set_ops, scalar_string_date_math, array_map_json,
+#       distinct_dedup_exact, multimodal_meta_stats,
+#       multimodal_image_features, then pricing_summary,
+#       join_broadcast_4way, geo_knn_join) — displaced as usual by any
+#       query whose CODE changes in round 8 (changed code outranks
+#       refreshes).
 PRIORITY: tuple[str, ...] = (
     # -- (a) post-r6-freeze additions: first driver verdicts ---------------
     "maintenance_scan_layout",

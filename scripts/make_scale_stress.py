@@ -13,10 +13,16 @@ is unchanged (Spark and the DuckDB oracle read the SAME generated files
 side by side via scripts/driver_replica.py with
 SPARK_GRAFT_REPLICA_SF_DIR pointed here); only the scale is synthetic.
 
-Timestamps, embedding values, text and payloads are copied verbatim —
-replicas differ only in keys, which is exactly what stresses shuffle
-width, spill paths, broadcast thresholds and the ANN block count without
-perturbing value-hash semantics.
+Timestamps and most values copy verbatim, but CONTENT columns are
+deterministically perturbed per replica — documents get a replica token
+appended to the text, embeddings get their first component shifted by
+replica/1000 — because verbatim copies make every row 10 exact
+duplicates of its replicas: dedup queries then emit O(K²·rows) pairs
+and ANN corpora collapse into 10-way cosine-1.0 ties, a degenerate
+shape no real 10× corpus has (measured: the first sweep attempt spent
+25+ min inside knn_ivf_lsh on the all-identical corpus).  The
+perturbations are pure SQL on both engines, so the side-by-side oracle
+signal is unchanged.
 
 Usage:  python scripts/make_scale_stress.py [K] [out_dir]
 """
@@ -91,6 +97,21 @@ def main() -> int:
             if c in cols:
                 stride = strides[STRIDE_OF.get(c, c)]
                 sel.append(f"({c} + r.i * {stride}) AS {c}")
+            elif t == "documents" and c == "text":
+                # replica-unique content (replica 0 keeps the original)
+                sel.append(
+                    "CASE WHEN r.i = 0 THEN text "
+                    "ELSE text || ' r' || r.i END AS text"
+                )
+            elif t == "embeddings" and c == "embedding":
+                # nudge one component per replica: kills the 10-way
+                # cosine-1.0 tie structure, preserves near-neighbor
+                # geometry (replica 0 keeps the original, so vec_id 0 —
+                # the query vector — is untouched)
+                sel.append(
+                    "CAST(list_prepend(embedding[1] + r.i / 1000.0, "
+                    "embedding[2:]) AS FLOAT[]) AS embedding"
+                )
             else:
                 sel.append(c)
         # TIMESTAMP columns must stay TIMESTAMP_MICROS (INT96 carries no
