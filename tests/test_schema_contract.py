@@ -243,3 +243,64 @@ def test_probe_rejects_mixed_encoding_directory(tmp_path):
     )
     with _pytest.raises(ValueError, match="mixes ts encodings"):
         _probe_events_ts(str(d))
+
+
+def test_probe_rejects_mixed_encoding_beyond_16_parts(tmp_path):
+    """ADVICE r6: the r6 probe sampled only the first 16 lexicographic
+    parts, so a mixed encoding in part 17+ loaded silently.  The probe
+    now walks EVERY part — a bad encoding hidden at position 17 must
+    fail loudly."""
+    import duckdb
+    import pytest as _pytest
+
+    from duckdb_postgis_spark.catalog import _probe_events_ts
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    con = duckdb.connect()
+    for i in range(17):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}') LIMIT 50 OFFSET {50 * i}) "
+            f"TO '{d}/part-{i:04d}.parquet' (FORMAT PARQUET)"
+        )
+    # the SORTED-LAST part carries the foreign encoding
+    con.execute(
+        f"COPY (SELECT * REPLACE (CAST(epoch_ns(ts) AS BIGINT) AS ts) "
+        f"FROM read_parquet('{src}') LIMIT 50) "
+        f"TO '{d}/part-9999.parquet' (FORMAT PARQUET)"
+    )
+    with _pytest.raises(ValueError, match="mixes ts encodings"):
+        _probe_events_ts(str(d))
+
+
+def test_directory_table_cache_invalidates_on_part_rewrite(tmp_path, spark):
+    """ADVICE r6: for directory-shaped tables the _TABLE_CACHE key now
+    folds per-part (name, size, mtime) — rewriting ONE part in place
+    (same directory inode stats) must produce a fresh DataFrame, not the
+    cached one over the old file list."""
+    import duckdb
+
+    from duckdb_postgis_spark.catalog import table
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}') LIMIT 100) "
+        f"TO '{d}/part-0.parquet' (FORMAT PARQUET)"
+    )
+    n1 = table(spark, str(tmp_path), "documents").count()
+    assert n1 == 100
+    import os as _os
+    import time as _time
+
+    _time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}') LIMIT 37) "
+        f"TO '{d}/part-0.parquet.tmp' (FORMAT PARQUET)"
+    )
+    _os.replace(f"{d}/part-0.parquet.tmp", f"{d}/part-0.parquet")
+    n2 = table(spark, str(tmp_path), "documents").count()
+    assert n2 == 37, "stale cached DataFrame served after in-place part rewrite"
