@@ -97,6 +97,14 @@ def main() -> int:
             if c in cols:
                 stride = strides[STRIDE_OF.get(c, c)]
                 sel.append(f"({c} + r.i * {stride}) AS {c}")
+            elif t == "events" and c == "ts":
+                # each replica occupies its OWN time window (the source
+                # spans ~30 days; stride 31 days): a real 10× event corpus
+                # is 10× the TIME, not 10× the density — replicating into
+                # the same span inflates every time-band join/window
+                # quadratically (measured: stream_stream_join pair count
+                # grows ~100×, an unreal shape that swamps the sweep)
+                sel.append("(ts + r.i * INTERVAL 31 DAY) AS ts")
             elif t == "documents" and c == "text":
                 # replica-unique content (replica 0 keeps the original)
                 sel.append(
