@@ -445,34 +445,52 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with watermarks on both sides and an
-    event-time band in the join condition (same semantics as the batch
-    join_theta_range / join_range_bucketed). The time bound is what makes
-    the state finite: each side buffers only rows inside
-    watermark + band — without it, stream-stream join state grows forever.
-    Under AvailableNow replay every pair is emitted, so the batch theta
-    join is an exact oracle; the output is re-aggregated per type to keep
-    the driver comparison small."""
-    a = (
-        events_stream(spark, sf_dir)
-        .withWatermark("ts", "10 minutes")
-        .select(
-            F.col("event_type").alias("a_type"),
-            F.col("event_id").alias("a_id"),
-            F.col("ts").alias("a_ts"),
-        )
+    event-time band — keyed on (event_type, TIME BUCKET), not event_type
+    alone (round-7 scale fix; the streaming twin of join_range_bucketed).
+
+    Why the bucket is in the KEY: the symmetric hash join probes every
+    buffered row of the matching key, and watermark eviction only runs at
+    micro-batch boundaries.  With the key = event_type (5 values), an
+    AvailableNow replay that lands in one micro-batch buffers |rows|/5
+    per key and the probe degenerates to per-key NESTED LOOPS —
+    quadratic in the batch.  Found by the r7 sf1-shaped stress sweep:
+    6 min at 100 k events, >1 h (timeout) at 1 M.  Quantizing the band
+    into 5-minute buckets and exploding ONE side to its 3 adjacent
+    buckets (the bounded 3× explode of A7) makes the equi key
+    (type, bucket): each probe touches only rows within one band width,
+    so the batch cost is |pairs|, not |rows|²/|types| — 1 M events drain
+    in ~2 min where the type-keyed plan timed out at 1 h.  The band
+    residual predicates stay in the condition, so the watermark state
+    bound is still derived and steady-state state stays finite.  Exact
+    same pair set: b's bucket always lies in {a−1, a, a+1}, each pair
+    meets exactly once (a emits 3 distinct buckets, b owns one)."""
+    bucket_s = 300  # = the 5-minute band width
+    a0 = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    a = a0.select(
+        F.col("event_type").alias("a_type"),
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+        F.explode(
+            F.array(
+                *[
+                    F.floor(F.unix_micros("ts") / F.lit(bucket_s * 1_000_000))
+                    + F.lit(d)
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ).alias("a_bk"),
     )
-    b = (
-        events_stream(spark, sf_dir)
-        .withWatermark("ts", "10 minutes")
-        .select(
-            F.col("event_type").alias("b_type"),
-            F.col("event_id").alias("b_id"),
-            F.col("ts").alias("b_ts"),
-        )
+    b0 = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    b = b0.select(
+        F.col("event_type").alias("b_type"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+        F.floor(F.unix_micros("ts") / F.lit(bucket_s * 1_000_000)).alias("b_bk"),
     )
     joined = a.join(
         b,
         (F.col("a_type") == F.col("b_type"))
+        & (F.col("a_bk") == F.col("b_bk"))
         & (F.col("a_id") < F.col("b_id"))
         & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 5 MINUTES"))
         & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
