@@ -602,7 +602,14 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit (top-3 state per partition, no full sort).  When the
     right side outgrows broadcast, the G8 grid-cell equi-join bounds
     candidates per cell ring first; this operator pins the semantics that
-    rewrite must preserve."""
+    rewrite must preserve.  Measured boundary (r7 sf1-shaped stress,
+    150 k × 10 k): the Spark side completes — 450 k rows in ~31 min
+    single-node, ~1.5×10⁹ haversine evaluations through the broadcast
+    attach — but this candidate volume is exactly where the G8 grid
+    rewrite takes over (cell-ring candidates shrink the 10 k per-row
+    attach to the tens); the DuckDB all-pairs oracle at that scale
+    exceeds any sweep budget, so stress verification for this operator
+    is Spark-side rows+timing, oracle at driver scales."""
     cust = _coords(spark, sf_dir)
     supp = table(spark, sf_dir, "supplier").select(
         "s_suppkey",

@@ -310,10 +310,17 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band (range) self-join: event pairs of the same type within ±5 min.
-    Scale: the equi part (event_type) hash-partitions; the time band is
-    evaluated inside each partition. For 100 TB, bucketize ts into 5-min
-    buckets and join on (type, bucket±1) to bound the per-key cross
-    product — same results, linear work."""
+    This is the DELIBERATELY-naive theta formulation that exercises
+    Spark's native range-join execution (SMJ on the 5-value equi key,
+    band as residual); join_range_bucketed (A7) is the registered linear
+    rewrite.  Scale boundary, MEASURED (r7 sf1-shaped stress sweep): the
+    per-key-group cross product is |rows/type|² — at 1 M events that is
+    ~2×10¹¹ pair evaluations and the query did not finish inside the
+    sweep budget, exactly as this docstring predicted, while A7 passed
+    the same scale hash-green.  At 100 TB, always bucketize ts into
+    band-width buckets and join on (type, bucket±1) — same results,
+    linear work (see also the round-7 stream_stream_join fix, which is
+    the streaming instance of the same lesson)."""
     ev = table(spark, sf_dir, "events")
     a = ev.alias("a")
     b = ev.alias("b")
