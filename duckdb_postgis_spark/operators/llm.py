@@ -1030,8 +1030,20 @@ def _bucketize(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """(vec_id, embedding) -> (band, bucket, vec_id, embedding): one row per
     band. Arrow-vectorized projection; no shuffle here — the join shuffles
     on (band, bucket), moving |V| x bands rows instead of the |V|^2 pairs a
-    naive self-join needs. Hot buckets at scale: raise _LSH_BITS (cell count)
-    or salt the join key; AQE skew-split handles residual imbalance."""
+    naive self-join needs.
+
+    SCALING LAW (measured, r7 stress sweep): candidate volume is
+    Σ C(bucket, 2) ≈ bands · n²/(2·2^bits) — with the fixed
+    _LSH_BITS = 4 tuned for the driver's 500-2000-vector scales, a 20 k
+    corpus produces ~2×10⁸ candidates, MORE than the exact block
+    matmul's 2×10⁸ pairs (and through scalar fold-dots, not BLAS).  At
+    scale, bits must grow with the corpus: bits ≈ log2(n/target_bucket)
+    keeps per-bucket population (and therefore candidates-per-vector)
+    constant, at a recall cost per band that the band count compensates.
+    Changing bits moves the driver-pinned recall floor, so the adaptive
+    form is a planned round-8 change validated against the pinned 0.8
+    floor at every sf, not a hotfix.  AQE skew-split handles residual
+    imbalance either way."""
     import numpy as np
     from pyspark.sql.types import ArrayType, IntegerType
 
