@@ -596,34 +596,87 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form double expression as G10 (bit-identical cross-engine);
     the per-customer top-3 is a deterministic (dist, key)-ordered rank.
 
-    Scale: suppliers are a broadcastable dimension (DIMENSIONS note in
-    catalog.py), so the candidate attach is a broadcast against the
-    customer scan — no shuffle of the big side — and the rank compiles to
-    WindowGroupLimit (top-3 state per partition, no full sort).  When the
-    right side outgrows broadcast, the G8 grid-cell equi-join bounds
-    candidates per cell ring first; this operator pins the semantics that
-    rewrite must preserve.  Measured boundary (r7 sf1-shaped stress,
-    150 k × 10 k): the Spark side completes — 450 k rows in ~31 min
-    single-node, ~1.5×10⁹ haversine evaluations through the broadcast
-    attach — but this candidate volume is exactly where the G8 grid
-    rewrite takes over (cell-ring candidates shrink the 10 k per-row
-    attach to the tens); the DuckDB all-pairs oracle at that scale
-    exceeds any sweep budget, so stress verification for this operator
-    is Spark-side rows+timing, oracle at driver scales."""
-    cust = _coords(spark, sf_dir)
-    supp = table(spark, sf_dir, "supplier").select(
+    Size-threshold dispatch (round 8, closing the r7 verdict's measured
+    boundary): below ~2×10⁸ candidate pairs the plan is the broadcast
+    dimension-attach (suppliers broadcast, fact never shuffles, top-3
+    compiles to WindowGroupLimit) — this is the driver/bench path, so the
+    sf0.01 hash is byte-identical to r7.  Above the threshold (the r7
+    stress sweep measured the attach at ~31 min for 150 k × 10 k =
+    1.5×10⁹ haversines) the G8 grid-cell machinery takes over:
+    customers probe a lon-wrapped 3-row cell ring (ring width widens
+    with latitude so the physical window stays ~constant), candidates
+    equi-join on the cell key, and a per-customer EXACTNESS CERTIFICATE
+    — 3rd-candidate distance < a spherical lower bound on the distance
+    to anything outside the probed ring — sends the rare uncertified
+    point back through the broadcast attach, so the grid path returns
+    the same rows the attach would (equality pinned at sf0.01 AND sf0.1
+    in tests/test_geo_functions.py).  Both paths overridable via
+    SPARK_GRAFT_GEO_KNN=grid|broadcast."""
+    import os as _os
+
+    forced = _os.environ.get("SPARK_GRAFT_GEO_KNN", "")
+    if forced not in ("grid", "broadcast"):
+        try:
+            pairs = _parquet_num_rows(f"{sf_dir}/customer.parquet") * _parquet_num_rows(
+                f"{sf_dir}/supplier.parquet"
+            )
+        except OSError:
+            pairs = 0
+        forced = "grid" if pairs > _KNN_GRID_PAIR_THRESHOLD else "broadcast"
+    cust = _coords(spark, sf_dir).select(
+        "c_custkey",
+        F.col("lon").cast("double").alias("lon"),
+        F.col("lat").cast("double").alias("lat"),
+    )
+    supp = _knn_suppliers(spark, sf_dir)
+    top = _geo_knn_grid(cust, supp) if forced == "grid" else _geo_knn_attach(cust, supp)
+    return top.orderBy("c_custkey", "rk")
+
+
+#: above this many customer×supplier candidate pairs, the broadcast attach
+#: (linear in pairs) loses to the grid ring join — measured r7: 1.5e9 pairs
+#: = ~31 min single-node; 1.5e7 (sf0.1) = seconds, broadcast still wins
+_KNN_GRID_PAIR_THRESHOLD = 2e8
+_KM_PER_DEG = 6371.0 * 0.017453292519943295  # R * pi/180
+_LON_CELLS = 360 // _CELL  # 36
+_LAT_CELLS = 180 // _CELL  # 18
+
+
+def _parquet_num_rows(path: str) -> int:
+    import os as _os
+
+    st = _os.stat(path)
+    return _parquet_num_rows_cached(path, st.st_size, st.st_mtime_ns)
+
+
+import functools as _functools  # noqa: E402
+
+
+@_functools.lru_cache(maxsize=256)
+def _parquet_num_rows_cached(path: str, _size: int, _mtime_ns: int) -> int:
+    """Row count from parquet footers (file or directory) — driver-side
+    metadata only, no Spark job; cache keyed on (path, size, mtime) so an
+    in-place testdata rewrite re-probes (the r5 staleness rule)."""
+    import pyarrow.parquet as pq
+
+    ds = pq.ParquetDataset(path)
+    return sum(frag.metadata.num_rows for frag in ds.fragments)
+
+
+def _knn_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         F.expr(_SUPP_LON).cast("double").alias("slon"),
         F.expr(_SUPP_LAT).cast("double").alias("slat"),
     )
+
+
+def _knn_haversine() -> F.Column:
+    """The G10/G11 closed-form haversine over (lat, lon, slat, slon) —
+    one shared expression tree so the grid and broadcast paths (and the
+    DuckDB oracle) produce bit-identical doubles."""
     d2r = F.expr(_DEG2RAD)
-    # broadcast dimension-attach: BNLJ with the supplier dim as build side
-    # (declared in the plan lint with the G10 allowance)
-    j = cust.select(
-        "c_custkey", F.col("lon").cast("double").alias("lon"),
-        F.col("lat").cast("double").alias("lat"),
-    ).crossJoin(F.broadcast(supp))
-    dist = 12742.0 * F.asin(
+    return 12742.0 * F.asin(
         F.sqrt(
             F.pow(F.sin((F.col("lat") - F.col("slat")) * d2r / 2), 2.0)
             + F.cos(F.col("lat") * d2r)
@@ -631,15 +684,149 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.pow(F.sin((F.col("lon") - F.col("slon")) * d2r / 2), 2.0)
         )
     )
+
+
+def _knn_rank_top3(j: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
     return (
-        j.withColumn("dist_km", dist)
+        j.withColumn("dist_km", _knn_haversine())
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("c_custkey", "s_suppkey", F.round("dist_km", 6).alias("dist_km"), "rk")
-        .orderBy("c_custkey", "rk")
+    )
+
+
+def _geo_knn_attach(cust: DataFrame, supp: DataFrame) -> DataFrame:
+    """Broadcast dimension-attach kNN (the sub-threshold plan): BNLJ with
+    the supplier dim as build side (declared in the plan lint with the G10
+    allowance); top-3 compiles to WindowGroupLimit."""
+    return _knn_rank_top3(cust.crossJoin(F.broadcast(supp)))
+
+
+def _geo_knn_grid(cust: DataFrame, supp: DataFrame) -> DataFrame:
+    """Grid-cell ring kNN (the at-scale plan; G8 machinery): suppliers key
+    once to their 10° cell; each customer probes a 3-lat-row ring whose
+    lon width widens with latitude (w ≈ 1/cos φ cells each side, all 36
+    at a pole-touching band) and equi-joins candidates on the cell key —
+    candidate volume is O(|cust| · ring density), never |cust|×|supp|.
+
+    Exactness: a per-customer certificate compares the 3rd candidate's
+    distance against a LOWER BOUND on the distance to any supplier
+    outside the probed ring — lat margins bound via R·Δφ (exact on a
+    sphere), the lon margin via the great-circle distance to the nearest
+    point of the boundary meridian segment (perpendicular-foot latitude
+    clamped to the ring's lat band; valid for margins < 90°, which the
+    band geometry guarantees whenever the ring doesn't already cover all
+    longitudes).  Customers whose certificate fails (no 3 candidates, or
+    3rd distance ≥ bound) re-run through the broadcast attach — a rare
+    escape set, so the union stays linear.  Lon cells wrap at the
+    antimeridian; pole-touching bands probe every longitude, which also
+    captures trans-polar neighbors."""
+    C = float(_CELL)
+    rad = 0.017453292519943295
+    scell = supp.select(
+        "s_suppkey",
+        "slon",
+        "slat",
+        F.pmod(F.floor((F.col("slon") + 180.0) / C), F.lit(_LON_CELLS)).cast("int").alias("cx"),
+        F.least(
+            F.lit(_LAT_CELLS - 1),
+            F.floor((F.col("slat") + 90.0) / C).cast("int"),
+        ).alias("cy"),
+    )
+    geom = (
+        cust.withColumn(
+            "cxc", F.pmod(F.floor((F.col("lon") + 180.0) / C), F.lit(_LON_CELLS)).cast("int")
+        )
+        .withColumn(
+            "cyc",
+            F.least(F.lit(_LAT_CELLS - 1), F.floor((F.col("lat") + 90.0) / C).cast("int")),
+        )
+        .withColumn("lat_lo", F.greatest(F.lit(-90.0), (F.col("cyc") - 1) * C - 90.0))
+        .withColumn("lat_hi", F.least(F.lit(90.0), (F.col("cyc") + 2) * C - 90.0))
+        .withColumn("maxabs", F.greatest(F.abs("lat_lo"), F.abs("lat_hi")))
+        .withColumn(
+            "w",
+            F.when(F.col("maxabs") >= 89.999, F.lit(_LON_CELLS // 2))
+            .otherwise(F.ceil(1.0 / F.cos(F.radians("maxabs"))))
+            .cast("int"),
+        )
+        .withColumn("covered_all_lon", (2 * F.col("w") + 1) >= _LON_CELLS)
+    )
+    cand = (
+        geom.select(
+            "c_custkey",
+            "lon",
+            "lat",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(-F.col("w"), F.col("w")),
+                        lambda d: F.pmod(F.col("cxc") + d, F.lit(_LON_CELLS)).cast("int"),
+                    )
+                )
+            ).alias("cx"),
+            F.col("cyc"),
+        )
+        .select(
+            "c_custkey",
+            "lon",
+            "lat",
+            "cx",
+            F.explode(
+                F.filter(
+                    F.array(F.col("cyc") - 1, F.col("cyc"), F.col("cyc") + 1),
+                    lambda y: (y >= 0) & (y < _LAT_CELLS),
+                )
+            ).alias("cy"),
+        )
+        .join(scell, ["cx", "cy"])
+    )
+    grid_top = _knn_rank_top3(cand)
+
+    # --- exactness certificate -------------------------------------------
+    # in-cell lon offset and angular margin to the ring's lon boundary
+    o = F.col("lon") - (F.col("cxc") * C - 180.0)
+    mlon = F.col("w") * C + F.least(o, C - o)
+    # perpendicular-foot latitude on the boundary meridian, clamped to the
+    # ring's lat band: the nearest outside-the-lon-band point sits there
+    phif = F.degrees(F.atan(F.tan(F.col("lat") * F.lit(rad)) / F.cos(mlon * F.lit(rad))))
+    latc = F.greatest(F.col("lat_lo"), F.least(F.col("lat_hi"), phif))
+    safe_lon_df = geom.withColumn("slat", latc).withColumn("slon", F.col("lon") + mlon)
+    inf = F.lit(1e18)
+    safe = (
+        safe_lon_df.withColumn(
+            "safe_lon", F.when(F.col("covered_all_lon"), inf).otherwise(_knn_haversine())
+        )
+        .withColumn(
+            "safe_dn",
+            F.when(F.col("lat_lo") <= -89.999, inf).otherwise(
+                (F.col("lat") - F.col("lat_lo")) * _KM_PER_DEG
+            ),
+        )
+        .withColumn(
+            "safe_up",
+            F.when(F.col("lat_hi") >= 89.999, inf).otherwise(
+                (F.col("lat_hi") - F.col("lat")) * _KM_PER_DEG
+            ),
+        )
+        .select(
+            "c_custkey", F.least("safe_lon", "safe_dn", "safe_up").alias("safe_km")
+        )
+    )
+    stats = grid_top.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n_top"), F.max("dist_km").alias("d3")
+    )
+    certified = (
+        stats.join(safe, "c_custkey")
+        .filter((F.col("n_top") == 3) & (F.col("d3") < F.col("safe_km") - 1e-6))
+        .select("c_custkey")
+    )
+    escapes = cust.join(certified, "c_custkey", "left_anti")
+    return grid_top.join(certified, "c_custkey", "left_semi").unionByName(
+        _geo_knn_attach(escapes, supp)
     )
 
 

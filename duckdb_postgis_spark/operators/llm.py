@@ -1009,54 +1009,71 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Band/bit trade-off: collision prob for cosine s is 1-(1-p^bits)^bands with
 # p = 1-acos(s)/pi. The testdata embeddings are near-uniform (top pairs at
 # s~0.5), so recall needs many short bands (16x4 -> ~0.97 @ s=0.5). Real
-# corpora are clustered (near-dups at s>0.9, p>0.9) — there, RAISE _LSH_BITS
-# (e.g. 16) to shrink cells/candidates while keeping recall; the constants
-# are the tuning surface, the plan shape is unchanged.
+# corpora are clustered (near-dups at s>0.9, p>0.9) — there, more bits per
+# band shrink cells/candidates while the band count keeps recall; the bit
+# width is ADAPTIVE in the corpus size (see _lsh_bits), the plan shape is
+# size-independent.
 _LSH_BANDS = 16
-_LSH_BITS = 4
+_LSH_BITS_MIN = 4
 
 
-def _lsh_planes(dim: int):
+def _lsh_bits(n: int) -> int:
+    """Adaptive band width: bits ≈ ⌈log2(n)⌉ − 7 (floor 4).
+
+    The r7 stress sweep MEASURED the law this encodes: candidate volume is
+    Σ C(bucket, 2) ≈ bands · n²/2^(bits+1), so a FIXED bit width makes the
+    "approximate" plan do more work than the exact block matmul once
+    n ≳ 2^(bits+something): at 20 k vectors and bits=4 the sweep observed
+    ~2×10⁸ candidates through scalar fold-dots — more pairs than the exact
+    path's BLAS matmul.  Growing bits with log2(n) pins the expected bucket
+    population (n/2^bits ≈ 128) and therefore candidates-per-vector
+    constant, which keeps the LSH path linear in n.  Recall: per-band
+    collision is p^bits (p = 1 − acos(s)/π), and at the corpus sizes where
+    bits rises above 4 the top pairs are ever-higher-cosine (max of more
+    samples; real corpora are clustered near-dups at s>0.9 where p>0.9, so
+    p^8 ≈ 0.43 and 16 bands give recall ≈ 1−(1−0.43)^16 ≈ 0.9999).  At
+    every driver/bench scale (n ≤ 2048 ⇒ bits = 4) behavior is bit-for-bit
+    the r7 plan, so the pinned recall floors and driver hashes are
+    unchanged; the adaptive width engages only beyond driver scale
+    (n = 20 k ⇒ bits = 8 ⇒ candidates ≈ 1/16 of the exact pair count)."""
+    return max(_LSH_BITS_MIN, math.ceil(math.log2(max(n, 2))) - 7)
+
+
+def _lsh_planes(dim: int, bits: int = _LSH_BITS_MIN):
     """Deterministic random hyperplanes (seeded) — the 'coarse quantizer'.
     bands x bits planes; a vector's band code = sign-bit pack of its
     projections, so cosine-close vectors collide with high probability."""
     import numpy as np
 
     rng = np.random.default_rng(42)
-    return rng.standard_normal((_LSH_BANDS * _LSH_BITS, dim))
+    return rng.standard_normal((_LSH_BANDS * bits, dim))
 
 
-def _bucketize(spark: SparkSession, emb: DataFrame) -> DataFrame:
+def _bucketize(
+    spark: SparkSession, emb: DataFrame, n: int, dim: int = 64
+) -> DataFrame:
     """(vec_id, embedding) -> (band, bucket, vec_id, embedding): one row per
     band. Arrow-vectorized projection; no shuffle here — the join shuffles
     on (band, bucket), moving |V| x bands rows instead of the |V|^2 pairs a
-    naive self-join needs.
-
-    SCALING LAW (measured, r7 stress sweep): candidate volume is
-    Σ C(bucket, 2) ≈ bands · n²/(2·2^bits) — with the fixed
-    _LSH_BITS = 4 tuned for the driver's 500-2000-vector scales, a 20 k
-    corpus produces ~2×10⁸ candidates, MORE than the exact block
-    matmul's 2×10⁸ pairs (and through scalar fold-dots, not BLAS).  At
-    scale, bits must grow with the corpus: bits ≈ log2(n/target_bucket)
-    keeps per-bucket population (and therefore candidates-per-vector)
-    constant, at a recall cost per band that the band count compensates.
-    Changing bits moves the driver-pinned recall floor, so the adaptive
-    form is a planned round-8 change validated against the pinned 0.8
-    floor at every sf, not a hotfix.  AQE skew-split handles residual
-    imbalance either way."""
+    naive self-join needs.  ``n`` (from parquet-footer metadata, no Spark
+    job — see _corpus_stats) sizes the band width via _lsh_bits so bucket
+    population stays ~constant as the corpus grows; AQE skew-split handles
+    residual imbalance."""
     import numpy as np
     from pyspark.sql.types import ArrayType, IntegerType
 
-    planes = _lsh_planes(64)
+    bits = _lsh_bits(n)
+    planes = _lsh_planes(dim, bits)
     b_planes = spark.sparkContext.broadcast(planes)
+    bands = _LSH_BANDS
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def band_codes(vs: pd.Series) -> pd.Series:
         P = b_planes.value
         M = np.stack(vs.to_numpy()).astype("float64")
-        bits = (M @ P.T) > 0  # |batch| x (bands*bits)
-        weights = 1 << np.arange(_LSH_BITS)
-        codes = bits.reshape(len(vs), _LSH_BANDS, _LSH_BITS) @ weights
+        signs = (M @ P.T) > 0  # |batch| x (bands*bits)
+        weights = 1 << np.arange(bits)
+        codes = signs.reshape(len(vs), bands, bits) @ weights
         return pd.Series(list(codes.astype("int32")))
 
     return emb.select(
@@ -1098,10 +1115,11 @@ def _knn_ivf_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     path; the 'IVF or LSH-bucketed variant' of the north star). Candidates =
     pairs sharing any band bucket; exact cosine re-rank JVM-side; global
     top-20. At 100 TB the only shuffle is the (band,bucket) co-location —
-    candidate volume is sum of C(bucket,2), tunable via _LSH_BITS, vs the
-    impossible C(n,2) of the exact path."""
+    candidate volume is sum of C(bucket,2), kept linear by the adaptive
+    band width (_lsh_bits), vs the impossible C(n,2) of the exact path."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bucketed = _bucketize(spark, emb)
+    n, dim = _corpus_stats(f"{sf_dir}/embeddings.parquet")
+    bucketed = _bucketize(spark, emb, n=n, dim=dim)
     a = bucketed.select("band", "bucket", F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
     b = bucketed.select("band", "bucket", F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
     cand = (
@@ -1165,13 +1183,15 @@ def _similarity_search_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     qv = np.array(
         emb.filter(F.col("vec_id") == 0).select("embedding").first()[0], dtype="float64"
     )
-    planes = _lsh_planes(len(qv))
-    bits = (planes @ qv) > 0
-    weights = 1 << np.arange(_LSH_BITS)
-    q_codes = bits.reshape(_LSH_BANDS, _LSH_BITS) @ weights
+    n, _dim = _corpus_stats(f"{sf_dir}/embeddings.parquet")
+    bits = _lsh_bits(n)
+    planes = _lsh_planes(len(qv), bits)
+    signs = (planes @ qv) > 0
+    weights = 1 << np.arange(bits)
+    q_codes = signs.reshape(_LSH_BANDS, bits) @ weights
     probe = [(int(bd), int(ct)) for bd, ct in enumerate(q_codes)]
 
-    bucketed = _bucketize(spark, emb.select("vec_id", "embedding"))
+    bucketed = _bucketize(spark, emb.select("vec_id", "embedding"), n=n, dim=len(qv))
     cells = spark.createDataFrame(probe, "band INT, bucket INT")
     cand = (
         bucketed.join(F.broadcast(cells), ["band", "bucket"])

@@ -150,3 +150,35 @@ def test_sanitize_and_geom_name():
         synthesized_geom_name("X-coordinate", "Y-coordinate")
         == "geom_from_X_coordinate_Y_coordinate"
     )
+
+
+# --- G11 grid-path / broadcast-path equivalence (round 8) ------------------
+def test_geo_knn_grid_equals_broadcast(spark, sf_dir):
+    """The at-scale grid ring plan must return exactly the rows the
+    broadcast attach returns — the exactness certificate (safe-radius
+    escape) makes the rewrite lossless, including antimeridian wrap and
+    pole-touching bands (the synthetic coords span the full globe)."""
+    from duckdb_postgis_spark.operators import geo
+
+    cust = geo._coords(spark, sf_dir).selectExpr(
+        "c_custkey", "CAST(lon AS DOUBLE) lon", "CAST(lat AS DOUBLE) lat"
+    )
+    supp = geo._knn_suppliers(spark, sf_dir)
+    b = geo._geo_knn_attach(cust, supp).orderBy("c_custkey", "rk").collect()
+    g = geo._geo_knn_grid(cust, supp).orderBy("c_custkey", "rk").collect()
+    assert len(b) > 0
+    assert b == g
+
+
+def test_geo_knn_dispatch_is_broadcast_at_driver_scale(spark, sf_dir):
+    """Below the measured pair threshold the registered query plans the
+    broadcast attach (sf0.01 driver hash byte-identical to r7)."""
+    from duckdb_postgis_spark.operators import geo
+
+    plan = (
+        geo.geo_knn_join(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
