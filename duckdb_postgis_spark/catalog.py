@@ -17,6 +17,7 @@ silently collapsing every window to 1970 (the round-3 failure mode).
 from __future__ import annotations
 
 import datetime as _dt
+import functools
 import os
 from functools import lru_cache
 
@@ -214,6 +215,25 @@ def _staleness_sig(path: str, st: os.stat_result) -> tuple:
                 sig.append((f, pst.st_size, pst.st_mtime_ns))
         return tuple(sig)
     return (st.st_size, st.st_mtime_ns)
+
+
+def table_num_rows(path: str) -> int:
+    """Row count from parquet footers (file or directory) — driver-side
+    metadata only, NO Spark job (the same cost Spark's scan planning
+    already pays).  Cached on the table's staleness signature so an
+    in-place testdata rewrite re-probes.  Used by the size-threshold
+    dispatchers (geo_knn_join) and quadratic-plan guards
+    (join_theta_range)."""
+    st = os.stat(path)
+    return _table_num_rows_cached(path, _staleness_sig(path, st))
+
+
+@functools.lru_cache(maxsize=256)
+def _table_num_rows_cached(path: str, _sig: tuple) -> int:
+    import pyarrow.parquet as pq
+
+    ds = pq.ParquetDataset(path)
+    return sum(frag.metadata.num_rows for frag in ds.fragments)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

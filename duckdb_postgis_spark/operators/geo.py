@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-from duckdb_postgis_spark.catalog import table
+from duckdb_postgis_spark.catalog import table, table_num_rows
 from duckdb_postgis_spark.registry import query
 
 # Engine-identical synthetic coordinates: DECIMAL(·,1) keeps string rendering
@@ -617,7 +617,7 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     forced = _os.environ.get("SPARK_GRAFT_GEO_KNN", "")
     if forced not in ("grid", "broadcast"):
         try:
-            pairs = _parquet_num_rows(f"{sf_dir}/customer.parquet") * _parquet_num_rows(
+            pairs = table_num_rows(f"{sf_dir}/customer.parquet") * table_num_rows(
                 f"{sf_dir}/supplier.parquet"
             )
         except OSError:
@@ -640,27 +640,6 @@ _KNN_GRID_PAIR_THRESHOLD = 2e8
 _KM_PER_DEG = 6371.0 * 0.017453292519943295  # R * pi/180
 _LON_CELLS = 360 // _CELL  # 36
 _LAT_CELLS = 180 // _CELL  # 18
-
-
-def _parquet_num_rows(path: str) -> int:
-    import os as _os
-
-    st = _os.stat(path)
-    return _parquet_num_rows_cached(path, st.st_size, st.st_mtime_ns)
-
-
-import functools as _functools  # noqa: E402
-
-
-@_functools.lru_cache(maxsize=256)
-def _parquet_num_rows_cached(path: str, _size: int, _mtime_ns: int) -> int:
-    """Row count from parquet footers (file or directory) — driver-side
-    metadata only, no Spark job; cache keyed on (path, size, mtime) so an
-    in-place testdata rewrite re-probes (the r5 staleness rule)."""
-    import pyarrow.parquet as pq
-
-    ds = pq.ParquetDataset(path)
-    return sum(frag.metadata.num_rows for frag in ds.fragments)
 
 
 def _knn_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:

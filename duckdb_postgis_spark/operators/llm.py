@@ -633,49 +633,128 @@ def _block_pair_topk(
 
 
 # --------------------------------------------------------------------------
-# embedding-cosine near-dup (threshold form of L6)
+# embedding-cosine near-dup (threshold form of L6), candidate-then-verify
 # --------------------------------------------------------------------------
 _SQL_COS_THRESH = 0.4
+#: below this corpus size the candidate rule degenerates to all-pairs
+#: (bits = 0 → one band, one bucket), making the operator EXACT at every
+#: driver/bench scale (sf0.001–sf0.1 are all ≤ 2000 vectors) — the sf0.01
+#: driver hash is byte-identical to the r7 all-pairs formulation
+_DEDUP_COS_EXACT_N = 4096
+
+# The banded candidate rule, replayed VERBATIM by the DuckDB oracle (the
+# multimodal_phash_dedup pattern): bit i of band b compares two embedding
+# components ci = (b·bits + i) mod dim and cj = (ci + 1 + b) mod dim —
+# component-difference hyperplanes are shift-invariant (the corpus mean
+# cancels) and need no random-plane table, so both engines compute the
+# identical candidate set from pure SQL arithmetic.
+_SQL_DEDUP_COS_CAND = f"""
+    WITH m AS (
+        SELECT CASE WHEN COUNT(*) <= {_DEDUP_COS_EXACT_N} THEN 0
+                    ELSE GREATEST(1, CAST(CEIL(LOG2(COUNT(*))) AS INT) - 7)
+               END AS bits
+        FROM embeddings
+    ),
+    codes AS (
+        SELECT e.vec_id, t.band,
+               COALESCE(list_sum(list_transform(range(m.bits), i ->
+                   CASE WHEN CAST(e.embedding[CAST((t.band * m.bits + i) % len(e.embedding) + 1 AS INT)] AS DOUBLE)
+                           - CAST(e.embedding[CAST(((t.band * m.bits + i) % len(e.embedding) + 1 + t.band) % len(e.embedding) + 1 AS INT)] AS DOUBLE)
+                           > 0
+                        THEN 1 << i ELSE 0 END)), 0) AS bucket
+        FROM embeddings e, m,
+             unnest(range(CASE WHEN m.bits = 0 THEN 1 ELSE 16 END)) AS t(band)
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        FROM codes x JOIN codes y
+          ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+"""
 
 
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROUND({_SQL_COS}, 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    {_SQL_DEDUP_COS_CAND}
+    SELECT c.a_id, c.b_id, ROUND({_SQL_COS}, 6) AS cosine
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.a_id
+    JOIN embeddings b ON b.vec_id = c.b_id
     WHERE {_SQL_COS} >= {_SQL_COS_THRESH}
-    ORDER BY a.vec_id, b.vec_id
+    ORDER BY c.a_id, c.b_id
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4) via JVM-side
-    zip_with/aggregate dot product over the self-join (north-star dedup set).
-    Scale: swap the naive self-join for the L6 block-matmul or LSH-bucketed
-    variant (knn_ivf_lsh) — the threshold filter composes unchanged."""
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4) as
+    CANDIDATE-THEN-VERIFY (round 8; was a threshold-all-pairs theta join
+    that could not finish at the sf1-shaped stress scale on either
+    engine): candidates come from a banded component-difference-sign join
+    whose bit width grows with the corpus (the _lsh_bits law), then the
+    exact JVM-side cosine verifies every candidate — the
+    dedup_verify_levenshtein pattern.  The band rule is deterministic SQL
+    arithmetic, so the DuckDB oracle replays it verbatim and the driver
+    hash checks the WHOLE pipeline (candidate rule + verify) at every
+    scale.  Below {_DEDUP_COS_EXACT_N} vectors bits = 0 and the single
+    (band, bucket) cell contains the whole corpus — candidates ARE all
+    pairs, so driver-scale output is byte-identical to the r7 exact
+    formulation.  Above it, candidate volume is bands·n²/2^(bits+1)
+    (linear in n with bits ≈ log2(n) − 7: at 20 k vectors ≈ 1/16 of the
+    2×10⁸ all-pairs), the honest trade being banded recall for mid-range
+    cosines — near-dup pairs (s ≥ 0.9, the dedup target) collide with
+    probability ≈ 1 at these widths.  Scale: the only shuffles are the
+    (band, bucket) co-location and the two vec_id re-joins for verify;
+    ids-only candidates mean embedding arrays never ride the pair
+    shuffle."""
     emb = table(spark, sf_dir, "embeddings")
-    sumsq = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+    n, dim = _corpus_stats(f"{sf_dir}/embeddings.parquet")
+    bits = 0 if n <= _DEDUP_COS_EXACT_N else max(1, math.ceil(math.log2(n)) - 7)
+    bands = 1 if bits == 0 else _LSH_BANDS
+    b = F.col("band")
+    if bits == 0:
+        bucket = F.lit(0)
+    else:
+        terms = []
+        for i in range(bits):
+            ci = (b * bits + F.lit(i)) % dim
+            cj = (ci + 1 + b) % dim
+            diff = F.element_at(F.col("embedding"), (ci + 1).cast("int")).cast(
+                "double"
+            ) - F.element_at(F.col("embedding"), (cj + 1).cast("int")).cast("double")
+            terms.append(F.when(diff > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        bucket = functools.reduce(lambda x, y: x + y, terms)
+    codes = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select("vec_id", "band", bucket.alias("bucket"))
+    cand = (
+        codes.alias("x")
+        .join(
+            codes.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a_id"), F.col("y.vec_id").alias("b_id"))
+        .distinct()
+    )
+    sumsq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    )
-    a = emb.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("va"),
-        F.sqrt(sumsq).alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("vb"),
-        F.sqrt(sumsq).alias("nb"),
     )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (F.col("na") * F.col("nb"))
+    cos = dot / (F.sqrt(sumsq("va")) * F.sqrt(sumsq("vb")))
+    av = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    bv = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
         .withColumn("cosine_raw", cos)
         .filter(F.col("cosine_raw") >= _SQL_COS_THRESH)
         .select("a_id", "b_id", F.round("cosine_raw", 6).alias("cosine"))

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from duckdb_postgis_spark.catalog import register_views, table
+from duckdb_postgis_spark.catalog import register_views, table, table_num_rows
 from duckdb_postgis_spark.functions.num import (
     cents,
     davg,
@@ -296,6 +296,12 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # R8 theta / range join
 # --------------------------------------------------------------------------
+#: the measured quadratic boundary (r7 stress sweep): 100 k events (sf0.1)
+#: completes in seconds–minutes; 1 M did not finish in an hour.  The guard
+#: fires above sf0.1 scale so every driver/bench/sweep shape still runs.
+_THETA_RANGE_MAX_ROWS = 200_000
+
+
 @query(
     "join_theta_range",
     oracle="""
@@ -320,7 +326,27 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same scale hash-green.  At 100 TB, always bucketize ts into
     band-width buckets and join on (type, bucket±1) — same results,
     linear work (see also the round-7 stream_stream_join fix, which is
-    the streaming instance of the same lesson)."""
+    the streaming instance of the same lesson).
+
+    Round 8: the measured boundary is now a LOUD GUARD — past ~100 k
+    events (≈4×10⁸ pair evaluations at this table's 5-type skew, minutes
+    of work; 1 M was hours) the query raises immediately with a pointer
+    to the linear rewrite instead of silently burning a cluster.  Set
+    SPARK_GRAFT_ALLOW_QUADRATIC=1 to run it anyway (e.g. to re-measure
+    the boundary)."""
+    import os as _os
+
+    rows = table_num_rows(f"{sf_dir}/events.parquet")
+    if rows > _THETA_RANGE_MAX_ROWS and not _os.environ.get(
+        "SPARK_GRAFT_ALLOW_QUADRATIC"
+    ):
+        raise RuntimeError(
+            f"join_theta_range: events has {rows} rows; the per-type cross "
+            f"product is quadratic (~{(rows // 5) ** 2 * 5:.1e} pair "
+            "evaluations — the r7 stress sweep measured >1 h at 1 M rows). "
+            "Use join_range_bucketed (the linear time-bucketed rewrite, "
+            "identical results) or set SPARK_GRAFT_ALLOW_QUADRATIC=1."
+        )
     ev = table(spark, sf_dir, "events")
     a = ev.alias("a")
     b = ev.alias("b")

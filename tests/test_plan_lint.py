@@ -35,7 +35,6 @@ ALLOWED_BNLJ = {
     "similarity_search_query",
     # same 1-row broadcast-query shape, over the quantized corpus
     "similarity_search_quantized",
-    "dedup_embedding_cosine",
     # bounded build side: one anchor row per region (5 at any SF) — the
     # broadcast cross join is a constant-attach, not a pair explosion
     "geo_haversine_radius",

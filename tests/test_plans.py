@@ -303,3 +303,19 @@ def test_retention_cohorts_partial_agg(plans):
     assert "BatchEvalPython" not in p
     final = p.split("== Initial Plan ==")[0]
     assert "HashAggregate" in final and "Exchange" in final
+
+
+def test_theta_range_quadratic_guard(spark, sf_dir, monkeypatch):
+    """join_theta_range must fail fast (with a pointer to the linear
+    rewrite) past the measured quadratic boundary, not silently burn
+    hours; SPARK_GRAFT_ALLOW_QUADRATIC=1 overrides for re-measurement."""
+    import pytest as _pytest
+
+    from duckdb_postgis_spark.operators import relational
+
+    monkeypatch.setattr(relational, "_THETA_RANGE_MAX_ROWS", 1)
+    monkeypatch.delenv("SPARK_GRAFT_ALLOW_QUADRATIC", raising=False)
+    with _pytest.raises(RuntimeError, match="join_range_bucketed"):
+        relational.join_theta_range(spark, sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_ALLOW_QUADRATIC", "1")
+    assert relational.join_theta_range(spark, sf_dir).count() > 0
