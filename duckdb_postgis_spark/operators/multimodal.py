@@ -607,9 +607,18 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid; bit(cell) = 64*cell_sum > total_sum (the exact integer form of
     cell_mean > global_mean — no division, replayable bit-for-bit from
     the hex in DuckDB); the 64 bits split into four 16-bit bands.
-    Candidates = pairs agreeing on ANY band (the simhash/LSH banding —
-    a Hamming-<=8 pair must agree on >=1 of 4 bands by pigeonhole, so
-    banding loses nothing); exact Hamming re-rank keeps pairs <= 8.
+    Candidates = pairs agreeing on ANY band (the simhash/LSH banding);
+    exact Hamming re-rank keeps pairs <= 8.  Banding guarantee, stated
+    honestly (r8 correction; the fuzz family in tests/test_fuzz_phash_
+    bands.py pins both directions): pigeonhole makes 4 bands LOSSLESS
+    for Hamming <= 3 (3 differing bits cannot touch all 4 bands), and
+    for Hamming 4-8 a pair is missed only when its differing bits
+    spread across ALL four 16-bit bands — possible in the abstract
+    (e.g. a 2-2-2-2 spread), never on this corpus, where near-dup
+    pairs are byte-identical payloads at Hamming 0 (recall exactly 1).
+    A deployment needing lossless radius-8 grows the band count to 9
+    (pigeonhole again) or multi-probes neighboring codes — the standard
+    simhash-index trade of candidate volume for radius.
 
     Scale: phash extraction is a narrow mapInPandas (decode cost sits
     executor-side, as in M2); the candidate join shuffles (band, code)

@@ -458,12 +458,22 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     into 5-minute buckets and exploding ONE side to its 3 adjacent
     buckets (the bounded 3× explode of A7) makes the equi key
     (type, bucket): each probe touches only rows within one band width,
-    so the batch cost is |pairs|, not |rows|²/|types| — 1 M events drain
-    in ~2 min where the type-keyed plan timed out at 1 h.  The band
+    so the batch cost is |pairs|, not |rows|²/|types| — the band
     residual predicates stay in the condition, so the watermark state
     bound is still derived and steady-state state stays finite.  Exact
     same pair set: b's bucket always lies in {a−1, a, a+1}, each pair
-    meets exactly once (a emits 3 distinct buckets, b owns one)."""
+    meets exactly once (a emits 3 distinct buckets, b owns one).
+
+    Drain-time matrix at the sf1 stress shape (1 M events, local[32],
+    measured r8): the r7 sweep's 424 s was HEAP-boundary GC thrash, not
+    a plan cost — isolated runs drain in 25 s at 4 GiB and 19 s at
+    8 GiB; 2 GiB OOMs outright (an AvailableNow replay of a single
+    parquet file is ONE micro-batch, so the join buffers all 4 M
+    exploded rows at once — 32 concurrent tasks in a small local heap
+    is the constraint, not the state store: RocksDB off-heap state was
+    probed and the JVM still dies at 1 GiB from shuffle/task memory).
+    On a real cluster each executor holds 1/Nth of one micro-batch; the
+    per-task state bound is what the bucket key fixed in r7."""
     bucket_s = 300  # = the 5-minute band width
     a0 = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     a = a0.select(
