@@ -89,7 +89,9 @@ def main() -> None:
 
     spark = make_session()
 
-    # headline set — one per BASELINE.md row (R3, R5, R13, R15, R10, S1, L1, L6)
+    # headline set — one per BASELINE.md row (R3, R5, R13, R15, R10, S1, L1,
+    # L6, + the two r8 LLM-pipeline additions L4 + training-e2e so the
+    # north-star surface has a perf trendline, r7 verdict order #7)
     headline = [
         "pricing_summary",
         "join_broadcast_4way",
@@ -99,7 +101,10 @@ def main() -> None:
         "stream_tumbling",
         "text_stats",
         "knn_cosine_topk",
+        "dedup_minhash_lsh",
+        "pipeline_training_e2e",
     ]
+    CORE8 = set(headline[:8])
     queries = registry.all_queries()
 
     # toArrow() is the Arrow-native materialization — the analog of DuckDB's
@@ -192,8 +197,15 @@ def main() -> None:
                 # bench_schema marks the break explicitly; the
                 # layout-qualified aliases carry the same numbers under
                 # unambiguous names.
-                "bench_schema": 2,
+                # bench_schema 3 (r8): headline set grew by dedup_minhash_lsh
+                # + pipeline_training_e2e, so r8+ totals are not comparable
+                # to bench_schema-2 totals; total_core8_sec carries the
+                # longitudinally-comparable r6/r7 8-query total.
+                "bench_schema": 3,
                 "total_opt_layout_sec": total,
+                "total_core8_sec": round(
+                    sum(v for k, v in results.items() if k in CORE8), 4
+                ),
                 "queries": results,
                 "queries_raw_layout": results_raw,
                 "total_raw_layout_sec": round(sum(results_raw.values()), 4),
