@@ -23,124 +23,90 @@ ORACLES: dict[str, str] = {}
 # queries() (CORRECTNESS_r01 cut at exactly entry 50 in registration order),
 # so dict order is part of the external contract.  PRIORITY pins the window.
 #
-# ROUND-7 ROTATION (this window; executes the plan written here in r6):
-# CORRECTNESS_r06 was 50/50 green (rows+schema+hash, 0 err), so every r6
-# slot rotates out with its verdict standing.  The window now holds:
-#   (a) the SIX queries added after the r6 window froze — no driver verdict
-#       yet (the round-6 verdict's order #1): maintenance_scan_layout,
-#       events_zorder_pruned, pipeline_geojson_e2e, pipeline_nongeo_e2e,
-#       agg_heavy_hitters_twophase, events_directory_table;
-#   (a2) the SIX formerly rows-only ANN/PCA queries converted this round to
-#       pinned-property oracles (verdict order #2: exact result
-#       hash-verified + recall/fixed-point booleans the oracle pins TRUE):
-#       knn_ivf_lsh, similarity_search_ann, similarity_search_ivf,
-#       similarity_search_ivf_pruned, similarity_search_quantized,
-#       embed_pca_power_iteration — first oracle verdicts, so
-#       `err:"no_oracle"` leaves CORRECTNESS for good;
-#   (b) the TEN live streams whose shared replay runner changed in r6
-#       (run_available_now now raises on an undrained replay — semantics-
-#       neutral, but changed code outranks stale refreshes);
-#       stream_session_live already re-proved green in r6 post-change and
-#       yields its slot;
-#   (c) the remaining r4-era holders: lakehouse upsert/SCD2, correlated
-#       EXISTS, the five §2.9 batch stream twins, compaction + shard
-#       round-trips, and the nine-query §2.12e training set;
-#   (d) the stalest r5 verdicts (L1-L9 core) fill seven slots, and the
-#       50th goes to agg_distinct, whose plan changes again this round
-#       (verdict order #3 perf work) — changed code outranks refreshes.
-# Everything NOT in this window holds a pass-r5/r6 verdict.  After this
-# window lands, every registered query has a driver verdict on r5+ code
-# and every one of the 133 is oracle-bearing.
-#
-# ROUND-8 ROTATION PLAN (execute at round-8 start): if CORRECTNESS_r07 is
-# green, all r7 slots rotate out with verdicts standing.  Window, in
-# order (validate with driver_replica before swapping into PRIORITY):
-#   (a) first driver verdicts for the TWO post-r7-freeze additions:
-#       agg_hll_sketch_merge (relational.py) and multimodal_phash_dedup
-#       (multimodal.py), plus any r7 window failures for a re-prove;
+# ROUND-8 ROTATION (this window; executes the plan pre-written here in r7):
+# CORRECTNESS_r07 came back 50/50 green (rows+schema+hash, 0 err), so every
+# r7 slot rotates out with its verdict standing.  The window holds:
+#   (a) first driver verdicts for the TWO post-r7-freeze additions
+#       (r7 verdict order #1): agg_hll_sketch_merge (relational.py),
+#       multimodal_phash_dedup (multimodal.py);
+#   (a2) every query whose CODE changed in round 8 — changed code outranks
+#       refreshes: knn_ivf_lsh + similarity_search_ann (adaptive LSH band
+#       width, bit-identical at driver scale but changed plumbing),
+#       geo_knn_join (size-threshold grid dispatch), join_theta_range
+#       (quadratic-boundary guard), dedup_minhash_lsh (single-lineage
+#       signature-array rewrite + the arrays_zip shingle fix) and its two
+#       pair-set consumers dedup_survivorship_merge +
+#       dedup_verify_levenshtein (dedup_cluster_components, the third
+#       consumer, is already in (b));
 #   (b) the 34 queries whose latest verdict is r5-era (neither the r6 nor
-#       the r7 window touched them): geo_point_wkt, geo_crs_infer_ranges,
-#       geo_wkb_roundtrip, incremental_agg_merge, dedup_ngram_jaccard,
-#       dedup_simhash, dedup_embedding_cosine, text_analysis_grouped,
-#       text_language_id, text_quality_score, text_token_count,
-#       text_fingerprint, text_shingle_udtf, text_tfidf_top_terms,
-#       cogroup_reconcile, dedup_cluster_components, dedup_exact_prefix,
-#       embed_quantize_int8, multimodal_frame_sample,
-#       multimodal_dedup_exact, agg_approx_distinct,
-#       grouping_sets_cube_rollup, window_rank_topn, window_analytic,
-#       sort_limit_topk, json_extract_events, agg_percentiles,
-#       pivot_lang_counts, agg_histogram, join_null_safe,
-#       sample_temperature_weighted, text_unigram_likelihood,
-#       text_pii_scrub, join_bucketed_colocated;
-#   (c) the remaining ~14 slots refresh the stalest r6 verdicts (the
-#       round-3-era-backfill set from the r6 window first: scan_project,
-#       filter_pred, join_inner_hash, join_left_right_full,
-#       join_semi_anti, set_ops, scalar_string_date_math, array_map_json,
+#       the r7 window touched them) — dedup_embedding_cosine (r8
+#       candidate-then-verify rewrite) and dedup_ngram_jaccard (shares the
+#       r8 shingle fix) are in this set already;
+#   (c) the remaining 7 slots refresh the stalest r6 verdicts (the
+#       round-3-era-backfill set): scan_project, filter_pred,
+#       join_inner_hash, join_left_right_full, join_semi_anti, set_ops,
+#       scalar_string_date_math.  Displaced to r9: array_map_json,
 #       distinct_dedup_exact, multimodal_meta_stats,
-#       multimodal_image_features, then pricing_summary,
-#       join_broadcast_4way, geo_knn_join) — displaced as usual by any
-#       query whose CODE changes in round 8 (changed code outranks
-#       refreshes).
+#       multimodal_image_features, pricing_summary, join_broadcast_4way
+#       (all hold r6 verdicts on unchanged code).
+# After this window lands, every registered query's newest driver verdict
+# is r6-era or newer, and both r7 additions have first verdicts — the last
+# gap to the literal "every operator driver-verified" bar.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) post-r6-freeze additions: first driver verdicts ---------------
-    "maintenance_scan_layout",
-    "events_zorder_pruned",
-    "pipeline_geojson_e2e",
-    "pipeline_nongeo_e2e",
-    "agg_heavy_hitters_twophase",
-    "events_directory_table",
-    # -- (a2) ANN/PCA rows-only -> pinned-property oracles (round 7) -------
+    # -- (a) post-r7-freeze additions: first driver verdicts ---------------
+    "agg_hll_sketch_merge",
+    "multimodal_phash_dedup",
+    # -- (a2) round-8 changed code -----------------------------------------
     "knn_ivf_lsh",
     "similarity_search_ann",
-    "similarity_search_ivf",
-    "similarity_search_ivf_pruned",
-    "similarity_search_quantized",
-    "embed_pca_power_iteration",
-    # -- (b) live streams on the r6-changed replay runner ------------------
-    "stream_tumbling_live",
-    "stream_sliding_live",
-    "stream_watermark_late_live",
-    "stream_dedup_live",
-    "stream_user_state",
-    "stream_stream_left_outer",
-    "stream_chained_dedup_agg",
-    "stream_upsert_live",
-    "stream_static_join",
-    "stream_stream_join",
-    # -- (c) r4-era holders: lakehouse + correlated EXISTS -----------------
-    "upsert_latest_wins",
-    "scd2_history",
-    "subquery_exists_correlated",
-    # -- (c) r4-era holders: §2.9 batch stream twins -----------------------
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_watermark_late",
-    "stream_dedup",
-    # -- (c) r4-era holders: layout round-trips ----------------------------
-    "maintenance_compact_roundtrip",
-    "shards_write_roundtrip",
-    # -- (c) r4-era holders: §2.12e training-data pipeline -----------------
-    "text_gopher_quality",
-    "text_repetition_ratio",
-    "sample_stratified_hash",
-    "sample_reservoir_topk",
-    "seq_pack_greedy",
-    "contamination_ngram_overlap",
-    "udaf_char_variance",
-    "pipeline_training_e2e",
-    "source_quality_report",
-    # -- (d) stalest r5 verdicts: L1-L9 core -------------------------------
-    "text_stats",
-    "text_normalize_tokenize",
-    "dedup_exact_hash",
+    "geo_knn_join",
+    "join_theta_range",
     "dedup_minhash_lsh",
-    "embed_normalize",
-    "knn_cosine_topk",
-    "similarity_search_query",
-    "multimodal_join",
-    # -- (d) changed this round: agg_distinct perf rewrite (verdict #3) ----
-    "agg_distinct",
+    "dedup_survivorship_merge",
+    "dedup_verify_levenshtein",
+    # -- (b) r5-era verdicts (34) ------------------------------------------
+    "geo_point_wkt",
+    "geo_crs_infer_ranges",
+    "geo_wkb_roundtrip",
+    "incremental_agg_merge",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "text_analysis_grouped",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "text_shingle_udtf",
+    "text_tfidf_top_terms",
+    "cogroup_reconcile",
+    "dedup_cluster_components",
+    "dedup_exact_prefix",
+    "embed_quantize_int8",
+    "multimodal_frame_sample",
+    "multimodal_dedup_exact",
+    "agg_approx_distinct",
+    "grouping_sets_cube_rollup",
+    "window_rank_topn",
+    "window_analytic",
+    "sort_limit_topk",
+    "json_extract_events",
+    "agg_percentiles",
+    "pivot_lang_counts",
+    "agg_histogram",
+    "join_null_safe",
+    "sample_temperature_weighted",
+    "text_unigram_likelihood",
+    "text_pii_scrub",
+    "join_bucketed_colocated",
+    # -- (c) stalest r6 refreshes ------------------------------------------
+    "scan_project",
+    "filter_pred",
+    "join_inner_hash",
+    "join_left_right_full",
+    "join_semi_anti",
+    "set_ops",
+    "scalar_string_date_math",
 )
 
 DRIVER_WINDOW = 50
