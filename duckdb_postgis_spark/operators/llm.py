@@ -1083,19 +1083,20 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint = min md5 over 5-word rolling shingles (winnowing
     lite; north-star text analysis). Deterministic md5 → oracle-checked.
-    Scale: explode + min-agg; partial agg keeps the shuffle at 1 row/doc."""
+    Scale: explode + min-agg; partial agg keeps the shuffle at 1 row/doc.
+    Split materialized + arrays_zip windows (r8, the minhash shingle
+    lesson — inlined split made shingling quadratic per doc)."""
     docs = table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    idx = F.sequence(F.lit(0), F.size(w) - 5)
+    base = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 5
+    )
+    win = F.size("w") - 4
     shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(5)]
-        ),
+        F.arrays_zip(*[F.slice("w", k + 1, win) for k in range(5)]),
+        lambda t: F.concat_ws(" ", *[t[str(k)] for k in range(5)]),
     )
     return (
-        docs.filter(F.size(w) >= 5)
-        .select("doc_id", F.explode(shingle).alias("shingle"))
+        base.select("doc_id", F.explode(shingle).alias("shingle"))
         .groupBy("doc_id")
         .agg(
             F.min(F.md5("shingle")).alias("fingerprint"),

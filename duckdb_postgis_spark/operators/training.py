@@ -99,20 +99,24 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: every metric is computed in-row with array higher-order functions
     (size / aggregate / filter over the split array) — zero shuffle, zero
-    Python; 100 TB of documents is an embarrassingly parallel map."""
+    Python; 100 TB of documents is an embarrassingly parallel map.  The
+    split array is MATERIALIZED behind a projection before the metric
+    expressions reference it (r8; the minhash shingle lesson): an
+    un-materialized split(text) gets inlined by Catalyst into every one
+    of the ~10 references here, re-splitting each document per metric."""
     docs = table(spark, sf_dir, "documents")
-    w = _words()
-    n_words = F.size(w)
+    base = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n_words = F.size("w")
     sum_len = F.aggregate(
-        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        "w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop_hits = F.size(F.filter(stop_arr, lambda s: F.array_contains(w, s)))
+    n_stop_hits = F.size(F.filter(stop_arr, lambda s: F.array_contains("w", s)))
     mean_len = sum_len.cast("double") / n_words
     keep = (
         n_words.between(50, 100000) & mean_len.between(3, 10) & (n_stop_hits >= 2)
     ).cast("int")
-    return docs.select(
+    return base.select(
         "doc_id",
         n_words.alias("n_words"),
         mean_len.alias("mean_word_len"),
@@ -166,15 +170,16 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan by removing the shuffle entirely.  The oracle uses the explode
     formulation; values are identical."""
     docs = table(spark, sf_dir, "documents")
-    w = _words()
+    # split materialized once (r8, the minhash shingle lesson); bigrams by
+    # arrays_zip of two shifted slices instead of per-element element_at
+    base = docs.select("doc_id", F.split("text", " ").alias("wm"))
+    w = F.col("wm")
     n_words = F.size(w)
     bigrams = F.when(
         n_words >= 2,
         F.transform(
-            F.sequence(F.lit(1), n_words - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i.cast("int")), F.element_at(w, (i + 1).cast("int"))
-            ),
+            F.arrays_zip(F.slice(w, 1, n_words - 1), F.slice(w, 2, n_words - 1)),
+            lambda t: F.concat_ws(" ", t["0"], t["1"]),
         ),
     ).otherwise(F.array().cast("array<string>"))
     n_bg = F.size(bigrams)
@@ -184,7 +189,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda d: F.size(F.filter(w, lambda x: x == d)),
         )
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         n_words.alias("n_words"),
         ((n_words - F.size(F.array_distinct(w))).cast("double") / n_words).alias(
@@ -386,17 +391,18 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized shuffle.  The zero-hit fill is a broadcast left join of
     per-doc counts, also corpus-shuffle-free."""
     docs = table(spark, sf_dir, "documents")
-    w = _words()
-    idx = F.sequence(F.lit(0), F.size(w) - 5)
-    shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(5)]
-        ),
+    # split materialized once + arrays_zip 5-gram windows (r8, the minhash
+    # shingle lesson — inlined split made shingling quadratic per doc)
+    base = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 5
     )
-    sh = (
-        docs.filter(F.size(w) >= 5)
-        .select("doc_id", F.explode(F.array_distinct(shingle)).alias("shingle"))
+    win = F.size("w") - 4
+    shingle = F.transform(
+        F.arrays_zip(*[F.slice("w", k + 1, win) for k in range(5)]),
+        lambda t: F.concat_ws(" ", *[t[str(k)] for k in range(5)]),
+    )
+    sh = base.select(
+        "doc_id", F.explode(F.array_distinct(shingle)).alias("shingle")
     )
     ev = F.broadcast(
         sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
@@ -515,13 +521,17 @@ def pipeline_training_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
-    w = _words()
-    n_words = F.size(w)
-    sum_len = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    # materialize the split once behind a projection (r8, the minhash
+    # shingle lesson — inlined split(text) re-splits per reference)
+    base = docs.select(
+        "doc_id", "lang", "source", "text", F.split("text", " ").alias("w")
+    )
+    n_words = F.size("w")
+    sum_len = F.aggregate("w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(w, s)))
+    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains("w", s)))
     mean_len = sum_len.cast("double") / n_words
-    g = docs.filter(
+    g = base.filter(
         n_words.between(50, 100000) & mean_len.between(3, 10) & (n_stop >= 2)
     ).select("doc_id", "lang", "source", "text", n_words.alias("n_words"))
     keep = F.min("doc_id").over(Window.partitionBy(F.sha2("text", 256)))

@@ -37,15 +37,18 @@ ORACLES: dict[str, str] = {}
 #       signature-array rewrite + the arrays_zip shingle fix) and its two
 #       pair-set consumers dedup_survivorship_merge +
 #       dedup_verify_levenshtein (dedup_cluster_components, the third
-#       consumer, is already in (b));
+#       consumer, is already in (b)), and the four split-materialization
+#       perf fixes text_gopher_quality, text_repetition_ratio,
+#       contamination_ngram_overlap, pipeline_training_e2e
+#       (text_fingerprint, the fifth, is already in (b));
 #   (b) the 34 queries whose latest verdict is r5-era (neither the r6 nor
 #       the r7 window touched them) — dedup_embedding_cosine (r8
-#       candidate-then-verify rewrite) and dedup_ngram_jaccard (shares the
-#       r8 shingle fix) are in this set already;
-#   (c) the remaining 7 slots refresh the stalest r6 verdicts (the
+#       candidate-then-verify rewrite), dedup_ngram_jaccard and
+#       text_fingerprint (the r8 shingle fix) are in this set already;
+#   (c) the remaining 3 slots refresh the stalest r6 verdicts (the
 #       round-3-era-backfill set): scan_project, filter_pred,
-#       join_inner_hash, join_left_right_full, join_semi_anti, set_ops,
-#       scalar_string_date_math.  Displaced to r9: array_map_json,
+#       join_inner_hash.  Displaced to r9: join_left_right_full,
+#       join_semi_anti, set_ops, scalar_string_date_math, array_map_json,
 #       distinct_dedup_exact, multimodal_meta_stats,
 #       multimodal_image_features, pricing_summary, join_broadcast_4way
 #       (all hold r6 verdicts on unchanged code).
@@ -64,6 +67,10 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_survivorship_merge",
     "dedup_verify_levenshtein",
+    "text_gopher_quality",
+    "text_repetition_ratio",
+    "contamination_ngram_overlap",
+    "pipeline_training_e2e",
     # -- (b) r5-era verdicts (34) ------------------------------------------
     "geo_point_wkt",
     "geo_crs_infer_ranges",
@@ -103,10 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "scan_project",
     "filter_pred",
     "join_inner_hash",
-    "join_left_right_full",
-    "join_semi_anti",
-    "set_ops",
-    "scalar_string_date_math",
 )
 
 DRIVER_WINDOW = 50

@@ -104,51 +104,43 @@ def test_every_survey_operator_is_registered():
 
 def test_driver_window_covers_required_families():
     """The driver verifies only the first DRIVER_WINDOW entries of
-    queries().  Round-7 rotation policy (CORRECTNESS_r06 was 50/50, so all
-    r6 slots rotate out with verdicts standing): the window holds (a) the
-    six queries added after the r6 freeze — no driver verdict yet, (a2)
-    the six ANN/PCA queries upgraded this round from rows-only to
-    pinned-property oracles — first oracle verdicts, (b) the ten live
-    streams on the r6-changed replay runner, (c) the remaining r4-era
-    holders (lakehouse, stream batch twins, layout round-trips, the
-    §2.12e training set), and (d) the stalest r5 verdicts plus
-    agg_distinct, whose plan changes again this round."""
+    queries().  Round-8 rotation policy (CORRECTNESS_r07 was 50/50, so all
+    r7 slots rotate out with verdicts standing): the window holds (a) first
+    verdicts for the two post-r7-freeze additions, (a2) every query whose
+    code changed in round 8 (adaptive LSH, grid kNN dispatch, theta guard,
+    the minhash/shingle rewrites and their consumers, the four
+    split-materialization fixes), (b) the 34 r5-era verdicts, and (c) the
+    stalest r6 refreshes in the remaining slots."""
     window = set(list(registry.all_queries())[: registry.DRIVER_WINDOW])
-    post_r6 = {
-        "maintenance_scan_layout", "events_zorder_pruned",
-        "pipeline_geojson_e2e", "pipeline_nongeo_e2e",
-        "agg_heavy_hitters_twophase", "events_directory_table",
+    post_r7 = {"agg_hll_sketch_merge", "multimodal_phash_dedup"}
+    changed_r8 = {
+        "knn_ivf_lsh", "similarity_search_ann", "geo_knn_join",
+        "join_theta_range", "dedup_minhash_lsh", "dedup_survivorship_merge",
+        "dedup_verify_levenshtein", "text_gopher_quality",
+        "text_repetition_ratio", "contamination_ngram_overlap",
+        "pipeline_training_e2e",
+        # changed-in-r8 members that also sit in the r5-era set below:
+        "dedup_embedding_cosine", "dedup_ngram_jaccard", "text_fingerprint",
+        "dedup_cluster_components",
     }
-    ann_upgraded = {
-        "knn_ivf_lsh", "similarity_search_ann", "similarity_search_ivf",
-        "similarity_search_ivf_pruned", "similarity_search_quantized",
-        "embed_pca_power_iteration",
+    r5_era = {
+        "geo_point_wkt", "geo_crs_infer_ranges", "geo_wkb_roundtrip",
+        "incremental_agg_merge", "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_embedding_cosine", "text_analysis_grouped",
+        "text_language_id", "text_quality_score", "text_token_count",
+        "text_fingerprint", "text_shingle_udtf", "text_tfidf_top_terms",
+        "cogroup_reconcile", "dedup_cluster_components",
+        "dedup_exact_prefix", "embed_quantize_int8",
+        "multimodal_frame_sample", "multimodal_dedup_exact",
+        "agg_approx_distinct", "grouping_sets_cube_rollup",
+        "window_rank_topn", "window_analytic", "sort_limit_topk",
+        "json_extract_events", "agg_percentiles", "pivot_lang_counts",
+        "agg_histogram", "join_null_safe", "sample_temperature_weighted",
+        "text_unigram_likelihood", "text_pii_scrub",
+        "join_bucketed_colocated",
     }
-    live_streams = {
-        "stream_tumbling_live", "stream_sliding_live",
-        "stream_watermark_late_live", "stream_dedup_live",
-        "stream_user_state", "stream_stream_left_outer",
-        "stream_chained_dedup_agg", "stream_upsert_live",
-        "stream_static_join", "stream_stream_join",
-    }
-    r4_era = {
-        "upsert_latest_wins", "scd2_history", "subquery_exists_correlated",
-        "stream_tumbling", "stream_sliding", "stream_session",
-        "stream_watermark_late", "stream_dedup",
-        "maintenance_compact_roundtrip", "shards_write_roundtrip",
-        "text_gopher_quality", "text_repetition_ratio",
-        "sample_stratified_hash", "sample_reservoir_topk",
-        "seq_pack_greedy", "contamination_ngram_overlap",
-        "udaf_char_variance", "pipeline_training_e2e",
-        "source_quality_report",
-    }
-    r5_stalest = {
-        "text_stats", "text_normalize_tokenize", "dedup_exact_hash",
-        "dedup_minhash_lsh", "embed_normalize", "knn_cosine_topk",
-        "similarity_search_query", "multimodal_join",
-    }
-    changed_r7 = {"agg_distinct"}
-    required = post_r6 | ann_upgraded | live_streams | r4_era | r5_stalest | changed_r7
+    r6_refresh = {"scan_project", "filter_pred", "join_inner_hash"}
+    required = post_r7 | changed_r8 | r5_era | r6_refresh
     missing = sorted(required - window)
     assert not missing, f"outside driver window: {missing}"
     assert len(required) == registry.DRIVER_WINDOW
