@@ -967,12 +967,13 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     classify docs by English-function-word ratio, confusion counts vs the
     labeled lang column. Scale: pure JVM expressions, 10 output rows."""
     docs = table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    base = docs.select("lang", F.split("text", " ").alias("w"))
+    w = F.col("w")
     stop_ratio = (
         F.size(F.filter(w, lambda t: (t == "the") | (t == "a"))).cast("double")
         / F.size(w)
     )
-    scored = docs.select("lang", stop_ratio.alias("stop_ratio"))
+    scored = base.select("lang", stop_ratio.alias("stop_ratio"))
     predicted = F.when(F.col("stop_ratio") >= 0.02, "en").otherwise("und")
     return (
         scored.select("lang", predicted.alias("predicted"), "stop_ratio")
@@ -1015,7 +1016,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-filter shape). All ratios exact-integer divisions. Scale: narrow
     map, no shuffle; the filter predicate pushes into the scan at 100 TB."""
     docs = table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    docs = docs.select("doc_id", "n_chars", F.split("text", " ").alias("w"))
+    w = F.col("w")
     n_tokens = F.size(w)
     stop_ratio = (
         F.size(F.filter(w, lambda t: (t == "the") | (t == "a"))).cast("double") / n_tokens
@@ -1054,8 +1056,9 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-tokenize regex), distinct vocab per doc (north-star text analysis).
     Scale: JVM regexp, no shuffle."""
     docs = table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    return docs.select(
+    base = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
+    w = F.col("w")
+    return base.select(
         "doc_id",
         F.size(w).alias("ws_tokens"),
         F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("re_tokens"),
