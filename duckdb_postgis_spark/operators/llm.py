@@ -670,10 +670,13 @@ _DEDUP_COS_EXACT_N = 4096
 # components ci = (b·bits + i) mod dim and cj = (ci + 1 + b) mod dim —
 # component-difference hyperplanes are shift-invariant (the corpus mean
 # cancels) and need no random-plane table, so both engines compute the
-# identical candidate set from pure SQL arithmetic.
-_SQL_DEDUP_COS_CAND = f"""
+# identical candidate set from pure SQL arithmetic.  The CTE is a template
+# over the exact-N threshold so the differential fuzz family
+# (tests/test_fuzz_cos_dedup.py) can exercise BOTH branches on small
+# random corpora; the registered oracle uses the module constant.
+_SQL_DEDUP_COS_CAND_TPL = """
     WITH m AS (
-        SELECT CASE WHEN COUNT(*) <= {_DEDUP_COS_EXACT_N} THEN 0
+        SELECT CASE WHEN COUNT(*) <= {exact_n} THEN 0
                     ELSE GREATEST(1, CAST(CEIL(LOG2(COUNT(*))) AS INT) - 7)
                END AS bits
         FROM embeddings
@@ -696,18 +699,19 @@ _SQL_DEDUP_COS_CAND = f"""
 """
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    {_SQL_DEDUP_COS_CAND}
+def _dedup_cos_oracle_sql(exact_n: int = _DEDUP_COS_EXACT_N) -> str:
+    return f"""
+    {_SQL_DEDUP_COS_CAND_TPL.format(exact_n=exact_n)}
     SELECT c.a_id, c.b_id, ROUND({_SQL_COS}, 6) AS cosine
     FROM cand c
     JOIN embeddings a ON a.vec_id = c.a_id
     JOIN embeddings b ON b.vec_id = c.b_id
     WHERE {_SQL_COS} >= {_SQL_COS_THRESH}
     ORDER BY c.a_id, c.b_id
-    """,
-)
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_dedup_cos_oracle_sql())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4) as
     CANDIDATE-THEN-VERIFY (round 8; was a threshold-all-pairs theta join
@@ -731,7 +735,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     emb = table(spark, sf_dir, "embeddings")
     n, dim = _corpus_stats(f"{sf_dir}/embeddings.parquet")
-    bits = 0 if n <= _DEDUP_COS_EXACT_N else max(1, math.ceil(math.log2(n)) - 7)
+    return _dedup_cos_pairs(emb, n, dim)
+
+
+def _dedup_cos_pairs(
+    emb: DataFrame, n: int, dim: int, exact_n: int = _DEDUP_COS_EXACT_N
+) -> DataFrame:
+    """Core of dedup_embedding_cosine over any (vec_id, embedding) frame —
+    factored out so the differential fuzz family can drive it with random
+    corpora and thresholds against _dedup_cos_oracle_sql on the same
+    data."""
+    bits = 0 if n <= exact_n else max(1, math.ceil(math.log2(n)) - 7)
     bands = 1 if bits == 0 else _LSH_BANDS
     b = F.col("band")
     if bits == 0:
