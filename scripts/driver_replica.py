@@ -52,7 +52,8 @@ def main() -> int:
         # spill (observed: agg_approx_distinct OOMs a fresh plain session
         # at sf0.1, runs fine at the driver's sf0.01); any real deployment
         # sizes executor memory, the driver never runs sf0.1 correctness.
-        b = SparkSession.builder.master("local[8]").appName("driver-replica")
+        master = os.environ.get("SPARK_GRAFT_REPLICA_MASTER", "local[8]")
+        b = SparkSession.builder.master(master).appName("driver-replica")
         mem = os.environ.get("SPARK_GRAFT_REPLICA_DRIVER_MEM")
         if mem:
             b = b.config("spark.driver.memory", mem)
