@@ -379,33 +379,55 @@ _SIMHASH_ORACLE = """
                CAST(SUM(CASE WHEN i >= 32 THEN bit * CAST(power(2, i - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi
         FROM bits GROUP BY doc_id
     ),
+    banded AS (
+        SELECT doc_id, lo, hi, t.band,
+               CASE t.band
+                   WHEN 0 THEN lo % 65536
+                   WHEN 1 THEN CAST(floor(lo / 65536) AS BIGINT)
+                   WHEN 2 THEN hi % 65536
+                   ELSE CAST(floor(hi / 65536) AS BIGINT)
+               END AS code
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) t
+    ),
     pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
-        FROM sigs a JOIN sigs b
-          ON CAST(floor(a.hi / 65536) AS BIGINT) = CAST(floor(b.hi / 65536) AS BIGINT)
-         AND a.doc_id < b.doc_id
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.code = b.code AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, hamming FROM pairs
-    WHERE hamming <= 8
+    WHERE hamming <= 3
     ORDER BY doc_a, doc_b
     """
 
 
 @query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs (hamming ≤ 8) (north-star dedup set).
+    """64-bit SimHash near-dup pairs (hamming ≤ 3 — the Manku et al.
+    WWW'07 threshold for 64-bit signatures) (north-star dedup set).
 
     Token hash = first 8 bytes (big-endian) of md5(token), decoded hex-digit
     by hex-digit with built-in arithmetic so the entire pipeline — bit votes,
-    majority signature, top-16-bit banding, bit_count(xor) hamming — runs
+    majority signature, 4×16-bit banding, bit_count(xor) hamming — runs
     JVM-side in whole-stage codegen, and an exact DuckDB oracle replays the
     identical arithmetic (no python in the loop, unlike the usual
     mapInPandas simhash). Signature carried as two 32-bit halves (lo, hi) to
     stay in non-negative BIGINT space on both engines.
 
+    Banding (r8 upgrade from a single top-16-bit band at hamming ≤ 8):
+    candidates are pairs agreeing on ANY of the four 16-bit bands, which
+    by pigeonhole is LOSSLESS for the ≤ 3 gate — 3 differing bits cannot
+    touch all 4 bands — so unlike the r7 form (single-band recall
+    ≈(48/64)^h for randomly-placed diffs) the operator now returns
+    EXACTLY the pairs its contract names.  The ≤ 8 gate the r7 form
+    carried was also measured too permissive once recall was real:
+    ~10% of ALL doc pairs on this corpus sit within hamming 8 (shared
+    vocabulary dominates the majority votes), which is a similarity
+    SCAN, not dedup.  The phash fuzz family
+    (tests/test_fuzz_phash_bands.py) pins the band-packer math.
+
     Scale: linear signature pass (64 bit-rows per distinct token is a
-    map-side explode); candidate pairs bounded by the 16-bit band join
+    map-side explode); candidate pairs bounded by the banded equi-join
     exactly like LSH banding — no all-pairs product."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
@@ -441,14 +463,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0.0)
         ).cast("long").alias("hi"),
     )
-    a = sigs.select(
-        F.col("doc_id").alias("doc_a"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")
-    ).withColumn("band", F.floor(F.col("hi_a") / 65536))
-    b = sigs.select(
-        F.col("doc_id").alias("doc_b"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b")
-    ).withColumn("band", F.floor(F.col("hi_b") / 65536))
+    banded = sigs.select(
+        "doc_id",
+        "lo",
+        "hi",
+        F.posexplode(
+            F.array(
+                F.col("lo") % 65536,
+                F.floor(F.col("lo") / 65536).cast("long"),
+                F.col("hi") % 65536,
+                F.floor(F.col("hi") / 65536).cast("long"),
+            )
+        ).alias("band", "code"),
+    )
+    a = banded.select(
+        "band", "code", F.col("doc_id").alias("doc_a"),
+        F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"),
+    )
+    b = banded.select(
+        "band", "code", F.col("doc_id").alias("doc_b"),
+        F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"),
+    )
     return (
-        a.join(b, ["band"])
+        a.join(b, ["band", "code"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn(
             "hamming",
@@ -457,7 +494,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
             ).cast("long"),
         )
-        .filter(F.col("hamming") <= 8)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
