@@ -426,47 +426,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCAN, not dedup.  The phash fuzz family
     (tests/test_fuzz_phash_bands.py) pins the band-packer math.
 
-    Scale: linear signature pass (64 bit-rows per distinct token is a
-    map-side explode); candidate pairs bounded by the banded equi-join
+    Scale: linear signature pass — the r8 form computes all 64 bit votes
+    as WIDE AGGREGATES over the (doc, token) rows (64 conditional sums in
+    one codegen partial agg; one row per token), replacing the r7 shape
+    that exploded 64 vote rows per token and pushed |tokens|×64 rows
+    through the shuffle (measured 220 M rows at the stress shape — the
+    dominant cost).  Candidate pairs bounded by the banded equi-join
     exactly like LSH banding — no all-pairs product."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
     # bit i (LSB order) of the 64-bit hash lives in hex digit 15 - i/4
-    # (0-indexed from the left), at bit position i % 4 within that digit
-    digit = F.conv(
-        F.substring(
-            F.md5("tok"), (F.lit(16) - F.floor(F.col("i") / 4)).cast("int"), F.lit(1)
-        ),
-        16,
-        10,
-    ).cast("int")
-    bit_of_digit = (
-        F.floor(digit / F.pow(F.lit(2.0), F.col("i") % 4)).cast("int") % 2
+    # (0-indexed from the left), at bit position i % 4 within that digit;
+    # materialize the 16 digit values once per token behind a projection
+    md5c = F.md5("tok")
+    hexed = toks.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(md5c, p + 1, 1), 16, 10).cast("int").alias(f"d{p}")
+            for p in range(16)
+        ],
     )
-    votes = toks.withColumn(
-        "i", F.explode(F.sequence(F.lit(0), F.lit(63)))
-    ).select(
-        "doc_id", "i", F.when(bit_of_digit == 1, 1).otherwise(-1).alias("vote")
+
+    def vote(i: int) -> F.Column:
+        d = F.col(f"d{15 - i // 4}")
+        bit = F.floor(d / F.lit(float(2 ** (i % 4)))).cast("int") % 2
+        return F.when(bit == 1, 1).otherwise(-1)
+
+    votes = hexed.groupBy("doc_id").agg(
+        *[F.sum(vote(i)).alias(f"v{i}") for i in range(64)]
     )
-    bits = votes.groupBy("doc_id", "i").agg(
-        F.when(F.sum("vote") > 0, 1).otherwise(0).alias("bit")
+    half = lambda lo_bit: functools.reduce(  # noqa: E731
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"v{i}") > 0, F.lit(1 << (i - lo_bit))).otherwise(F.lit(0))
+            for i in range(lo_bit, lo_bit + 32)
+        ],
     )
-    sigs = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("i") < 32, F.col("bit") * F.pow(F.lit(2.0), F.col("i")))
-            .otherwise(0.0)
-        ).cast("long").alias("lo"),
-        F.sum(
-            F.when(F.col("i") >= 32, F.col("bit") * F.pow(F.lit(2.0), F.col("i") - 32))
-            .otherwise(0.0)
-        ).cast("long").alias("hi"),
+    sigs = votes.select(
+        "doc_id", half(0).cast("long").alias("lo"), half(32).cast("long").alias("hi")
     )
+    # ids-only band join (the cos-dedup pattern): the pair dedup shuffles
+    # two longs per candidate, not the signatures; sigs re-attach after
     banded = sigs.select(
         "doc_id",
-        "lo",
-        "hi",
         F.posexplode(
             F.array(
                 F.col("lo") % 65536,
@@ -476,17 +480,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "code"),
     )
-    a = banded.select(
-        "band", "code", F.col("doc_id").alias("doc_a"),
-        F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"),
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.code") == F.col("y.code"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
     )
-    b = banded.select(
-        "band", "code", F.col("doc_id").alias("doc_b"),
-        F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"),
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b")
     )
     return (
-        a.join(b, ["band", "code"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "hamming",
             (
@@ -494,7 +507,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
             ).cast("long"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
