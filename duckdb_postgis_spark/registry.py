@@ -55,6 +55,28 @@ ORACLES: dict[str, str] = {}
 # After this window lands, every registered query's newest driver verdict
 # is r6-era or newer, and both r7 additions have first verdicts — the last
 # gap to the literal "every operator driver-verified" bar.
+#
+# ROUND-9 ROTATION PLAN (execute at round-9 start): if CORRECTNESS_r08 is
+# green, all r8 slots rotate out with verdicts standing.  Window, in
+# order (validate with driver_replica before swapping into PRIORITY):
+#   (a) first driver verdicts for any post-r8-freeze additions (none at
+#       the r8 freeze), plus any r8 window failures for a re-prove;
+#   (b) every query whose latest verdict is then r6-era — the ten
+#       refreshes r8 displaced (join_left_right_full, join_semi_anti,
+#       set_ops, scalar_string_date_math, array_map_json,
+#       distinct_dedup_exact, multimodal_meta_stats,
+#       multimodal_image_features, pricing_summary, join_broadcast_4way)
+#       and the rest of the r6-verdict holders (agg_approx_percentiles,
+#       agg_corr_exact, agg_mode_per_group, agg_string_bool, the
+#       events_* analytics set, join_asof, join_inner/range/skew
+#       variants, retention/sessionize, geo_bbox/cell/haversine/
+#       transform, unpivot/window_rank_distribution/window_trailing_range,
+#       subquery_scalar_in, multimodal_audio_energy/scene_cut,
+#       stream_session_live, snapshot_time_travel,
+#       join_scd2_point_in_time, events_partition_pruned);
+#   (c) remaining slots to the stalest r7 verdicts — displaced as always
+#       by any query whose CODE changes in round 9 (changed code
+#       outranks refreshes).
 PRIORITY: tuple[str, ...] = (
     # -- (a) post-r7-freeze additions: first driver verdicts ---------------
     "agg_hll_sketch_merge",
