@@ -582,14 +582,28 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _block_pair_topk(emb, k=20, n=n, dim=dim)
 
 
-@functools.lru_cache(maxsize=32)
 def _corpus_stats(path: str) -> tuple[int, int]:
     """(row_count, embedding_dim) from the parquet footer + one 1-row batch
     — pure driver-side metadata, NO Spark job.  Replaces the per-invocation
     ``emb.count()`` Spark action that made knn_cosine_topk a two-job query
-    (round-5 verdict order #4); cached per path so repeat invocations at a
-    known sf_dir are free.  At 100 TB this is still O(#files) footer reads
-    on the driver, the same cost Spark's own scan planning already pays."""
+    (round-5 verdict order #4).  Cached on the table's STALENESS SIGNATURE
+    (r8 review fix — since the count now selects the candidate-rule bit
+    width in the cos-dedup/LSH operators while the DuckDB oracle recomputes
+    COUNT(*) live, a stale cached n after an in-place testdata rewrite
+    would silently desynchronize the two engines' plans; the (path, size,
+    mtime) key re-probes, the same rule as catalog.table_num_rows).  At
+    100 TB this is still O(#files) footer reads on the driver, the same
+    cost Spark's own scan planning already pays."""
+    import os as _os
+
+    from duckdb_postgis_spark.catalog import _staleness_sig
+
+    st = _os.stat(path)
+    return _corpus_stats_cached(path, _staleness_sig(path, st))
+
+
+@functools.lru_cache(maxsize=32)
+def _corpus_stats_cached(path: str, _sig: tuple) -> tuple[int, int]:
     import pyarrow.parquet as pq
 
     ds = pq.ParquetDataset(path)
@@ -709,6 +723,11 @@ def _block_pair_topk(
 # embedding-cosine near-dup (threshold form of L6), candidate-then-verify
 # --------------------------------------------------------------------------
 _SQL_COS_THRESH = 0.4
+#: LSH band count shared by the sign-LSH KNN family below and the banded
+#: cosine-dedup candidate rule (band/bit trade-off discussion at the
+#: "ANN scale path" section header)
+_LSH_BANDS = 16
+_LSH_BITS_MIN = 4
 #: below this corpus size the candidate rule degenerates to all-pairs
 #: (bits = 0 → one band, one bucket), making the operator EXACT at every
 #: driver/bench scale (sf0.001–sf0.1 are all ≤ 2000 vectors) — the sf0.01
@@ -739,7 +758,7 @@ _SQL_DEDUP_COS_CAND_TPL = """
                            > 0
                         THEN 1 << i ELSE 0 END)), 0) AS bucket
         FROM embeddings e, m,
-             unnest(range(CASE WHEN m.bits = 0 THEN 1 ELSE 16 END)) AS t(band)
+             unnest(range(CASE WHEN m.bits = 0 THEN 1 ELSE {bands} END)) AS t(band)
     ),
     cand AS (
         SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
@@ -751,7 +770,7 @@ _SQL_DEDUP_COS_CAND_TPL = """
 
 def _dedup_cos_oracle_sql(exact_n: int = _DEDUP_COS_EXACT_N) -> str:
     return f"""
-    {_SQL_DEDUP_COS_CAND_TPL.format(exact_n=exact_n)}
+    {_SQL_DEDUP_COS_CAND_TPL.format(exact_n=exact_n, bands=_LSH_BANDS)}
     SELECT c.a_id, c.b_id, ROUND({_SQL_COS}, 6) AS cosine
     FROM cand c
     JOIN embeddings a ON a.vec_id = c.a_id
@@ -826,6 +845,10 @@ def _dedup_cos_pairs(
         .select(F.col("x.vec_id").alias("a_id"), F.col("y.vec_id").alias("b_id"))
         .distinct()
     )
+    # norms precomputed once per VECTOR on the re-join frames (r8 review
+    # fix — computing sqrt(sumsq) per candidate pair is n² redundant folds
+    # in the all-pairs branch); sqrt-then-multiply keeps the identical
+    # IEEE op order as the oracle's sqrt(..)*sqrt(..)
     sumsq = lambda c: F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
@@ -836,9 +859,17 @@ def _dedup_cos_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (F.sqrt(sumsq("va")) * F.sqrt(sumsq("vb")))
-    av = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
-    bv = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    cos = dot / (F.col("na") * F.col("nb"))
+    av = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("va"),
+        F.sqrt(sumsq("embedding")).alias("na"),
+    )
+    bv = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("vb"),
+        F.sqrt(sumsq("embedding")).alias("nb"),
+    )
     return (
         cand.join(av, "a_id")
         .join(bv, "b_id")
@@ -1182,9 +1213,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpora are clustered (near-dups at s>0.9, p>0.9) — there, more bits per
 # band shrink cells/candidates while the band count keeps recall; the bit
 # width is ADAPTIVE in the corpus size (see _lsh_bits), the plan shape is
-# size-independent.
-_LSH_BANDS = 16
-_LSH_BITS_MIN = 4
+# size-independent.  (_LSH_BANDS/_LSH_BITS_MIN are defined at the
+# cosine-dedup section above, which shares them.)
 
 
 def _lsh_bits(n: int) -> int:

@@ -336,7 +336,12 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boundary)."""
     import os as _os
 
-    rows = table_num_rows(f"{sf_dir}/events.parquet")
+    try:
+        rows = table_num_rows(f"{sf_dir}/events.parquet")
+    except OSError:
+        # keep the wrong-sf_dir error contract: let table() below surface
+        # Spark's typed PATH_NOT_FOUND, not a driver-side stat crash
+        rows = 0
     if rows > _THETA_RANGE_MAX_ROWS and not _os.environ.get(
         "SPARK_GRAFT_ALLOW_QUADRATIC"
     ):
