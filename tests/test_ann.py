@@ -210,3 +210,35 @@ def test_pca_registered_properties(spark, sf_dir):
     assert r.dims == 64
     assert r.trace > 0
     assert r.unit_norm_ok and r.eigen_residual_ok and r.rayleigh_in_bounds
+
+
+def test_corpus_stats_reprobes_after_inplace_rewrite(tmp_path):
+    """The footer-count cache must key on the staleness signature: the
+    count selects the candidate-rule bit width (r8), so serving a stale n
+    after an in-place rewrite would desynchronize the Spark plan from the
+    live-COUNT(*) oracle."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_postgis_spark.operators.llm import _corpus_stats
+
+    p = str(tmp_path / "embeddings.parquet")
+
+    def write(n, dim):
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [[float(i)] * dim for i in range(n)], pa.list_(pa.float32())
+                ),
+            }
+        )
+        pq.write_table(t, p)
+
+    write(10, 4)
+    assert _corpus_stats(p) == (10, 4)
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    write(25, 8)
+    assert _corpus_stats(p) == (25, 8)
