@@ -623,6 +623,24 @@ def _corpus_stats_cached(path: str, _sig: tuple) -> tuple[int, int]:
 # 100 TB this bounds per-task memory while B^2/2 pairs >> cores keeps every
 # executor busy (B grows as corpus_bytes / _BLOCK_TARGET_BYTES)
 _BLOCK_TARGET_BYTES = 64 << 20
+#: independent cap on block ROWS: the per-task sims matrix is rows², so
+#: input-byte sizing alone lets low-dim corpora grow quadratic outputs —
+#: found at the sf3 stress shape (60 k × 64-d → 4 blocks of 15 k rows →
+#: 15 k² float64 = 1.8 GB per task → python workers crash).  4096² × 8
+#: = 134 MB bounds the output regardless of dim; at every driver/bench
+#: scale (n ≤ 2000) the cap is inactive and the plan is unchanged.
+_BLOCK_MAX_ROWS = 4096
+
+
+def _num_blocks(n: int, dim: int) -> int:
+    """Block count for the all-pairs matmul: bounded per-task INPUT bytes
+    (byte term) AND per-task OUTPUT cells (row-cap term), whichever is
+    stricter; floor of 4 keeps small corpora parallel."""
+    return max(
+        4,
+        math.ceil(n * dim * 8 / _BLOCK_TARGET_BYTES),
+        math.ceil(n / _BLOCK_MAX_ROWS),
+    )
 
 
 def _block_pair_topk(
@@ -644,7 +662,7 @@ def _block_pair_topk(
         return emb.sparkSession.createDataFrame(
             [], "a_id bigint, b_id bigint, cosine double"
         )
-    nblocks = max(4, math.ceil(n * dim * 8 / _BLOCK_TARGET_BYTES))
+    nblocks = _num_blocks(n, dim)
 
     blk = F.pmod(F.hash("vec_id"), F.lit(nblocks)).cast("int")
     # side A: block i joins every pair (i, j), j >= i; side B: block j joins

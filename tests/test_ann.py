@@ -242,3 +242,29 @@ def test_corpus_stats_reprobes_after_inplace_rewrite(tmp_path):
     time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
     write(25, 8)
     assert _corpus_stats(p) == (25, 8)
+
+
+def test_num_blocks_caps_rows_and_bytes():
+    """Block count must bound the per-task OUTPUT matrix (rows²), not just
+    input bytes: at the sf3 stress shape (60 k × 64-d) byte-sizing alone
+    gave 4 blocks of 15 k rows → a 15 k² float64 sims matrix = 1.8 GB per
+    task → python workers OOM-crash.  The row cap makes that 15 blocks of
+    ≤4096 rows; at every driver/bench scale (n ≤ 4096·4) the cap term is
+    dominated and the plan is unchanged."""
+    from duckdb_postgis_spark.operators.llm import (
+        _BLOCK_MAX_ROWS,
+        _num_blocks,
+    )
+
+    # driver/bench scales: small-corpus floor of 4, unchanged by the cap
+    assert _num_blocks(2000, 8) == 4
+    assert _num_blocks(2000, 768) == 4
+    # the measured crash shape: row cap takes over (was 4 before r8)
+    assert _num_blocks(60_000, 64) == 15
+    # byte term still governs when rows are few but vectors are fat
+    assert _num_blocks(3000, 1_000_000) == 358  # ceil(3000*1e6*8/64MiB)
+    # both scale together: neither term ever yields > _BLOCK_MAX_ROWS rows
+    for n, dim in [(10_000, 16), (250_000, 64), (1_000_000, 512)]:
+        import math
+
+        assert math.ceil(n / _num_blocks(n, dim)) <= _BLOCK_MAX_ROWS
