@@ -60,7 +60,12 @@ ORACLES: dict[str, str] = {}
 # green, all r8 slots rotate out with verdicts standing.  Window, in
 # order (validate with driver_replica before swapping into PRIORITY):
 #   (a) first driver verdicts for any post-r8-freeze additions (none at
-#       the r8 freeze), plus any r8 window failures for a re-prove;
+#       the r8 freeze), plus any r8 window failures for a re-prove, plus
+#       knn_cosine_topk — its _block_pair_topk gained the post-freeze
+#       _BLOCK_MAX_ROWS cap (r8 sf3 fix; provably inactive at driver
+#       scale, and the window's knn_ivf_lsh/dedup_embedding_cosine slots
+#       exercise the same code path — but changed code outranks
+#       refreshes, so it leads the r9 window);
 #   (b) every query whose latest verdict is then r6-era — the ten
 #       refreshes r8 displaced (join_left_right_full, join_semi_anti,
 #       set_ops, scalar_string_date_math, array_map_json,
