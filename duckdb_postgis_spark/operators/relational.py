@@ -625,6 +625,111 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# R11c pre-aggregated histogram table + lossless merge -> quantiles (round 8)
+# --------------------------------------------------------------------------
+_QH_BINS = 256
+_QH_SHARDS = 16
+
+
+@query(
+    "agg_quantile_histogram_merge",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+           TRUE AS merged_within_bin,
+           TRUE AS merge_equals_direct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_quantile_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile twin of agg_hll_sketch_merge: a pre-aggregated
+    HISTOGRAM TABLE answering percentile questions by merging per-shard
+    summaries instead of re-scanning raw rows.  Phase 1 builds one
+    256-bin equi-width histogram per (flag, shard) — at warehouse scale
+    materialized incrementally at ingest; phase 2 merges shard histograms
+    per flag (plain count addition) and reads the median off the merged
+    CDF.  Two properties ride the output, oracle-pinned TRUE:
+
+    - ``merge_equals_direct``: the merged histogram is BIN-EXACTLY equal
+      to the one-pass direct histogram — count merge is lossless, the
+      property that makes histograms (and KLL/t-digest, their
+      bounded-memory cousins) safe to pre-aggregate.  Contrast the HLL
+      twin, whose union costs a pinned <=2% re-estimation drift.
+    - ``merged_within_bin``: the histogram median sits within one bin
+      width of the exact interpolated median (the histogram's worst-case
+      error bound by construction).
+
+    The exact median rides along hash-verified (quantile_cont twin), as
+    the verification harness only.  Bounds come from one tiny min/max agg
+    (a bounded driver probe — at ingest they ride parquet footer stats);
+    the sketch table is |flags| x |shards| x <=bins rows of (bin, count);
+    phase 2 shuffles those summary rows, never the corpus.  Skew-safe: a
+    hot flag spreads over 16 shard sub-histograms exactly like the HLL
+    path."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    lo, hi = li.agg(F.min(x), F.max(x)).first()
+    width = (float(hi) - float(lo)) / _QH_BINS or 1.0
+    bin_of = F.least(
+        F.greatest(F.floor((x - F.lit(float(lo))) / F.lit(width)), F.lit(0)),
+        F.lit(_QH_BINS - 1),
+    ).cast("int")
+    shard = F.pmod(F.hash("l_orderkey"), F.lit(_QH_SHARDS)).alias("shard")
+    sketch = (
+        li.select("l_returnflag", shard, bin_of.alias("bin"))
+        .groupBy("l_returnflag", "shard", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    merged = sketch.groupBy("l_returnflag", "bin").agg(F.sum("n").alias("n"))
+    direct = (
+        li.select("l_returnflag", bin_of.alias("bin"))
+        .groupBy("l_returnflag", "bin")
+        .agg(F.count("*").alias("n_direct"))
+    )
+    mism = (
+        merged.join(direct, ["l_returnflag", "bin"], "full")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.when(
+                    F.coalesce("n", F.lit(-1)) == F.coalesce("n_direct", F.lit(-2)),
+                    0,
+                ).otherwise(1)
+            ).alias("n_mismatch")
+        )
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("bin")
+    cdf = merged.withColumn("cum", F.sum("n").over(w)).join(
+        merged.groupBy("l_returnflag").agg(F.sum("n").alias("tot")),
+        "l_returnflag",
+    )
+    med_bin = (
+        cdf.filter(F.col("cum").cast("double") >= 0.5 * F.col("tot").cast("double"))
+        .groupBy("l_returnflag")
+        .agg(F.min("bin").alias("mbin"))
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_raw")
+    )
+    approx = F.lit(float(lo)) + (F.col("mbin").cast("double") + 0.5) * F.lit(width)
+    return (
+        exact.join(med_bin, "l_returnflag")
+        .join(mism, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("exact_raw", 6).alias("exact_p50"),
+            (
+                F.abs(approx - F.col("exact_raw")) <= F.lit(width) + F.lit(1e-9)
+            ).alias("merged_within_bin"),
+            (F.col("n_mismatch") == 0).alias("merge_equals_direct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
 # R12 rollup / cube
 # --------------------------------------------------------------------------
 @query(

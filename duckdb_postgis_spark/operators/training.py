@@ -426,6 +426,103 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact duplicated-substring spans (suffix-array dedup, shingle-hash form)
+# --------------------------------------------------------------------------
+_SPAN_W = 16  # tokens per window — the dedup granularity
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {_SPAN_W}
+    ),
+    s AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(w[pos:pos+{_SPAN_W - 1}], ' ')) AS h
+        FROM t, unnest(generate_series(1, len(w) - {_SPAN_W - 1})) AS u(pos)
+    ),
+    d AS (SELECT h FROM s GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    j AS (SELECT s.doc_id, s.pos FROM s JOIN d USING (h)),
+    base AS (SELECT doc_id, COUNT(*) AS n_windows FROM s GROUP BY doc_id)
+    SELECT base.doc_id,
+           base.n_windows,
+           COUNT(j.pos) AS n_dup_windows,
+           COALESCE(MIN(j.pos), 0) AS first_dup_pos
+    FROM base LEFT JOIN j ON base.doc_id = j.doc_id
+    GROUP BY base.doc_id, base.n_windows
+    ORDER BY base.doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN detection — the suffix-array training-data
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), re-expressed for Spark as positional shingle-hash
+    matching: every 16-token window of every document is hashed; a window
+    whose hash occurs in >= 2 DISTINCT documents is a duplicated span the
+    pipeline would cut (the paper removes the span, not the document —
+    unlike the doc-level minhash/simhash family, this localizes WHERE the
+    duplication lives).  Output per document: total windows, duplicated
+    windows, and the first duplicated token position (0 = none).
+
+    Scale: split() materialized once behind a projection, windows via
+    arrays_zip of 16 shifted slices (the r8 minhash lesson — an inlined
+    split() re-tokenizes per window), then ONE hash-partitioned shuffle of
+    (h, doc_id, pos) rows to count distinct docs per hash, and a second
+    co-partitioned equi-join back on h — both linear in corpus tokens,
+    never all-pairs, the exact shape of dedup_minhash_lsh's bucket join.
+    Production would shuffle the 64-bit md5 prefix instead of the 32-char
+    hex (4x narrower rows, same collision math at ~1e-10 for 1e9 spans);
+    the hex keeps the DuckDB twin verbatim here.  Suffix arrays find
+    variable-length maximal repeats; fixed-W shingles find every repeat
+    >= W tokens (any such repeat contains a W-window), which is the knob
+    real pipelines expose anyway (W=50 chars in the paper)."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= _SPAN_W
+    )
+    nwin = F.size("w") - (_SPAN_W - 1)
+    windows = F.transform(
+        F.arrays_zip(*[F.slice("w", k + 1, nwin) for k in range(_SPAN_W)]),
+        lambda t: F.concat_ws(" ", *[t[str(k)] for k in range(_SPAN_W)]),
+    )
+    s = base.select(
+        "doc_id", F.posexplode(windows).alias("pos0", "win")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.md5("win").alias("h"),
+    )
+    dup = (
+        s.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    j = s.join(dup, "h").select("doc_id", "pos")
+    per_doc = s.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    hits = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_windows"), F.min("pos").alias("first_dup_pos")
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("first_dup_pos", F.lit(0).cast("long")).alias(
+                "first_dup_pos"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # UDAF surface: pandas GROUPED_AGG (exact integer moments -> exact variance)
 # --------------------------------------------------------------------------
 @query(

@@ -45,12 +45,23 @@ ORACLES: dict[str, str] = {}
 #       the r7 window touched them) — dedup_embedding_cosine (r8
 #       candidate-then-verify rewrite), dedup_ngram_jaccard and
 #       text_fingerprint (the r8 shingle fix) are in this set already;
-#   (c) the remaining 3 slots refresh the stalest r6 verdicts (the
-#       round-3-era-backfill set): scan_project, filter_pred,
-#       join_inner_hash.  Displaced to r9: join_left_right_full,
+#   (c) [SUPERSEDED mid-r8 — see (a3)] the remaining 3 slots were to
+#       refresh the stalest r6 verdicts (scan_project, filter_pred,
+#       join_inner_hash); the continuation session added THREE new
+#       operators (a3) and new-op first verdicts outrank refreshes, so
+#       those three refreshes join the r9 displaced set.
+#   (a3) round-8 in-round additions, first driver verdicts (replica
+#       hash-green at sf0.001+sf0.01 before rotation):
+#       dedup_substring_spans (training.py — Lee-et-al duplicated-span
+#       dedup via positional shingle hashes), similarity_search_pq
+#       (llm.py — product-quantization ADC search, recall_ge_06 pinned),
+#       agg_quantile_histogram_merge (relational.py — mergeable histogram
+#       quantiles, lossless-merge + within-bin pins).
+#       Displaced to r9: join_left_right_full,
 #       join_semi_anti, set_ops, scalar_string_date_math, array_map_json,
 #       distinct_dedup_exact, multimodal_meta_stats,
-#       multimodal_image_features, pricing_summary, join_broadcast_4way
+#       multimodal_image_features, pricing_summary, join_broadcast_4way,
+#       scan_project, filter_pred, join_inner_hash
 #       (all hold r6 verdicts on unchanged code).
 # After this window lands, every registered query's newest driver verdict
 # is r6-era or newer, and both r7 additions have first verdicts — the last
@@ -59,18 +70,21 @@ ORACLES: dict[str, str] = {}
 # ROUND-9 ROTATION PLAN (execute at round-9 start): if CORRECTNESS_r08 is
 # green, all r8 slots rotate out with verdicts standing.  Window, in
 # order (validate with driver_replica before swapping into PRIORITY):
-#   (a) first driver verdicts for any post-r8-freeze additions (none at
-#       the r8 freeze), plus any r8 window failures for a re-prove, plus
+#   (a) first driver verdicts for any post-r8-freeze additions (none as
+#       of the continuation session — dedup_substring_spans,
+#       similarity_search_pq and agg_quantile_histogram_merge made the r8
+#       window via (a3)), plus any r8 window failures for a re-prove, plus
 #       knn_cosine_topk — its _block_pair_topk gained the post-freeze
 #       _BLOCK_MAX_ROWS cap (r8 sf3 fix; provably inactive at driver
 #       scale, and the window's knn_ivf_lsh/dedup_embedding_cosine slots
 #       exercise the same code path — but changed code outranks
 #       refreshes, so it leads the r9 window);
-#   (b) every query whose latest verdict is then r6-era — the ten
+#   (b) every query whose latest verdict is then r6-era — the thirteen
 #       refreshes r8 displaced (join_left_right_full, join_semi_anti,
 #       set_ops, scalar_string_date_math, array_map_json,
 #       distinct_dedup_exact, multimodal_meta_stats,
-#       multimodal_image_features, pricing_summary, join_broadcast_4way)
+#       multimodal_image_features, pricing_summary, join_broadcast_4way,
+#       scan_project, filter_pred, join_inner_hash)
 #       and the rest of the r6-verdict holders (agg_approx_percentiles,
 #       agg_corr_exact, agg_mode_per_group, agg_string_bool, the
 #       events_* analytics set, join_asof, join_inner/range/skew
@@ -133,10 +147,10 @@ PRIORITY: tuple[str, ...] = (
     "text_unigram_likelihood",
     "text_pii_scrub",
     "join_bucketed_colocated",
-    # -- (c) stalest r6 refreshes ------------------------------------------
-    "scan_project",
-    "filter_pred",
-    "join_inner_hash",
+    # -- (a3) round-8 in-round additions: first driver verdicts ------------
+    "dedup_substring_spans",
+    "similarity_search_pq",
+    "agg_quantile_histogram_merge",
 )
 
 DRIVER_WINDOW = 50

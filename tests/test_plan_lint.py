@@ -62,6 +62,10 @@ ALLOWED_BNLJ = {
     "similarity_search_ann",
     "similarity_search_ivf",
     "similarity_search_ivf_pruned",
+    # r8 PQ search: same _pin_recall constant-attach + broadcast 1-row
+    # query-vector cross as the siblings above; the ADC scan underneath
+    # is in-row arithmetic into TakeOrdered, equi-join re-rank only
+    "similarity_search_pq",
 }
 ALLOWED_ROW_PY = {"text_shingle_udtf"}
 

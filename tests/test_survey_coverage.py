@@ -60,6 +60,7 @@ SCALE = [
     "join_skew_salted", "similarity_search_ivf_pruned",
     "similarity_search_quantized", "embed_pca_power_iteration",
     "agg_heavy_hitters_twophase", "agg_hll_sketch_merge",
+    "similarity_search_pq", "agg_quantile_histogram_merge",
 ]
 # §2.12d text/dedup extensions
 TEXT_EXT = [
@@ -77,7 +78,7 @@ TRAINING = [
     "sample_reservoir_topk", "seq_pack_greedy", "contamination_ngram_overlap",
     "udaf_char_variance", "shards_write_roundtrip", "pipeline_training_e2e",
     "source_quality_report", "sample_temperature_weighted",
-    "text_unigram_likelihood", "text_pii_scrub",
+    "text_unigram_likelihood", "text_pii_scrub", "dedup_substring_spans",
 ]
 
 # §2.13 incremental-maintenance (lakehouse) surface
@@ -139,8 +140,14 @@ def test_driver_window_covers_required_families():
         "text_unigram_likelihood", "text_pii_scrub",
         "join_bucketed_colocated",
     }
-    r6_refresh = {"scan_project", "filter_pred", "join_inner_hash"}
-    required = post_r7 | changed_r8 | r5_era | r6_refresh
+    # (a3) in-round r8 additions — first verdicts outrank refreshes, so
+    # the three planned stalest-r6 refreshes (scan_project, filter_pred,
+    # join_inner_hash) moved to the r9 displaced set
+    added_r8 = {
+        "dedup_substring_spans", "similarity_search_pq",
+        "agg_quantile_histogram_merge",
+    }
+    required = post_r7 | changed_r8 | r5_era | added_r8
     missing = sorted(required - window)
     assert not missing, f"outside driver window: {missing}"
     assert len(required) == registry.DRIVER_WINDOW
