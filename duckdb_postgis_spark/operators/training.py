@@ -479,7 +479,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     variable-length maximal repeats; fixed-W shingles find every repeat
     >= W tokens (any such repeat contains a W-window), which is the knob
     real pipelines expose anyway (W=50 chars in the paper)."""
-    docs = table(spark, sf_dir, "documents")
+    return _substring_spans(table(spark, sf_dir, "documents"))
+
+
+def _substring_spans(docs: DataFrame) -> DataFrame:
+    """Core of dedup_substring_spans over any (doc_id, text) frame —
+    factored out so the seeded differential fuzz (family 26) can drive it
+    on random in-memory corpora against the registered DuckDB oracle."""
     base = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
         F.size("w") >= _SPAN_W
     )

@@ -106,3 +106,45 @@ def test_unigram_likelihood_bounds(spark, sf_dir):
         # normalized likelihood sits in (0, 1]
         assert r["sum_freq"] >= r["n_tokens"]
         assert 0.0 < r["likelihood"] <= 1.0
+
+
+def test_dedup_substring_spans_planted_run(spark, tmp_path):
+    """A 20-token run shared by two docs yields exactly 5 duplicated
+    16-token windows in each (20-16+1), starting at the run's position;
+    an INTRA-doc repeat does not count (the >=2 DISTINCT docs rule); docs
+    under 16 tokens are excluded."""
+    run = [f"c{i}" for i in range(20)]
+    doc_a = [f"a{i}" for i in range(10)] + run + [f"z{i}" for i in range(10)]
+    doc_b = [f"b{i}" for i in range(5)] + run + [f"y{i}" for i in range(5)]
+    intra = [f"d{i}" for i in range(16)] * 2  # same window twice, one doc
+    short = ["too", "short"]
+    rows = [
+        (0, " ".join(doc_a), "en", "srcA", 1),
+        (1, " ".join(doc_b), "en", "srcB", 1),
+        (2, " ".join(intra), "en", "srcC", 1),
+        (3, " ".join(short), "en", "srcD", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in registry.QUERIES["dedup_substring_spans"](spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1, 2}  # doc 3 too short
+    assert out[0].n_dup_windows == 5 and out[0].first_dup_pos == 11
+    assert out[1].n_dup_windows == 5 and out[1].first_dup_pos == 6
+    assert out[2].n_dup_windows == 0 and out[2].first_dup_pos == 0
+    assert out[0].n_windows == len(doc_a) - 15
+
+
+def test_quantile_histogram_merge_constant_column(spark, tmp_path):
+    """All-equal prices give min==max (bin width guard -> 1.0): every row
+    lands in bin 0, the merged median equals the exact median exactly,
+    and both pins stay TRUE."""
+    rows = [(i, 42.5, "A") for i in range(10)] + [(i, 42.5, "B") for i in range(7)]
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_extendedprice double, l_returnflag string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = registry.QUERIES["agg_quantile_histogram_merge"](spark, str(tmp_path)).collect()
+    assert [r.l_returnflag for r in out] == ["A", "B"]
+    for r in out:
+        assert r.exact_p50 == 42.5
+        assert r.merged_within_bin and r.merge_equals_direct
