@@ -225,33 +225,63 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays, and est_jaccard is a zip_with agreement count over them — the
     md5 lineage executes exactly once (measured 4.9 s → 1.8 s at sf0.1;
     the three cluster/survivorship/verify queries that call this for
-    their pair set inherit the saving)."""
+    their pair set inherit the saving).
+
+    Signature pass as WIDE AGGREGATES (continuation-session rewrite,
+    value-identical — the dedup_simhash bit-vote lesson): all 12
+    seed-salted md5 minima compute as agg columns over ONE raw shingle
+    stream instead of a 12× seed explode through a distinct + two
+    aggregations; min() is duplicate-insensitive so the set semantics
+    the DISTINCT bought are free.  One width-pinned exchange replaces
+    three.  Two measured traps recorded on the way: (a) dropping the
+    distinct WITHOUT the width pin is 2× slower — the distinct exchange
+    was what moved the md5 work off the few-task scan stage, so the
+    rewrite must repartition explicitly; (b) under AQE+wide sessions the
+    naive form measured fine — only the bench's AQE-off/8-partition
+    session exposed it (interleaved medians: old 1466 ms, naive 2232,
+    width-pinned 1201)."""
     docs = table(spark, sf_dir, "documents")
-    sh = _shingle_df(docs, 3)
-    # seed expansion via explode(sequence(...)) stays inside whole-stage
-    # codegen — no join node at all (a broadcast cross join against a
-    # 32-row seed table plans as BroadcastNestedLoopJoin and breaks the
-    # codegen span in two)
+    # signature pass as _MINHASH_SEEDS WIDE AGGREGATES over a raw (non-
+    # distinct) shingle stream — the dedup_simhash wide-vote lesson
+    # applied here (continuation-session rewrite, value-identical):
+    # min() is duplicate-insensitive, so the DISTINCT shuffle the shared
+    # _shingle_df pays (its other consumers need set semantics) is pure
+    # cost for minhash; and computing all 12 seed-salted md5s as agg
+    # columns on each shingle row map-side replaces the 12x seed explode
+    # + groupBy(doc,seed) + groupBy(doc) two-shuffle chain with ONE
+    # partial-aggregated shuffle of |docs|-row 12-column partials.
+    base = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 3
+    )
+    win = F.size("w") - 2
+    z = F.arrays_zip(*[F.slice("w", k + 1, win) for k in range(3)])
+    sh = base.select("doc_id", F.explode(z).alias("t")).select(
+        "doc_id",
+        F.concat_ws(" ", *[F.col(f"t.{k}") for k in range(3)]).alias("shingle"),
+    )
+    # the 12-way md5 aggregate is the compute-heavy stage: pin its width
+    # to max(shuffle partitions, cores) — the window_rank_topn lesson —
+    # so the hash work never runs at scan-split parallelism (measured
+    # interleaved under bench confs, 7 reps: scan-stage agg 2232 ms,
+    # width-8 1598 ms, width-pinned-32 1201 ms vs the r8 explode form's
+    # 1466 ms).  The repartition doubles as the (doc_id-satisfying)
+    # exchange the groupBy needs, so no second shuffle follows.
+    try:
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # "auto" under some AQE configs
+        shuffle_n = 0
+    nparts = max(shuffle_n, spark.sparkContext.defaultParallelism)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"_m{s}")
+        for s in range(_MINHASH_SEEDS)
+    ]
     sig = (
-        sh.withColumn(
-            "seed",
-            F.explode(
-                F.sequence(F.lit(0).cast("long"), F.lit(_MINHASH_SEEDS - 1).cast("long"))
-            ),
-        )
+        sh.repartition(nparts, "doc_id")
+        .groupBy("doc_id")
+        .agg(*mins)
         .select(
             "doc_id",
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                lambda s: s.getField("mh"),
-            ).alias("sig")
+            F.array(*[f"_m{s}" for s in range(_MINHASH_SEEDS)]).alias("sig"),
         )
     )
     n_bands = _MINHASH_SEEDS // _LSH_BAND_ROWS
