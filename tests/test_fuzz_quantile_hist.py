@@ -1,0 +1,79 @@
+"""Fuzz family 28: mergeable-histogram quantiles, differential on random
+table shapes.
+
+agg_quantile_histogram_merge pins two properties (lossless shard merge,
+median within one bin width) plus a hash-verified exact median.  This
+family re-derives all three on 40 seeded random lineitem shapes — group
+counts 1..8, group sizes 1..4000, value distributions uniform / normal /
+lognormal / constant-per-group (the bin-width-zero guard path), order keys
+shuffled so shard hashing exercises real spread — by running the operator
+against the registered DuckDB oracle on the same rows and requiring exact
+row-set equality (which includes the two pinned-TRUE booleans: a lossless-
+merge violation or an out-of-bin median becomes a row mismatch here before
+it can become a driver hash failure).
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from duckdb_postgis_spark import registry
+
+registry.load_all()
+
+SEEDS = range(40)
+
+
+def _corpus(seed: int):
+    rng = random.Random(28000 + seed)
+    n_groups = rng.randint(1, 8)
+    rows = []
+    key = 0
+    for g in range(n_groups):
+        flag = chr(ord("A") + g)
+        size = rng.randint(1, 4000)
+        dist = rng.choice(["uniform", "normal", "lognormal", "constant"])
+        if dist == "constant":
+            const = rng.uniform(-1000, 1000)
+        for _ in range(size):
+            if dist == "uniform":
+                v = rng.uniform(-1e4, 1e4)
+            elif dist == "normal":
+                v = rng.gauss(500.0, 250.0)
+            elif dist == "lognormal":
+                v = rng.lognormvariate(3.0, 2.0)
+            else:
+                v = const
+            rows.append((key, v, flag))
+            key += rng.randint(1, 7)  # non-contiguous orderkeys -> real shard spread
+    rng.shuffle(rows)
+    return rows
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_quantile_hist_spark_matches_oracle(spark, tmp_path, seed):
+    rows = _corpus(seed)
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_extendedprice double, l_returnflag string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = sorted(
+        tuple(map(str, r))
+        for r in registry.QUERIES["agg_quantile_histogram_merge"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(map(str, r))
+        for r in con.execute(
+            registry.ORACLES["agg_quantile_histogram_merge"]
+        ).fetchall()
+    )
+    assert got == want, f"seed {seed}: histogram-merge rows diverge"

@@ -147,4 +147,4 @@ def test_quantile_histogram_merge_constant_column(spark, tmp_path):
     assert [r.l_returnflag for r in out] == ["A", "B"]
     for r in out:
         assert r.exact_p50 == 42.5
-        assert r.merged_within_bin and r.merge_equals_direct
+        assert r.median_rank_in_bin and r.merge_equals_direct
