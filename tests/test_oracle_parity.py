@@ -94,6 +94,9 @@ SF01_SUBSET = [
     "events_anomaly_zscore",  # exact-moment z-scores
     "knn_cosine_topk",        # block-pair cogroup matmul vs 4M-pair oracle
     "dedup_simhash",          # pure-JVM bit arithmetic at 10x scale
+    "dedup_substring_spans",  # positional md5 shingle match at 10x scale
+    "agg_quantile_histogram_merge",  # rank pins under 10x value spread
+    "similarity_search_pq",   # recall_ge_06 pin at its measured-0.8 scale
 ]
 
 
