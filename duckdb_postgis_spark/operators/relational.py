@@ -752,6 +752,124 @@ def agg_quantile_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# R11d pre-aggregated count-min sketch table + lossless merge (round 8)
+# --------------------------------------------------------------------------
+_CMS_W = 512  # counters per hash row
+_CMS_D = 4  # independent hash rows; estimate = min over rows
+
+
+@query(
+    "agg_cms_topk_merge",
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS exact_cnt,
+           TRUE AS cms_ge_exact,
+           TRUE AS cms_within_eps,
+           TRUE AS merge_equals_direct
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY exact_cnt DESC, l_suppkey
+    LIMIT 10
+    """,
+)
+def agg_cms_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frequency member of the mergeable-summary trio (HLL = distinct,
+    histogram = quantiles, COUNT-MIN SKETCH = per-key counts): a
+    pre-aggregated 4x512 CMS table per shard — the ingest-time rollup —
+    merged by plain counter addition, then read back for the top-10
+    suppliers by line count.  Hash rows are seed-salted md5 prefixes
+    (``conv(substr(md5(d:key),1,8),16,10) % W``), the same deterministic
+    cross-engine construction as the minhash/simhash family, so the
+    whole sketch is replayable arithmetic, not engine-private state.
+
+    Three properties ride the exact top-10 (hash-verified against the
+    DuckDB twin), oracle-pinned TRUE:
+
+    - ``cms_ge_exact``: the CMS estimate never undercounts — the
+      structural one-sided-error guarantee (collisions only ADD);
+    - ``cms_within_eps``: estimate <= exact + e*N/W, the textbook CMS
+      error bound (Cormode & Muthukrishnan 2005) with N derived from the
+      merged sketch itself (row-0 counters sum to N);
+    - ``merge_equals_direct``: the shard-merged counter table is
+      CELL-EXACTLY the one-pass direct table — counter merge is lossless
+      like the histogram's, unlike HLL's bounded union drift.
+
+    Scale: phase 1 ships one bounded 4x explode into a partial-agg
+    shuffle of |shards| x D x <=W counter rows; phase 2 merges those
+    summary rows; the top-k read joins 10 broadcast keys against the
+    D*W-row counter table.  At 100 TB only the sketch table is ever
+    re-read — frequency queries never rescan the corpus, and a hot key
+    spreads over shard sub-sketches exactly like the HLL/histogram
+    paths."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.col("l_suppkey").cast("string")
+    bucket = lambda d, k: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{d}:"), k)), 1, 8), 16, 10)
+        .cast("long")
+        % _CMS_W
+    )
+    shard = F.pmod(F.hash("l_orderkey"), F.lit(16)).alias("shard")
+    rows = li.select(
+        shard, *[bucket(d, key).alias(f"_b{d}") for d in range(_CMS_D)]
+    )
+    cells = rows.select(
+        "shard",
+        F.posexplode(F.array(*[f"_b{d}" for d in range(_CMS_D)])).alias("d", "w"),
+    )
+    sketch = cells.groupBy("shard", "d", "w").agg(F.count("*").alias("n"))
+    merged = sketch.groupBy("d", "w").agg(F.sum("n").alias("n"))
+    direct = cells.groupBy("d", "w").agg(F.count("*").alias("n_direct"))
+    mism = (
+        merged.join(direct, ["d", "w"], "full")
+        .agg(
+            F.sum(
+                F.when(
+                    F.coalesce("n", F.lit(-1)) == F.coalesce("n_direct", F.lit(-2)),
+                    0,
+                ).otherwise(1)
+            ).alias("n_mismatch"),
+            F.sum(F.when(F.col("d") == 0, F.col("n")).otherwise(0)).alias("n_total"),
+        )
+    )
+    top = (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "l_suppkey")
+        .limit(10)
+    )
+    probes = top.select(
+        "l_suppkey",
+        "exact_cnt",
+        F.posexplode(
+            F.array(
+                *[bucket(d, F.col("l_suppkey").cast("string")) for d in range(_CMS_D)]
+            )
+        ).alias("d", "w"),
+    )
+    est = (
+        probes.join(F.broadcast(merged), ["d", "w"])
+        .groupBy("l_suppkey", "exact_cnt")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    eps_bound = F.lit(2.718281828459045) * F.col("n_total").cast("double") / F.lit(
+        float(_CMS_W)
+    )
+    return (
+        est.crossJoin(F.broadcast(mism))
+        .select(
+            "l_suppkey",
+            "exact_cnt",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("cms_ge_exact"),
+            (
+                F.col("cms_est").cast("double")
+                <= F.col("exact_cnt").cast("double") + eps_bound + F.lit(1e-6)
+            ).alias("cms_within_eps"),
+            (F.col("n_mismatch") == 0).alias("merge_equals_direct"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "l_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # R12 rollup / cube
 # --------------------------------------------------------------------------
 @query(

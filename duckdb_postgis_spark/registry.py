@@ -70,10 +70,12 @@ ORACLES: dict[str, str] = {}
 # ROUND-9 ROTATION PLAN (execute at round-9 start): if CORRECTNESS_r08 is
 # green, all r8 slots rotate out with verdicts standing.  Window, in
 # order (validate with driver_replica before swapping into PRIORITY):
-#   (a) first driver verdicts for any post-r8-freeze additions (none as
-#       of the continuation session — dedup_substring_spans,
+#   (a) first driver verdicts for the post-r8-window additions:
+#       agg_cms_topk_merge (relational.py — the frequency member of the
+#       mergeable-summary trio, added after the r8 window filled;
+#       replica hash-green at sf0.001/0.01/0.1).  dedup_substring_spans,
 #       similarity_search_pq and agg_quantile_histogram_merge made the r8
-#       window via (a3)), plus any r8 window failures for a re-prove, plus
+#       window via (a3).  Plus any r8 window failures for a re-prove, plus
 #       knn_cosine_topk — its _block_pair_topk gained the post-freeze
 #       _BLOCK_MAX_ROWS cap (r8 sf3 fix; provably inactive at driver
 #       scale, and the window's knn_ivf_lsh/dedup_embedding_cosine slots

@@ -66,6 +66,9 @@ ALLOWED_BNLJ = {
     # query-vector cross as the siblings above; the ADC scan underneath
     # is in-row arithmetic into TakeOrdered, equi-join re-rank only
     "similarity_search_pq",
+    # r8 CMS sketch: build side is the broadcast 1-row (n_mismatch,
+    # n_total) aggregate — the verification-harness constant-attach shape
+    "agg_cms_topk_merge",
 }
 ALLOWED_ROW_PY = {"text_shingle_udtf"}
 

@@ -61,6 +61,7 @@ SCALE = [
     "similarity_search_quantized", "embed_pca_power_iteration",
     "agg_heavy_hitters_twophase", "agg_hll_sketch_merge",
     "similarity_search_pq", "agg_quantile_histogram_merge",
+    "agg_cms_topk_merge",
 ]
 # §2.12d text/dedup extensions
 TEXT_EXT = [

@@ -148,3 +148,19 @@ def test_quantile_histogram_merge_constant_column(spark, tmp_path):
     for r in out:
         assert r.exact_p50 == 42.5
         assert r.median_rank_in_bin and r.merge_equals_direct
+
+
+def test_cms_topk_merge_planted_heavy_key(spark, tmp_path):
+    """A planted heavy supplier must surface as the top row with all
+    three CMS pins TRUE; ties below it break by supplier id."""
+    rows = [(i, 777) for i in range(60)] + [
+        (1000 + i, 10 + (i % 20)) for i in range(200)
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_suppkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = registry.QUERIES["agg_cms_topk_merge"](spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    assert out[0].l_suppkey == 777 and out[0].exact_cnt == 60
+    for r in out:
+        assert r.cms_ge_exact and r.cms_within_eps and r.merge_equals_direct
