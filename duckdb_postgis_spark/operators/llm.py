@@ -16,7 +16,7 @@ import functools
 import math
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -925,6 +925,145 @@ def _dedup_cos_pairs(
         .filter(F.col("cosine_raw") >= _SQL_COS_THRESH)
         .select("a_id", "b_id", F.round("cosine_raw", 6).alias("cosine"))
         .orderBy("a_id", "b_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic dedup by cell partitioning (round 8)
+# --------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.4  # within-cell cosine above this marks a semantic dup
+_SEMDEDUP_CELL = 1024  # target vectors per cell; K = max(16, n / this)
+
+
+@query(
+    "dedup_semdedup_cells",
+    oracle=f"""
+    WITH k AS (
+        SELECT GREATEST(16, CAST(FLOOR(COUNT(*) / {_SEMDEDUP_CELL}) AS INT)) AS kk
+        FROM embeddings
+    ),
+    pri AS (
+        SELECT vec_id AS seed_id, embedding AS se
+        FROM (
+            SELECT vec_id, embedding,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) AS rn
+            FROM embeddings
+        ), k
+        WHERE rn <= k.kk
+    ),
+    scored AS (
+        SELECT e.vec_id, s.seed_id,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(s.se AS DOUBLE[]))
+               / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+                  * sqrt(list_sum(list_transform(CAST(s.se AS DOUBLE[]), x -> x * x)))) AS c
+        FROM embeddings e CROSS JOIN pri s
+    ),
+    cells AS (
+        SELECT vec_id, seed_id AS cell
+        FROM (
+            SELECT vec_id, seed_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY c DESC, seed_id
+                   ) AS rn
+            FROM scored
+        )
+        WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT ca.vec_id AS a_id, cb.vec_id AS b_id, ca.cell
+        FROM cells ca JOIN cells cb
+          ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+    )
+    SELECT p.b_id AS removed_id, MIN(p.a_id) AS keep_id, p.cell AS cell_seed
+    FROM pairs p
+    JOIN embeddings a ON a.vec_id = p.a_id
+    JOIN embeddings b ON b.vec_id = p.b_id
+    WHERE {_SQL_COS} >= {_SEMDEDUP_TAU}
+    GROUP BY p.b_id, p.cell
+    ORDER BY removed_id
+    """,
+)
+def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): partition the embedding
+    space into cells, then mark every vector that has a lower-id
+    within-cell neighbor above cosine 0.4 as a semantic duplicate —
+    near-dup detection priced at |cell|² per cell instead of n², the
+    trick that made embedding dedup tractable for LAION-scale corpora.
+
+    The paper's k-means quantizer is replaced by HASH-PICKED SEED CELLS —
+    the K = max(16, n/1024) vectors with the smallest md5(vec_id) become
+    cell centers and every vector joins its max-cosine seed (tie → lower
+    seed id) — a zero-iteration quantizer chosen because it is PURE SQL
+    ARITHMETIC: the DuckDB oracle replays seed choice, assignment argmax,
+    and the τ threshold verbatim, so the driver hash checks the whole
+    pipeline (trained k-means cells dedup moderately better but live
+    outside SQL; the IVF family covers that quality path).  Assignment
+    here is an n×K score + per-vector argmax window (SQL-replayable);
+    at 100 TB it would run as the Arrow-batched matmul of
+    similarity_search_ivf's cell_of with the same output contract.
+
+    Scale: K grows with n so cells stay ~1024 vectors; within-cell
+    pair work is n·cell/2 — linear in n at fixed cell size (the paper
+    operates at fixed |cell| for exactly this reason).  Shuffles: the
+    cell co-location join, plus two ids-only vec_id re-joins for the
+    exact verify — embedding arrays never ride the pair shuffle (the
+    dedup_embedding_cosine discipline)."""
+    emb = table(spark, sf_dir, "embeddings")
+    n, dim = _corpus_stats(f"{sf_dir}/embeddings.parquet")
+    kk = max(16, n // _SEMDEDUP_CELL)
+    seeds = F.broadcast(
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(kk)
+        .select(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("se"))
+    )
+    sumsq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot_es = F.aggregate(
+        F.zip_with("embedding", "se", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    c = dot_es / (F.sqrt(sumsq("embedding")) * F.sqrt(sumsq("se")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), "seed_id")
+    cells = (
+        emb.crossJoin(seeds)
+        .select("vec_id", "seed_id", c.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cell"))
+    )
+    ca = cells.select(F.col("vec_id").alias("a_id"), "cell")
+    cb = cells.select(F.col("vec_id").alias("b_id"), "cell")
+    pairs = ca.join(cb, "cell").filter(F.col("a_id") < F.col("b_id"))
+    av = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("va"),
+        F.sqrt(sumsq("embedding")).alias("na"),
+    )
+    bv = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("vb"),
+        F.sqrt(sumsq("embedding")).alias("nb"),
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(av, "a_id")
+        .join(bv, "b_id")
+        .filter(dot_ab / (F.col("na") * F.col("nb")) >= _SEMDEDUP_TAU)
+        .groupBy(F.col("b_id").alias("removed_id"), F.col("cell").alias("cell_seed"))
+        .agg(F.min("a_id").alias("keep_id"))
+        .select("removed_id", "keep_id", "cell_seed")
+        .orderBy("removed_id")
     )
 
 

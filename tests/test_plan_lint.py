@@ -69,6 +69,10 @@ ALLOWED_BNLJ = {
     # r8 CMS sketch: build side is the broadcast 1-row (n_mismatch,
     # n_total) aggregate — the verification-harness constant-attach shape
     "agg_cms_topk_merge",
+    # r8 SemDeDup: the n x K assignment cross against the K-row broadcast
+    # seed table (K = max(16, n/1024)) — the paper's own scoring cost; at
+    # 100 TB it runs as the IVF cell_of Arrow matmul, same contract
+    "dedup_semdedup_cells",
 }
 ALLOWED_ROW_PY = {"text_shingle_udtf"}
 

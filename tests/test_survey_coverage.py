@@ -71,6 +71,7 @@ TEXT_EXT = [
     "json_extract_events", "cogroup_reconcile", "dedup_cluster_components",
     "join_null_safe", "subquery_exists_correlated", "dedup_verify_levenshtein",
     "dedup_survivorship_merge", "dedup_exact_prefix", "embed_quantize_int8",
+    "dedup_semdedup_cells",
 ]
 
 # §2.12e training-data-pipeline extensions
