@@ -268,6 +268,60 @@ def q_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_hll_distinct_live",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           COUNT(DISTINCT user_id) AS exact_nd_users,
+           TRUE AS est_within_5pct
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    ORDER BY win_start
+    """,
+)
+def q_stream_hll_distinct_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DISTINCT-COUNT via sketch-state maintenance (round 8) —
+    the ingest-time form of agg_hll_sketch_merge: exact COUNT(DISTINCT)
+    is unsupported in streaming aggregation by design (unbounded
+    per-window key state), so a 100 TB pipeline maintains a MERGEABLE
+    DataSketches HLL per window in the state store instead —
+    ``hll_sketch_agg`` updates per micro-batch, the watermark evicts
+    closed windows, and state per window is one ~KB sketch blob
+    regardless of user cardinality.
+
+    Correctness contract (the agg_approx_distinct pattern, streaming
+    edition): the stream's real per-hour estimates join a batch exact
+    twin; the output carries the exact distinct counts (hash-verified
+    against DuckDB) plus ``est_within_5pct`` computed from the STREAMED
+    estimate, oracle-pinned TRUE — sketch drift through the state-store
+    update path is a driver hash failure."""
+    ev = events_stream(spark, sf_dir)
+    s = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.hll_sketch_estimate("sk").alias("est"),
+        )
+    )
+    streamed = run_available_now(s, "q_hll_distinct", "update")
+    from duckdb_postgis_spark.catalog import table
+
+    exact = table(spark, sf_dir, "events").groupBy(
+        F.date_trunc("hour", "ts").alias("win_start")
+    ).agg(F.count_distinct("user_id").alias("exact_nd_users"))
+    within = (
+        F.abs(F.col("est").cast("double") - F.col("exact_nd_users").cast("double"))
+        <= F.lit(0.05) * F.col("exact_nd_users").cast("double") + F.lit(1e-6)
+    )
+    return (
+        exact.join(streamed, "win_start")
+        .select("win_start", "exact_nd_users", within.alias("est_within_5pct"))
+        .orderBy("win_start")
+    )
+
+
+@query(
     "stream_sliding_live",
     oracle="""
     SELECT TIMESTAMP '1970-01-01 00:00:00'

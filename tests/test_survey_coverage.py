@@ -30,6 +30,7 @@ STREAMING = [
     "stream_watermark_late_live", "stream_dedup_live", "stream_user_state",
     "stream_static_join", "stream_stream_join", "stream_upsert_live",
     "stream_stream_left_outer", "stream_chained_dedup_agg",
+    "stream_hll_distinct_live",
 ]
 # §2.10 LLM pipeline L1-L9
 LLM = [
