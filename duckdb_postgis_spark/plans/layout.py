@@ -280,6 +280,92 @@ def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# Schema evolution on read (mergeSchema across file generations)
+# --------------------------------------------------------------------------
+def ensure_evolved_docs(spark: SparkSession, sf_dir: str) -> str:
+    """Two file GENERATIONS of the documents table in one directory — the
+    lakehouse schema-evolution shape: generation 1 (even doc_ids) wrote
+    (doc_id, lang, n_chars); generation 2 (odd doc_ids) later added
+    ``source`` and a derived ``quality`` column.  Parquet files carry
+    their own schemas; the append never rewrites generation-1 files."""
+    path = f"{_LAYOUT_ROOT}/evolved_docs_{_token(sf_dir, 'documents')}"
+    # completion marker distinct from _SUCCESS: the layout needs TWO write
+    # jobs, and the first one already drops _SUCCESS — a crash between
+    # them must not cache a single-generation directory as done
+    done = f"{path}/_EVOLVED_OK"
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents")
+        (
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "lang", "n_chars")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        (
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .select(
+                "doc_id",
+                "lang",
+                "n_chars",
+                "source",
+                (F.col("n_chars") % 100).cast("int").alias("quality"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+@query(
+    "schema_evolution_read",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_v2_rows,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 ELSE 0 END)
+               AS BIGINT) AS sum_quality,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION on read (SURVEY §2.13): a table whose later files
+    carry two extra columns is read as one DataFrame with
+    ``mergeSchema=true`` — old-generation rows surface NULL for the new
+    columns, no rewrite of historical files.  The aggregate proves both
+    generations arrived intact: total rows and id sums span generations,
+    ``n_v2_rows``/``sum_quality`` count only rows whose files HAVE the
+    new columns (NULL-correct on the merged frame).
+
+    Scale: mergeSchema reconciles footers at planning time — O(#files) on
+    the driver, the same cost Spark's scan planning already pays; data
+    files are never touched.  Production table formats (Delta/Iceberg)
+    move the merged schema into the table log to make this O(1); the
+    read-side NULL-fill semantics pinned here are identical."""
+    path = ensure_evolved_docs(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("quality").isNotNull(), 1).otherwise(0)
+            ).alias("n_v2_rows"),
+            F.sum(F.coalesce("quality", F.lit(0)).cast("long")).alias("sum_quality"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
 # IVF cell-partitioned embeddings (ANN probing as PARTITION PRUNING)
 # --------------------------------------------------------------------------
 def ensure_embeddings_by_cell(spark: SparkSession, sf_dir: str):

@@ -75,9 +75,11 @@ ORACLES: dict[str, str] = {}
 #       mergeable-summary trio, added after the r8 window filled;
 #       replica hash-green at sf0.001/0.01/0.1), dedup_semdedup_cells
 #       (llm.py — SemDeDup with hash-picked seed cells, replica
-#       hash-green at all three scales), and stream_hll_distinct_live
+#       hash-green at all three scales), stream_hll_distinct_live
 #       (streams.py — sketch-state streaming distinct, replica
-#       hash-green at sf0.001/0.01).  dedup_substring_spans,
+#       hash-green at sf0.001/0.01), and schema_evolution_read
+#       (plans/layout.py — mergeSchema across file generations, replica
+#       hash-green at all three scales).  dedup_substring_spans,
 #       similarity_search_pq and agg_quantile_histogram_merge made the r8
 #       window via (a3).  Plus any r8 window failures for a re-prove, plus
 #       knn_cosine_topk — its _block_pair_topk gained the post-freeze

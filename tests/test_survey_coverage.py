@@ -89,6 +89,7 @@ LAKEHOUSE = [
     "upsert_latest_wins", "scd2_history", "maintenance_compact_roundtrip",
     "incremental_agg_merge", "snapshot_time_travel", "join_scd2_point_in_time",
     "maintenance_scan_layout", "events_zorder_pruned", "events_directory_table",
+    "schema_evolution_read",
 ]
 
 ALL_DECLARED = (
