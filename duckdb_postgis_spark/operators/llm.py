@@ -137,8 +137,11 @@ _MINHASH_SEEDS = 12
 _LSH_BAND_ROWS = 4  # 3 bands × 4 rows: P(candidate) = 1-(1-j^4)^3
 
 
-def _shingle_df(docs: DataFrame, n: int) -> DataFrame:
-    """Distinct n-word shingles per doc (docs shorter than n words drop).
+def _shingle_df(docs: DataFrame, n: int, distinct: bool = True) -> DataFrame:
+    """N-word shingles per doc (docs shorter than n words drop); DISTINCT
+    per (doc, shingle) by default — pass ``distinct=False`` for consumers
+    whose downstream aggregate is duplicate-insensitive (minhash's min())
+    and should not pay the set-semantics exchange.
 
     Formulation matters (r8 rewrite, measured 3.8 s → 0.4 s at sf0.1):
     the old transform-lambda built each shingle by element_at over an
@@ -154,14 +157,11 @@ def _shingle_df(docs: DataFrame, n: int) -> DataFrame:
     )
     win = F.size("w") - (n - 1)
     z = F.arrays_zip(*[F.slice("w", k + 1, win) for k in range(n)])
-    return (
-        base.select("doc_id", F.explode(z).alias("t"))
-        .select(
-            "doc_id",
-            F.concat_ws(" ", *[F.col(f"t.{k}") for k in range(n)]).alias("shingle"),
-        )
-        .distinct()
+    sh = base.select("doc_id", F.explode(z).alias("t")).select(
+        "doc_id",
+        F.concat_ws(" ", *[F.col(f"t.{k}") for k in range(n)]).alias("shingle"),
     )
+    return sh.distinct() if distinct else sh
 
 
 #: shared candidate-pair CTE chain (shingles -> minhash -> bands -> cand),
@@ -250,15 +250,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columns on each shingle row map-side replaces the 12x seed explode
     # + groupBy(doc,seed) + groupBy(doc) two-shuffle chain with ONE
     # partial-aggregated shuffle of |docs|-row 12-column partials.
-    base = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= 3
-    )
-    win = F.size("w") - 2
-    z = F.arrays_zip(*[F.slice("w", k + 1, win) for k in range(3)])
-    sh = base.select("doc_id", F.explode(z).alias("t")).select(
-        "doc_id",
-        F.concat_ws(" ", *[F.col(f"t.{k}") for k in range(3)]).alias("shingle"),
-    )
+    sh = _shingle_df(docs, 3, distinct=False)
     # the 12-way md5 aggregate is the compute-heavy stage: pin its width
     # to max(shuffle partitions, cores) — the window_rank_topn lesson —
     # so the hash work never runs at scan-split parallelism (measured
@@ -584,6 +576,29 @@ _SQL_COS = (
     " / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))"
     " * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x))))"
 )
+
+
+def _sumsq(col) -> F.Column:
+    """Σx² as a sequential left fold — the ONE reduction-order shape that
+    matches DuckDB's list arithmetic bit-for-bit (cross-engine float
+    contract; see _SQL_COS).  New operators must use this helper rather
+    than re-declaring the lambda, so the IEEE op order can never drift
+    per copy."""
+    return F.aggregate(
+        F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot(a, b) -> F.Column:
+    """Σaᵢbᵢ as a sequential left fold over zip_with — same contract as
+    _sumsq."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 @query(
@@ -1019,17 +1034,7 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(kk)
         .select(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("se"))
     )
-    sumsq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    dot_es = F.aggregate(
-        F.zip_with("embedding", "se", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    c = dot_es / (F.sqrt(sumsq("embedding")) * F.sqrt(sumsq("se")))
+    c = _dot("embedding", "se") / (F.sqrt(_sumsq("embedding")) * F.sqrt(_sumsq("se")))
     w = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), "seed_id")
     cells = (
         emb.crossJoin(seeds)
@@ -1037,6 +1042,11 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("seed_id").alias("cell"))
+        # the n x K scoring + argmax is the dominant stage and BOTH sides
+        # of the pair self-join read it — persist the tiny ids-only
+        # (vec_id, cell) frame so it computes once (review finding: the
+        # executed plan re-ran the whole assignment subtree per side)
+        .persist()
     )
     ca = cells.select(F.col("vec_id").alias("a_id"), "cell")
     cb = cells.select(F.col("vec_id").alias("b_id"), "cell")
@@ -1044,22 +1054,17 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     av = emb.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("va"),
-        F.sqrt(sumsq("embedding")).alias("na"),
+        F.sqrt(_sumsq("embedding")).alias("na"),
     )
     bv = emb.select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("vb"),
-        F.sqrt(sumsq("embedding")).alias("nb"),
-    )
-    dot_ab = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        F.sqrt(_sumsq("embedding")).alias("nb"),
     )
     return (
         pairs.join(av, "a_id")
         .join(bv, "b_id")
-        .filter(dot_ab / (F.col("na") * F.col("nb")) >= _SEMDEDUP_TAU)
+        .filter(_dot("va", "vb") / (F.col("na") * F.col("nb")) >= _SEMDEDUP_TAU)
         .groupBy(F.col("b_id").alias("removed_id"), F.col("cell").alias("cell_seed"))
         .agg(F.min("a_id").alias("keep_id"))
         .select("removed_id", "keep_id", "cell_seed")
@@ -2401,6 +2406,16 @@ def _similarity_search_pq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n, dim = _corpus_stats(f"{sf_dir}/embeddings.parquet")
+    if dim % _PQ_M != 0 or dim // _PQ_M < 1:
+        # fail fast: a non-divisible dim silently drops the trailing
+        # dim % M components from codes AND LUTs while the exact re-rank
+        # uses all of them (recall loss surfacing as a confusing driver
+        # hash failure); dim < M degenerates to empty sub-slices, all-zero
+        # codes and 0/0 = NaN approx scores (review finding, this session)
+        raise ValueError(
+            f"similarity_search_pq requires embedding dim divisible by "
+            f"_PQ_M={_PQ_M} subspaces with at least 1 dim each; got dim={dim}"
+        )
     cand_k = max(100, n // 20)
     CB = _pq_train(_ivf_train_sample(emb))  # (M, K, subdim)
     subdim = CB.shape[2]
@@ -2462,17 +2477,9 @@ def _similarity_search_pq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    dot = F.aggregate(
-        F.zip_with("qe", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda a, x: a + x,
+    cos = _dot("qe", "embedding") / (
+        F.sqrt(_sumsq("qe")) * F.sqrt(_sumsq("embedding"))
     )
-    sumsq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    cos = dot / (F.sqrt(sumsq("qe")) * F.sqrt(sumsq("embedding")))
     return (
         emb.filter(F.col("vec_id") != 0)
         .join(F.broadcast(cand), "vec_id")

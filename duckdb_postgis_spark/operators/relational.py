@@ -756,19 +756,48 @@ def agg_quantile_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _CMS_W = 512  # counters per hash row
 _CMS_D = 4  # independent hash rows; estimate = min over rows
+_CMS_SHARDS = 16  # pre-aggregation shards, same knob as _QH_SHARDS/HLL
+
+#: the bucket function replayed verbatim in SQL: value of the first 8 hex
+#: digits of md5("d:key") mod W, digit-by-digit (DuckDB has no hex->int
+#: cast; Spark computes the identical integer via conv(...,16,10))
+_SQL_CMS_BUCKET = f"""
+    CAST(list_sum(list_transform(range(1, 9), j ->
+        CAST(strpos('0123456789abcdef',
+                    substr(md5(CAST({{d}} AS VARCHAR) || ':' || CAST({{key}} AS VARCHAR)),
+                           CAST(j AS INT), 1)) - 1 AS BIGINT)
+        * CAST(power(16, 8 - j) AS BIGINT))) % {_CMS_W} AS BIGINT)
+"""
 
 
 @query(
     "agg_cms_topk_merge",
-    oracle="""
-    SELECT l_suppkey, COUNT(*) AS exact_cnt,
+    oracle=f"""
+    WITH ds AS (SELECT unnest(range({_CMS_D})) AS d),
+    cells AS (
+        SELECT ds.d, {_SQL_CMS_BUCKET.format(d='ds.d', key='l_suppkey')} AS w,
+               COUNT(*) AS n
+        FROM lineitem CROSS JOIN ds
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT l_suppkey, COUNT(*) AS exact_cnt
+        FROM lineitem GROUP BY l_suppkey
+        ORDER BY exact_cnt DESC, l_suppkey
+        LIMIT 10
+    ),
+    probes AS (
+        SELECT t.l_suppkey, t.exact_cnt, ds.d,
+               {_SQL_CMS_BUCKET.format(d='ds.d', key='t.l_suppkey')} AS w
+        FROM top t CROSS JOIN ds
+    )
+    SELECT p.l_suppkey, p.exact_cnt,
+           CAST(MIN(c.n) AS BIGINT) AS cms_est,
            TRUE AS cms_ge_exact,
-           TRUE AS cms_within_eps,
            TRUE AS merge_equals_direct
-    FROM lineitem
-    GROUP BY l_suppkey
+    FROM probes p JOIN cells c ON c.d = p.d AND c.w = p.w
+    GROUP BY p.l_suppkey, p.exact_cnt
     ORDER BY exact_cnt DESC, l_suppkey
-    LIMIT 10
     """,
 )
 def agg_cms_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -781,14 +810,19 @@ def agg_cms_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine construction as the minhash/simhash family, so the
     whole sketch is replayable arithmetic, not engine-private state.
 
-    Three properties ride the exact top-10 (hash-verified against the
-    DuckDB twin), oracle-pinned TRUE:
+    The estimate itself is DIFFERENTIALLY verified: ``cms_est`` rides the
+    output as a value and the DuckDB oracle REPLAYS the whole sketch —
+    hash rows, counter table, min-over-rows read — so any drift in the
+    bucket arithmetic or the merge is a value mismatch, not a boolean.
+    (An earlier draft pinned the textbook e*N/W bound TRUE instead; that
+    bound is probabilistic — per-key failure ~(1/e)^D on adversarial
+    skew — so pinning it made legitimately unlucky data a driver hash
+    failure.  Replaying the sketch exactly is strictly stronger and
+    assumption-free — review finding, this session.)  Two structural
+    properties still ride as pinned booleans:
 
     - ``cms_ge_exact``: the CMS estimate never undercounts — the
-      structural one-sided-error guarantee (collisions only ADD);
-    - ``cms_within_eps``: estimate <= exact + e*N/W, the textbook CMS
-      error bound (Cormode & Muthukrishnan 2005) with N derived from the
-      merged sketch itself (row-0 counters sum to N);
+      deterministic one-sided-error guarantee (collisions only ADD);
     - ``merge_equals_direct``: the shard-merged counter table is
       CELL-EXACTLY the one-pass direct table — counter merge is lossless
       like the histogram's, unlike HLL's bounded union drift.
@@ -807,7 +841,7 @@ def agg_cms_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         % _CMS_W
     )
-    shard = F.pmod(F.hash("l_orderkey"), F.lit(16)).alias("shard")
+    shard = F.pmod(F.hash("l_orderkey"), F.lit(_CMS_SHARDS)).alias("shard")
     rows = li.select(
         shard, *[bucket(d, key).alias(f"_b{d}") for d in range(_CMS_D)]
     )
@@ -826,8 +860,7 @@ def agg_cms_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n", F.lit(-1)) == F.coalesce("n_direct", F.lit(-2)),
                     0,
                 ).otherwise(1)
-            ).alias("n_mismatch"),
-            F.sum(F.when(F.col("d") == 0, F.col("n")).otherwise(0)).alias("n_total"),
+            ).alias("n_mismatch")
         )
     )
     top = (
@@ -850,19 +883,13 @@ def agg_cms_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey", "exact_cnt")
         .agg(F.min("n").alias("cms_est"))
     )
-    eps_bound = F.lit(2.718281828459045) * F.col("n_total").cast("double") / F.lit(
-        float(_CMS_W)
-    )
     return (
         est.crossJoin(F.broadcast(mism))
         .select(
             "l_suppkey",
             "exact_cnt",
+            F.col("cms_est").cast("long").alias("cms_est"),
             (F.col("cms_est") >= F.col("exact_cnt")).alias("cms_ge_exact"),
-            (
-                F.col("cms_est").cast("double")
-                <= F.col("exact_cnt").cast("double") + eps_bound + F.lit(1e-6)
-            ).alias("cms_within_eps"),
             (F.col("n_mismatch") == 0).alias("merge_equals_direct"),
         )
         .orderBy(F.col("exact_cnt").desc(), "l_suppkey")

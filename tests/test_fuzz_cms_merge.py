@@ -1,14 +1,17 @@
 """Fuzz family 29: count-min-sketch top-k, differential on random skew.
 
-agg_cms_topk_merge pins the sketch's one-sided error, the textbook eN/W
-bound, and lossless shard merge.  This family re-derives all three on 40
+agg_cms_topk_merge pins the sketch's one-sided error and lossless shard
+merge, and DIFFERENTIALLY verifies the estimate itself (the DuckDB oracle
+replays the full sketch — hash rows, counter table, min-over-rows read —
+so ``cms_est`` is value-compared, not bound-pinned).  This family
+re-derives all of it on 40
 seeded random lineitem shapes — supplier cardinalities 3..3000 (both far
 below and well above the 512-counter width, so collision pressure is
 exercised), zipf-like and uniform frequency profiles, shuffled
 non-contiguous order keys — by running the operator against the registered
-DuckDB oracle on the same rows and requiring exact row-set equality (the
-three pinned-TRUE booleans included: an undercount, an eps-bound breach,
-or a lossy merge becomes a row mismatch here first).
+DuckDB oracle on the same rows and requiring exact row-set equality
+(estimates and pinned booleans included: an undercount, a bucket-
+arithmetic drift, or a lossy merge becomes a row mismatch here first).
 """
 
 from __future__ import annotations
