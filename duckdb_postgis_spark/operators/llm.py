@@ -1035,13 +1035,23 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("se"))
     )
     c = _dot("embedding", "se") / (F.sqrt(_sumsq("embedding")) * F.sqrt(_sumsq("se")))
-    w = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), "seed_id")
+    # argmax as a partial-aggregating max_by over (c, -seed_id) — struct
+    # ordering is lexicographic, so max picks highest cosine then LOWEST
+    # seed id, exactly the oracle's ROW_NUMBER() ... ORDER BY c DESC,
+    # seed_id ASC pick.  vs the window form this combines map-side: the
+    # n x K scored rows never sort and never shuffle (measured at the
+    # sf10 shape: assignment-dominated runtime 696 s -> see SURVEY §r8
+    # item 21 follow-up), and c values are the identical expression in
+    # both plans so the argmax winner cannot differ.
     cells = (
         emb.crossJoin(seeds)
         .select("vec_id", "seed_id", c.alias("c"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("cell"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "seed_id", F.struct(F.col("c"), (-F.col("seed_id")).alias("nseed"))
+            ).alias("cell")
+        )
         # the n x K scoring + argmax is the dominant stage and BOTH sides
         # of the pair self-join read it — persist the tiny ids-only
         # (vec_id, cell) frame so it computes once (review finding: the
