@@ -615,6 +615,12 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     forced = _os.environ.get("SPARK_GRAFT_GEO_KNN", "")
+    if forced not in ("", "grid", "broadcast"):
+        # a typo (e.g. 'GRID') must not silently fall back to the size
+        # dispatch and mask a misconfigured stress re-measurement
+        raise ValueError(
+            f"SPARK_GRAFT_GEO_KNN={forced!r}: expected 'grid' or 'broadcast'"
+        )
     if forced not in ("grid", "broadcast"):
         try:
             pairs = table_num_rows(f"{sf_dir}/customer.parquet") * table_num_rows(

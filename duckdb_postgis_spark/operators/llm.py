@@ -259,8 +259,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1466 ms).  The repartition doubles as the (doc_id-satisfying)
     # exchange the groupBy needs, so no second shuffle follows.
     try:
-        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:  # "auto" under some AQE configs
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "0"))
+    except (TypeError, ValueError):  # "auto" under some AQE configs / None
         shuffle_n = 0
     nparts = max(shuffle_n, spark.sparkContext.defaultParallelism)
     mins = [

@@ -674,6 +674,15 @@ def agg_quantile_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     x = F.col("l_extendedprice").cast("double")
     lo, hi = li.agg(F.min(x), F.max(x)).first()
+    if lo is None or hi is None:
+        # empty (or all-NULL) input: min/max are NULL and no row can land
+        # in any bin — return the declared empty result instead of
+        # float(None) crashing (the _block_pair_topk empty-corpus rule)
+        return spark.createDataFrame(
+            [],
+            "l_returnflag string, exact_p50 double, "
+            "median_rank_in_bin boolean, merge_equals_direct boolean",
+        )
     width = (float(hi) - float(lo)) / _QH_BINS or 1.0
     bin_of = F.least(
         F.greatest(F.floor((x - F.lit(float(lo))) / F.lit(width)), F.lit(0)),
