@@ -41,6 +41,274 @@ import statistics
 import sys
 import time
 
+#: drift control (r9, judge order #4): the floor_scan probe's value on the
+#: session/machine state BASELINE.md's DuckDB twins were measured against.
+#: core8_drift_normalized_sec = core8 * (this / today's floor_scan_ms), so
+#: cross-round core8 comparisons are corrected by a probe that exercises
+#: the scan+agg path (where the r7->r8 +15.5% drift actually lived —
+#: floor_noop_ms stayed flat because py4j round-trips don't touch it).
+FLOOR_SCAN_REF_MS = 78.9  # r9 reference measurement under the bench session
+#                           (8g heap, plan-subtracted — the same run−plan
+#                           method the query numbers use)
+
+
+#: per-query DuckDB budget at the sf1 shape.  A twin that cannot finish
+#: one warm pass inside this is recorded as DNF (null), NOT silently
+#: dropped — at this shape the known case is knn_cosine_topk's all-pairs
+#: oracle (the r7 sweep measured it beyond any budget at 20 k vectors).
+SF1_DUCKDB_BUDGET_SEC = 120.0
+
+_SF1_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _floor_scan(spark, data_dir: str, cols: list[str]) -> float:
+    """Scan+sum floor over lineitem for the given column set, measured
+    the same way the queries are: fresh DataFrame per rep, MINUS the
+    measured plan-only cost (listing + footer + Catalyst ≈ 100 ms per
+    fresh read at sf1 — leaving it in would overstate the floor vs the
+    plan-subtracted query numbers it is compared against)."""
+    import statistics as _st
+
+    from pyspark.sql import functions as F
+
+    def build():
+        return spark.read.parquet(f"{data_dir}/lineitem.parquet").agg(
+            *[F.sum(c) for c in cols]
+        )
+
+    for _ in range(3):
+        build().toArrow()
+    plan_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        build()._jdf.queryExecution().executedPlan()
+        plan_times.append(time.perf_counter() - t0)
+    plan_ms = min(plan_times) * 1000
+    times = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        build().toArrow()
+        times.append(time.perf_counter() - t0)
+    return round(max(_st.median(times) * 1000 - plan_ms, 0.0), 1)
+
+
+def bench_sf1_shape(headline, queries, cpus) -> dict:
+    """The 10 headliners at the 10×-replicated sf1 shape, Spark and the
+    DuckDB oracle twins side-by-side on the SAME multi-row-group files
+    (the stress generator writes 200 k-row groups, so neither engine pays
+    the raw single-row-group layout tax — no layout dance needed here).
+    Spark: 1 warm pass, plan_ms = min of 3 plan-only builds, median of 3
+    fresh-plan timed runs, reported as run − plan (same method as the
+    sf0.1 headline).  DuckDB: 1 warm pass under a watchdog budget, then
+    median of 3 timed execute+fetchall."""
+    import statistics as _st
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+    from make_scale_stress import build
+
+    from duckdb_postgis_spark.catalog import ensure_scan_layout
+
+    t0 = time.perf_counter()
+    raw = build(10, os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_stress"))
+    # same discipline as the sf0.1 headline: both engines run on the
+    # engine's one-time scan-layout normalization (row-group-parallel
+    # files; the stress generator writes 200k-row groups, which leaves
+    # the small-but-compute-heavy documents/embeddings tables with 1-3
+    # groups = 1-3 scan tasks)
+    d, _ = ensure_scan_layout(raw)
+    build_sec = round(time.perf_counter() - t0, 2)
+
+    from pyspark.sql import SparkSession
+
+    # 10× the data: wider shuffle, 8 MB splits (the 134 MiB lineitem fans
+    # to ~17 scan tasks; the sf0.1 session's 1 MB splits would make 4000+
+    # sub-ms tasks whose scheduling swamps the work)
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("duckdb-postgis-spark-bench-sf1")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", "32768")
+        .config("spark.sql.files.minPartitionNum", cpus)
+        .config("spark.locality.wait", "0")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in headline:  # warm pass (page cache, codegen, broadcasts)
+        queries[name](spark, d).toArrow()
+    plan: dict[str, float] = {}
+    for name in headline:
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = queries[name](spark, d)
+            df._jdf.queryExecution().executedPlan()
+            times.append(time.perf_counter() - t0)
+        plan[name] = min(times) * 1000
+    spark_sec: dict[str, float] = {}
+    for name in headline:
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            queries[name](spark, d).toArrow()
+            times.append(time.perf_counter() - t0)
+        med = _st.median(times) * 1000
+        spark_sec[name] = round(max(med - plan[name], 0.0) / 1000, 4)
+    # the sf1-shape floor control: the bare one-column scan+sum of the
+    # 6 M-row lineitem IS this shape's machine floor (measured r9:
+    # ~250 ms Spark vs ~7 ms DuckDB — local-mode scan-task scheduling +
+    # parquet decode, not plan quality).  Recorded so per-query ratios
+    # at this shape can be floor-adjusted the same way BASELINE.md
+    # floor-accounts the sf0.1 numbers.
+    floor_spark_ms = _floor_scan(spark, d, ["l_extendedprice"])
+    # width-matched floor: most headliners read 4+ columns, and parquet
+    # DECODE (not scheduling) is the dominant floor term at this shape
+    floor_spark_wide_ms = _floor_scan(
+        spark, d, ["l_extendedprice", "l_partkey", "l_suppkey", "l_orderkey"]
+    )
+    spark.stop()
+
+    import threading
+
+    import duckdb
+
+    from duckdb_postgis_spark import registry
+
+    con = duckdb.connect()
+    for t in _SF1_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+
+    def timed_duck(sql: str, budget: float):
+        """One execute+fetchall under a watchdog; (seconds, finished)."""
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(budget):
+                con.interrupt()
+
+        w = threading.Thread(target=watchdog, daemon=True)
+        w.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+            return time.perf_counter() - t0, True
+        except Exception:
+            return budget, False
+        finally:
+            done.set()
+            w.join()
+
+    duck_sec: dict[str, float | None] = {}
+    dnf: list[str] = []
+    for name in headline:
+        sql = registry.ORACLES[name]
+        warm, ok = timed_duck(sql, SF1_DUCKDB_BUDGET_SEC)
+        if not ok:
+            duck_sec[name] = None
+            dnf.append(name)
+            continue
+        # slow-but-finished twins get 1 timed rep (the warm pass already
+        # measured them within noise); fast ones get a 3-rep median
+        reps = 1 if warm > 20 else 3
+        times = []
+        for _ in range(reps):
+            sec, ok = timed_duck(sql, SF1_DUCKDB_BUDGET_SEC * 2)
+            if not ok:
+                break
+            times.append(sec)
+        duck_sec[name] = round(_st.median(times), 4) if times else round(warm, 4)
+    floor_sql = (
+        "SELECT sum(l_extendedprice) FROM "
+        f"read_parquet('{d}/lineitem.parquet')"
+    )
+    for _ in range(3):
+        con.execute(floor_sql).fetchall()
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        con.execute(floor_sql).fetchall()
+        times.append(time.perf_counter() - t0)
+    floor_duck_ms = round(_st.median(times) * 1000, 1)
+    wide_sql = (
+        "SELECT sum(l_extendedprice), sum(l_partkey), sum(l_suppkey), "
+        f"sum(l_orderkey) FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    for _ in range(3):
+        con.execute(wide_sql).fetchall()
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        con.execute(wide_sql).fetchall()
+        times.append(time.perf_counter() - t0)
+    floor_duck_wide_ms = round(_st.median(times) * 1000, 1)
+    con.close()
+
+    ratio = {
+        k: round(spark_sec[k] / duck_sec[k], 2)
+        for k in headline
+        if duck_sec.get(k)
+    }
+    # floor-adjusted ratio: subtract each engine's measured bare-scan
+    # floor at THIS shape before comparing — what remains is the work the
+    # PLAN adds over one table scan.  Clamped at 0 when a query beats its
+    # own engine's lineitem floor (smaller table / fewer columns / limit
+    # pushdown); those queries are at-floor by definition.
+    ratio_adj = {
+        k: round(
+            max(spark_sec[k] - floor_spark_ms / 1000, 0.0)
+            / max(duck_sec[k] - floor_duck_ms / 1000, 1e-3),
+            2,
+        )
+        for k in headline
+        if duck_sec.get(k)
+    }
+    # when EITHER engine runs within 2x of its own scan floor, the
+    # subtraction above amplifies floor noise into a fake plan signal —
+    # flag those queries explicitly instead of letting the adjusted
+    # ratio mislead in either direction
+    at_floor = [
+        k
+        for k in headline
+        if duck_sec.get(k) is not None
+        and (
+            spark_sec[k] < 2 * floor_spark_ms / 1000
+            or duck_sec[k] < 2 * floor_duck_ms / 1000
+        )
+    ]
+    completed = [k for k in headline if duck_sec.get(k) is not None]
+    return {
+        "dir": d,
+        "build_sec": build_sec,
+        "duckdb_budget_sec": SF1_DUCKDB_BUDGET_SEC,
+        "queries": spark_sec,
+        "plan_ms": {k: round(v, 1) for k, v in plan.items()},
+        "duckdb": duck_sec,
+        "duckdb_dnf": dnf,
+        "floor_scan_ms": floor_spark_ms,
+        "floor_scan_wide_ms": floor_spark_wide_ms,
+        "floor_scan_duckdb_ms": floor_duck_ms,
+        "floor_scan_wide_duckdb_ms": floor_duck_wide_ms,
+        "ratio_vs_duckdb": ratio,
+        "ratio_floor_adjusted": ratio_adj,
+        "at_floor": at_floor,
+        "total_sec": round(sum(spark_sec.values()), 4),
+        "total_sec_duckdb_completed_twins": round(
+            sum(duck_sec[k] for k in completed), 4
+        ),
+        "total_sec_spark_same_twins": round(
+            sum(spark_sec[k] for k in completed), 4
+        ),
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,12 +337,21 @@ def main() -> None:
         spark = (
             SparkSession.builder.master(f"local[{cpus}]")
             .appName("duckdb-postgis-spark-bench")
+            # the FIRST builder call launches the JVM and fixes the driver
+            # heap for the whole bench process — the sf1-shape section
+            # (10x data, single local JVM) needs more than the 1g default,
+            # and a later getOrCreate cannot raise it
+            .config("spark.driver.memory", "8g")
             .config("spark.sql.adaptive.enabled", "false")
             .config("spark.sql.shuffle.partitions", "8")
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.sql.files.maxPartitionBytes", "1048576")
-            .config("spark.sql.files.openCostInBytes", "131072")
+            .config("spark.sql.files.openCostInBytes", "32768")
+            # split small compute-heavy files (documents: ~0.5 MB holding
+            # a seconds-scale text stage) across cores — bytesPerCore
+            # from this floor, not the byte-size default
+            .config("spark.sql.files.minPartitionNum", cpus)
             .config("spark.locality.wait", "0")
             .config("spark.ui.enabled", "false")
             .getOrCreate()
@@ -127,6 +404,14 @@ def main() -> None:
             noop.toArrow()
             floor_times.append(time.perf_counter() - t0)
         return round(statistics.median(floor_times) * 1000, 1)
+
+    # Fixed scan+agg control (r9, judge order #4): one table, one sum —
+    # the smallest plan that exercises scan + codegen + single-stage agg,
+    # i.e. the path the r7→r8 cross-round drift lived on (floor_noop_ms
+    # was flat through that drift because a no-op never touches the scan).
+    # Fresh DataFrame per rep, same discipline as the timed queries.
+    def measure_floor_scan(spark, data_dir: str) -> float:
+        return _floor_scan(spark, data_dir, ["l_extendedprice"])
 
     def measure(spark, data_dir: str, reps: int):
         # two discarded full passes warm codegen/JIT, page cache and
@@ -181,7 +466,21 @@ def main() -> None:
 
     spark = make_session()
     floor_ms = measure_floor(spark)
+    floor_scan_ms = measure_floor_scan(spark, opt_dir)
     results, plan_ms, run_full_ms = measure(spark, opt_dir, reps=5)
+    spark.stop()
+
+    # ---- sf1-shape section (r9, judge order #3): the 10 headliners at
+    # 10× the bench scale, same fresh-plan method, same-machine DuckDB
+    # twins run side-by-side in THIS process — at this shape per-query
+    # ratios measure plans, not the ~100 ms local-mode floors that
+    # dominate sf0.1.  Skippable via SPARK_GRAFT_BENCH_SF1=0.
+    sf1_section: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+        try:
+            sf1_section = bench_sf1_shape(headline, queries, cpus)
+        except Exception as exc:  # a broken stress build must not kill
+            sf1_section = {"error": f"{type(exc).__name__}: {exc}"}
 
     total = round(sum(results.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -214,6 +513,19 @@ def main() -> None:
                 "plan_ms": {k: round(v, 1) for k, v in plan_ms.items()},
                 "run_full_ms": run_full_ms,
                 "floor_noop_ms": floor_ms,
+                # r9 drift control: fixed scan+agg probe + the core8 total
+                # rescaled to the floor_scan reference, so cross-round
+                # core8 deltas separate plan changes from machine drift
+                "floor_scan_ms": floor_scan_ms,
+                "floor_scan_ref_ms": FLOOR_SCAN_REF_MS,
+                "core8_drift_normalized_sec": round(
+                    sum(v for k, v in results.items() if k in CORE8)
+                    * (FLOOR_SCAN_REF_MS / floor_scan_ms),
+                    4,
+                )
+                if floor_scan_ms
+                else None,
+                "sf1_shape": sf1_section,
                 "methodology": (
                     "r6: fresh plan per timed run (shuffle map stages "
                     "re-execute); queries = run_full - measured plan_ms; "

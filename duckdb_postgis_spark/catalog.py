@@ -273,6 +273,16 @@ _SCAN_LAYOUT_ROOT = "/tmp/duckdb_postgis_spark_layout/scan"
 _SCAN_LAYOUT_MIN_ROWS = 50_000
 #: don't create row groups smaller than this (metadata overhead dominates)
 _SCAN_LAYOUT_MIN_GROUP = 16_384
+#: per-table overrides (r9): documents and embeddings carry orders of
+#: magnitude more PER-ROW compute (split/shingle/stopword scans, 64-dim
+#: array math) than the TPC-H scalar tables, so their scans are
+#: compute-bound, not byte-bound — a 5 MB single-row-group documents file
+#: serializes a seconds-long text stage onto 2 of 32 cores (measured at
+#: the sf1 shape: the pipeline quality filter ran 2.0 s on 2 tasks).
+#: Finer groups let BOTH engines fan the compute out; group metadata
+#: overhead is nanoseconds against millisecond-per-row work.
+_SCAN_LAYOUT_MIN_ROWS_OF = {"documents": 2_048, "embeddings": 2_048}
+_SCAN_LAYOUT_MIN_GROUP_OF = {"documents": 1_024, "embeddings": 1_024}
 
 
 def ensure_scan_layout(
@@ -310,7 +320,7 @@ def ensure_scan_layout(
 
     import pyarrow.parquet as pq
 
-    sig_parts = [sf_dir, str(target_groups)]
+    sig_parts = [sf_dir, str(target_groups), "v2-granular-text"]
     for t in TABLES:
         st = os.stat(f"{sf_dir}/{t}.parquet")
         sig_parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
@@ -336,8 +346,10 @@ def ensure_scan_layout(
             continue
         pf = pq.ParquetFile(src)
         rows = pf.metadata.num_rows
-        groups = max(1, min(target_groups, rows // _SCAN_LAYOUT_MIN_GROUP))
-        if rows < _SCAN_LAYOUT_MIN_ROWS or pf.metadata.num_row_groups >= groups:
+        min_rows = _SCAN_LAYOUT_MIN_ROWS_OF.get(t, _SCAN_LAYOUT_MIN_ROWS)
+        min_group = _SCAN_LAYOUT_MIN_GROUP_OF.get(t, _SCAN_LAYOUT_MIN_GROUP)
+        groups = max(1, min(target_groups, rows // min_group))
+        if rows < min_rows or pf.metadata.num_row_groups >= groups:
             # already scan-friendly (or too small to matter): link as-is.
             # os.stat follows the link, so every size/mtime cache key
             # (table cache, ts probe) keys on the REAL file.

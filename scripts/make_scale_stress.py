@@ -58,9 +58,17 @@ STRIDE_OF = {
 }
 
 
-def main() -> int:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_stress"
+def build(k: int = 10, out: str = "/tmp/sf1_stress") -> str:
+    """Build (or reuse) the K×-replicated stress copy; returns ``out``.
+
+    Idempotent via the ``_STRESS_OK`` completion marker (records K, so a
+    directory built at a different K is rebuilt, never silently reused) —
+    bench.py's sf1-shape section calls this every round."""
+    marker = os.path.join(out, "_STRESS_OK")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == f"k={k}":
+                return out
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
@@ -135,6 +143,15 @@ def main() -> int:
             f"SELECT COUNT(*) FROM read_parquet('{out}/{t}.parquet')"
         ).fetchone()
         print(f"{t}: {n} rows")
+    with open(marker, "w") as fh:
+        fh.write(f"k={k}")
+    return out
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_stress"
+    build(k, out)
     return 0
 
 
