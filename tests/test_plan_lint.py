@@ -130,6 +130,11 @@ def test_no_unbounded_driver_collect():
         # power iteration reduces each pass to a _PCA_DIMS-row vector —
         # the driver sees 64 rows per iteration, never the corpus
         ("operators/llm.py", ".limit(_PCA_DIMS).collect()"),
+        # SemDeDup matmul assignment: the K-seed frame (limit(kk) upstream,
+        # K = n/1024) comes to the driver to build the broadcast seed
+        # matrix — K rows, never the corpus; the SQL path broadcasts the
+        # identical frame JVM-side
+        ("operators/llm.py", "seed_frame.collect()"),
     ]
     offenders = []
     for p in sorted(pkg.rglob("*.py")):
