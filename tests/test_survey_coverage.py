@@ -109,49 +109,42 @@ def test_every_survey_operator_is_registered():
 
 def test_driver_window_covers_required_families():
     """The driver verifies only the first DRIVER_WINDOW entries of
-    queries().  Round-8 rotation policy (CORRECTNESS_r07 was 50/50, so all
-    r7 slots rotate out with verdicts standing): the window holds (a) first
-    verdicts for the two post-r7-freeze additions, (a2) every query whose
-    code changed in round 8 (adaptive LSH, grid kNN dispatch, theta guard,
-    the minhash/shingle rewrites and their consumers, the four
-    split-materialization fixes), (b) the 34 r5-era verdicts, and (c) the
-    stalest r6 refreshes in the remaining slots."""
+    queries().  Round-9 rotation policy (CORRECTNESS_r08 was 50/50, so all
+    r8 slots rotate out with verdicts standing): the window holds (a)
+    first driver verdicts for the four post-r8-window additions, (a2)
+    knn_cosine_topk (post-freeze _BLOCK_MAX_ROWS cap = changed code
+    outranks refreshes), and (b) the 45 queries whose latest verdict is
+    r6-era, which exactly exhausts the 50 slots.  After this window lands
+    every registered query has a driver verdict and none is older than
+    r7 — the r8 judge's order #1 'Done' bar."""
     window = set(list(registry.all_queries())[: registry.DRIVER_WINDOW])
-    post_r7 = {"agg_hll_sketch_merge", "multimodal_phash_dedup"}
-    changed_r8 = {
-        "knn_ivf_lsh", "similarity_search_ann", "geo_knn_join",
-        "join_theta_range", "dedup_minhash_lsh", "dedup_survivorship_merge",
-        "dedup_verify_levenshtein", "text_gopher_quality",
-        "text_repetition_ratio", "contamination_ngram_overlap",
-        "pipeline_training_e2e",
-        # changed-in-r8 members that also sit in the r5-era set below:
-        "dedup_embedding_cosine", "dedup_ngram_jaccard", "text_fingerprint",
-        "dedup_cluster_components",
+    added_post_r8 = {
+        "agg_cms_topk_merge", "dedup_semdedup_cells",
+        "stream_hll_distinct_live", "schema_evolution_read",
     }
-    r5_era = {
-        "geo_point_wkt", "geo_crs_infer_ranges", "geo_wkb_roundtrip",
-        "incremental_agg_merge", "dedup_ngram_jaccard", "dedup_simhash",
-        "dedup_embedding_cosine", "text_analysis_grouped",
-        "text_language_id", "text_quality_score", "text_token_count",
-        "text_fingerprint", "text_shingle_udtf", "text_tfidf_top_terms",
-        "cogroup_reconcile", "dedup_cluster_components",
-        "dedup_exact_prefix", "embed_quantize_int8",
-        "multimodal_frame_sample", "multimodal_dedup_exact",
-        "agg_approx_distinct", "grouping_sets_cube_rollup",
-        "window_rank_topn", "window_analytic", "sort_limit_topk",
-        "json_extract_events", "agg_percentiles", "pivot_lang_counts",
-        "agg_histogram", "join_null_safe", "sample_temperature_weighted",
-        "text_unigram_likelihood", "text_pii_scrub",
-        "join_bucketed_colocated",
+    changed_r8_post_freeze = {"knn_cosine_topk"}
+    r6_era = {
+        "geo_transform_27700_to_4326", "multimodal_meta_stats",
+        "multimodal_image_features", "multimodal_audio_energy",
+        "scan_project", "filter_pred", "pricing_summary",
+        "join_inner_hash", "join_broadcast_4way", "join_left_right_full",
+        "join_semi_anti", "join_asof", "set_ops",
+        "scalar_string_date_math", "array_map_json", "subquery_scalar_in",
+        "distinct_dedup_exact", "agg_skew_salted",
+        "events_partition_pruned", "join_range_bucketed",
+        "events_multigrain_rollup", "window_trailing_range",
+        "unpivot_metrics", "window_rank_distribution", "agg_string_bool",
+        "agg_corr_exact", "events_funnel", "retention_cohorts",
+        "sessionize_islands", "events_anomaly_zscore",
+        "events_gap_fill_locf", "join_skew_salted", "geo_bbox_join_grid",
+        "geo_cell_rollup", "geo_haversine_radius", "multimodal_scene_cut",
+        "agg_approx_percentiles", "events_autocorrelation",
+        "agg_mode_per_group", "events_changepoint_cusum",
+        "join_semi_bloom_prefilter", "pipeline_geo_file_e2e",
+        "snapshot_time_travel", "join_scd2_point_in_time",
+        "stream_session_live",
     }
-    # (a3) in-round r8 additions — first verdicts outrank refreshes, so
-    # the three planned stalest-r6 refreshes (scan_project, filter_pred,
-    # join_inner_hash) moved to the r9 displaced set
-    added_r8 = {
-        "dedup_substring_spans", "similarity_search_pq",
-        "agg_quantile_histogram_merge",
-    }
-    required = post_r7 | changed_r8 | r5_era | added_r8
+    required = added_post_r8 | changed_r8_post_freeze | r6_era
     missing = sorted(required - window)
     assert not missing, f"outside driver window: {missing}"
     assert len(required) == registry.DRIVER_WINDOW
