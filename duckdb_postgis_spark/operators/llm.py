@@ -943,6 +943,53 @@ def _dedup_cos_pairs(
     )
 
 
+@query(
+    "dedup_crosslingual_semantic",
+    oracle=f"""
+    {_SQL_DEDUP_COS_CAND_TPL.format(exact_n=_DEDUP_COS_EXACT_N, bands=_LSH_BANDS)}
+    SELECT c.a_id, c.b_id, da.lang AS lang_a, db.lang AS lang_b,
+           ROUND({_SQL_COS}, 6) AS cosine
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.a_id
+    JOIN embeddings b ON b.vec_id = c.b_id
+    JOIN documents da ON da.doc_id = c.a_id
+    JOIN documents db ON db.doc_id = c.b_id
+    WHERE {_SQL_COS} >= {_SQL_COS_THRESH} AND da.lang <> db.lang
+    ORDER BY c.a_id, c.b_id
+    """,
+)
+def dedup_crosslingual_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual semantic duplicate pairs (r9): embedding-cosine
+    near-dups whose documents carry DIFFERENT language tags — the
+    translation-dedup pass multilingual pretraining corpora need
+    (parallel/translated documents share no n-grams, so MinHash/SimHash
+    miss them entirely; only the embedding space sees them — the reason
+    CCMatrix/NLLB mine bitext by embedding distance).  Composition:
+    dedup_embedding_cosine's banded candidate-then-verify machinery
+    (same adaptive bit-width law, same exact-cosine verify) followed by
+    two ids-only lang attaches (doc_id = vec_id in this corpus) and the
+    lang_a <> lang_b filter.
+
+    Scale: identical to dedup_embedding_cosine — the (band, bucket)
+    co-location shuffle plus ids-only re-joins; the lang attach joins on
+    vec_id AFTER pair verification, so document rows never multiply
+    through the pair space.  The DuckDB oracle replays candidates +
+    verify + lang filter verbatim; hash-checked end-to-end."""
+    emb = table(spark, sf_dir, "embeddings")
+    n, dim = _corpus_stats(f"{sf_dir}/embeddings.parquet")
+    pairs = _dedup_cos_pairs(emb, n, dim)
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    la = langs.select(F.col("doc_id").alias("a_id"), F.col("lang").alias("lang_a"))
+    lb = langs.select(F.col("doc_id").alias("b_id"), F.col("lang").alias("lang_b"))
+    return (
+        pairs.join(la, "a_id")
+        .join(lb, "b_id")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select("a_id", "b_id", "lang_a", "lang_b", "cosine")
+        .orderBy("a_id", "b_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # SemDeDup: semantic dedup by cell partitioning (round 8)
 # --------------------------------------------------------------------------

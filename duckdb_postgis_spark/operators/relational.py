@@ -441,6 +441,77 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, next_event_ts, next_event_value
+    FROM (
+        SELECT o.o_orderkey, o.o_orderdate,
+               e.ts AS next_event_ts, e.value AS next_event_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o.o_orderkey
+                   ORDER BY e.ts ASC NULLS LAST, e.event_id ASC NULLS LAST
+               ) AS rn
+        FROM orders o
+        LEFT JOIN events e
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ) t
+    WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (r9): earliest event at-or-after each order's
+    date for that customer — the mirror of join_asof (R9), completing the
+    backward/forward pair every time-series store exposes (pandas
+    merge_asof direction='forward', QuestDB/kdb aj variants).  Same
+    union-merge shape, reflected: orders sort BEFORE events at equal ts
+    (>= admits same-instant events), one window per user ordered
+    ascending with first_value(ignoreNulls) over the FOLLOWING frame.
+    ONE shuffle, zero join nodes, linear in |events| + |orders| — the
+    inequality-join rewrite explodes per (user, order) pair before
+    pruning, exactly the round-1 as-of lesson."""
+    orders = table(spark, sf_dir, "orders")
+    events = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    ev = events.filter(F.col("ts").isNotNull()).select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("mts"),
+        F.lit(1).alias("side"),  # events sort after orders at equal ts (>=)
+        "event_id",
+        F.struct(
+            F.col("ts").alias("ets"), F.col("value").alias("eval")
+        ).alias("ev"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+    )
+    od = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").cast("timestamp").alias("mts"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None)
+        .cast("struct<ets:timestamp,eval:double>")
+        .alias("ev"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(F.col("mts").asc(), F.col("side").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        ev.unionByName(od)
+        .withColumn("next_ev", F.first("ev", ignorenulls=True).over(w))
+        .filter(F.col("side") == 0)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("next_ev.ets").alias("next_event_ts"),
+            F.col("next_ev.eval").alias("next_event_value"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # R10 distinct aggregates
 # --------------------------------------------------------------------------

@@ -12,7 +12,7 @@ registry.load_all()
 RELATIONAL = [
     "scan_project", "filter_pred", "pricing_summary", "join_inner_hash",
     "join_broadcast_4way", "join_left_right_full", "join_semi_anti",
-    "join_theta_range", "join_asof", "agg_distinct", "agg_approx_distinct",
+    "join_theta_range", "join_asof", "join_asof_forward", "agg_distinct", "agg_approx_distinct",
     "grouping_sets_cube_rollup", "window_rank_topn", "window_analytic",
     "sort_limit_topk", "set_ops", "scalar_string_date_math",
     "array_map_json", "subquery_scalar_in", "distinct_dedup_exact",
@@ -37,6 +37,7 @@ LLM = [
     "text_stats", "text_normalize_tokenize", "dedup_exact_hash",
     "dedup_minhash_lsh", "embed_normalize", "knn_cosine_topk",
     "similarity_search_query", "multimodal_join", "text_analysis_grouped",
+    "dedup_crosslingual_semantic",
 ]
 # §2.11 geo surface (query-form subset of G1-G7)
 GEO = [
