@@ -120,6 +120,14 @@ ORACLES: dict[str, str] = {}
 # dedup_semdedup_cells is windowed (it is in (a) anyway).  The other three
 # hold r8 verdicts — the freshest possible — and the window is exactly
 # full, so they are displaced to the r10 window per (c).
+#
+# (a3) IN-ROUND r9 ADDITIONS (the r8 (a3) precedent: first verdicts
+# outrank refreshes): join_asof_forward and dedup_crosslingual_semantic
+# take the last two window slots; the two displaced refreshes are
+# geo_haversine_radius and geo_cell_rollup — chosen because both are
+# exercised end-to-end by the in-window pipeline_geo_file_e2e and by the
+# 25-seed geo fuzz family, so they carry the strongest indirect coverage
+# of the (b) set.  They lead the r10 refresh list (verdicts r6-era).
 PRIORITY: tuple[str, ...] = (
     # -- (a) post-r8-window additions: first driver verdicts ---------------
     "agg_cms_topk_merge",
@@ -162,8 +170,6 @@ PRIORITY: tuple[str, ...] = (
     "events_gap_fill_locf",
     "join_skew_salted",
     "geo_bbox_join_grid",
-    "geo_cell_rollup",
-    "geo_haversine_radius",
     "multimodal_scene_cut",
     "agg_approx_percentiles",
     "events_autocorrelation",
@@ -174,6 +180,9 @@ PRIORITY: tuple[str, ...] = (
     "snapshot_time_travel",
     "join_scd2_point_in_time",
     "stream_session_live",
+    # -- (a3) in-round r9 additions: first driver verdicts -----------------
+    "join_asof_forward",
+    "dedup_crosslingual_semantic",
 )
 
 DRIVER_WINDOW = 50
