@@ -128,6 +128,16 @@ ORACLES: dict[str, str] = {}
 # exercised end-to-end by the in-window pipeline_geo_file_e2e and by the
 # 25-seed geo fuzz family, so they carry the strongest indirect coverage
 # of the (b) set.  They lead the r10 refresh list (verdicts r6-era).
+#
+# (a4) IN-ROUND r9 CHANGED CODE (changed code outranks refreshes, the
+# knn_cosine_topk precedent): join_theta_range gained the auto-dispatch
+# to join_range_bucketed (inactive at driver scale but a real plan
+# branch) and pipeline_training_e2e's dedup exchange now ships
+# (doc_id, sha256) instead of the text body (the executed driver-scale
+# plan CHANGED) — both hold r8 verdicts, both re-enter the window.
+# Displaced: geo_bbox_join_grid (geo fuzz + e2e coverage) and
+# multimodal_scene_cut (family keeps 3 in-window members); both join
+# the r10 refresh lead with the two geo displacees.
 PRIORITY: tuple[str, ...] = (
     # -- (a) post-r8-window additions: first driver verdicts ---------------
     "agg_cms_topk_merge",
@@ -169,8 +179,7 @@ PRIORITY: tuple[str, ...] = (
     "events_anomaly_zscore",
     "events_gap_fill_locf",
     "join_skew_salted",
-    "geo_bbox_join_grid",
-    "multimodal_scene_cut",
+
     "agg_approx_percentiles",
     "events_autocorrelation",
     "agg_mode_per_group",
@@ -183,6 +192,9 @@ PRIORITY: tuple[str, ...] = (
     # -- (a3) in-round r9 additions: first driver verdicts -----------------
     "join_asof_forward",
     "dedup_crosslingual_semantic",
+    # -- (a4) in-round r9 changed code --------------------------------------
+    "join_theta_range",
+    "pipeline_training_e2e",
 )
 
 DRIVER_WINDOW = 50

@@ -151,7 +151,13 @@ def test_driver_window_covers_required_families():
     # fuzz family); they lead the r10 refresh list
     r6_era -= {"geo_haversine_radius", "geo_cell_rollup"}
     added_r9 = {"join_asof_forward", "dedup_crosslingual_semantic"}
-    required = added_post_r8 | changed_r8_post_freeze | r6_era | added_r9
+    # (a4) r9 changed code re-enters (the changed-code-outranks rule):
+    # theta's auto-dispatch branch and the pipeline's reshaped dedup
+    # exchange; displacing the two next-best-covered refreshes
+    r6_era -= {"geo_bbox_join_grid", "multimodal_scene_cut"}
+    changed_r9 = {"join_theta_range", "pipeline_training_e2e"}
+    required = (added_post_r8 | changed_r8_post_freeze | r6_era | added_r9
+                | changed_r9)
     missing = sorted(required - window)
     assert not missing, f"outside driver window: {missing}"
     assert len(required) == registry.DRIVER_WINDOW
