@@ -138,6 +138,19 @@ ORACLES: dict[str, str] = {}
 # Displaced: geo_bbox_join_grid (geo fuzz + e2e coverage) and
 # multimodal_scene_cut (family keeps 3 in-window members); both join
 # the r10 refresh lead with the two geo displacees.
+# ROUND-10 ROTATION PLAN (execute at round-10 start): if CORRECTNESS_r09
+# is green, all r9 slots rotate out with verdicts standing.  Window, in
+# order (validate with driver_replica before swapping into PRIORITY):
+#   (a) any post-r9-window additions needing a first driver verdict;
+#   (b) the four refreshes the r9 (a3)/(a4) swaps displaced —
+#       geo_haversine_radius, geo_cell_rollup, geo_bbox_join_grid,
+#       multimodal_scene_cut (the only r6-era verdicts left after r9);
+#   (c) the three r9 guard-level changes that held r8 verdicts and were
+#       not windowed (geo_knn_join env validation,
+#       agg_quantile_histogram_merge empty-input guard — both
+#       hash-preserving by construction, replica-verified in r9);
+#   (d) remaining slots to the stalest r7 verdicts, displaced as always
+#       by any query whose CODE changes in round 10.
 PRIORITY: tuple[str, ...] = (
     # -- (a) post-r8-window additions: first driver verdicts ---------------
     "agg_cms_topk_merge",
