@@ -258,9 +258,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # width-8 1598 ms, width-pinned-32 1201 ms vs the r8 explode form's
     # 1466 ms).  The repartition doubles as the (doc_id-satisfying)
     # exchange the groupBy needs, so no second shuffle follows.
+    # NO default arg here: Spark 4 VALIDATES an explicit default against
+    # the conf's requirement (a "0" default throws INVALID_CONF_VALUE when
+    # the key is unset — found by the r9 sf1 sweep after a stream query
+    # unset the conf).  The bare get returns the built-in default instead;
+    # TypeError/ValueError cover a None return and AQE's "auto".
     try:
-        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "0"))
-    except (TypeError, ValueError):  # "auto" under some AQE configs / None
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
         shuffle_n = 0
     nparts = max(shuffle_n, spark.sparkContext.defaultParallelism)
     mins = [

@@ -333,3 +333,21 @@ def test_theta_range_quadratic_guard(spark, sf_dir, monkeypatch):
     assert sorted(map(tuple, dispatched.collect())) == naive
     # and the forced naive plan is genuinely different (range theta join)
     assert "explode" not in naive_plan.lower()
+
+
+def test_minhash_survives_unset_shuffle_conf(spark, sf_dir):
+    """r9 sf1-sweep regression: after a streaming query UNSETS
+    spark.sql.shuffle.partitions (run_available_now restores-by-unset
+    under the driver's plain session), the minhash width probe must not
+    pass an explicit default to conf.get — Spark 4 validates explicit
+    defaults against the conf requirement and throws INVALID_CONF_VALUE
+    on '0'."""
+    from duckdb_postgis_spark.operators import llm
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.unset("spark.sql.shuffle.partitions")
+    try:
+        assert llm.dedup_minhash_lsh(spark, sf_dir).count() >= 0
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
