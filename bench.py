@@ -63,6 +63,21 @@ _SF1_TABLES = (
     "documents embeddings"
 ).split()
 
+#: primary-scan column width per headliner, audited from each executed
+#: plan's ReadSchema at sf0.01 (r10; widest scan in the plan).  Used to
+#: width-match the floor subtraction in ratio_floor_adjusted (ADVICE r9
+#: #5).  Queries absent here default to 1 (narrow floor) — that covers
+#: the documents/embeddings scanners whose tables are not lineitem-shaped.
+_SF1_SCAN_WIDTH = {
+    "pricing_summary": 7,
+    "join_broadcast_4way": 3,
+    "window_rank_topn": 3,
+    "sort_limit_topk": 3,
+    "agg_distinct": 4,
+    "stream_tumbling": 3,
+    "pipeline_training_e2e": 4,
+}
+
 
 def _floor_scan(spark, data_dir: str, cols: list[str]) -> float:
     """Scan+sum floor over lineitem for the given column set, measured
@@ -188,11 +203,18 @@ def bench_sf1_shape(headline, queries, cpus) -> dict:
         )
 
     def timed_duck(sql: str, budget: float):
-        """One execute+fetchall under a watchdog; (seconds, finished)."""
+        """One execute+fetchall under a watchdog; (seconds, status) where
+        status is 'ok' | 'dnf' | 'error'.  ADVICE r9 #2: a genuine oracle
+        failure (binder error, OOM) must surface as 'error', not be
+        laundered into a watchdog DNF; and the watchdog checks a flag
+        before interrupting so a timer that fires just as the query
+        completes cannot cancel the NEXT twin on the shared connection."""
         done = threading.Event()
+        fired = threading.Event()
 
         def watchdog():
-            if not done.wait(budget):
+            if not done.wait(budget) and not done.is_set():
+                fired.set()
                 con.interrupt()
 
         w = threading.Thread(target=watchdog, daemon=True)
@@ -200,29 +222,37 @@ def bench_sf1_shape(headline, queries, cpus) -> dict:
         t0 = time.perf_counter()
         try:
             con.execute(sql).fetchall()
-            return time.perf_counter() - t0, True
-        except Exception:
-            return budget, False
+            return time.perf_counter() - t0, "ok"
+        except duckdb.InterruptException:
+            return budget, "dnf"
+        except Exception as exc:
+            # interrupt surfaces as a plain duckdb.Error on some paths —
+            # classify by whether OUR watchdog actually fired
+            if fired.is_set():
+                return budget, "dnf"
+            print(f"  [sf1] oracle ERROR for twin: {exc}", file=sys.stderr)
+            return budget, "error"
         finally:
             done.set()
             w.join()
 
     duck_sec: dict[str, float | None] = {}
     dnf: list[str] = []
+    duck_err: list[str] = []
     for name in headline:
         sql = registry.ORACLES[name]
-        warm, ok = timed_duck(sql, SF1_DUCKDB_BUDGET_SEC)
-        if not ok:
+        warm, st = timed_duck(sql, SF1_DUCKDB_BUDGET_SEC)
+        if st != "ok":
             duck_sec[name] = None
-            dnf.append(name)
+            (dnf if st == "dnf" else duck_err).append(name)
             continue
         # slow-but-finished twins get 1 timed rep (the warm pass already
         # measured them within noise); fast ones get a 3-rep median
         reps = 1 if warm > 20 else 3
         times = []
         for _ in range(reps):
-            sec, ok = timed_duck(sql, SF1_DUCKDB_BUDGET_SEC * 2)
-            if not ok:
+            sec, st = timed_duck(sql, SF1_DUCKDB_BUDGET_SEC * 2)
+            if st != "ok":
                 break
             times.append(sec)
         duck_sec[name] = round(_st.median(times), 4) if times else round(warm, 4)
@@ -262,10 +292,28 @@ def bench_sf1_shape(headline, queries, cpus) -> dict:
     # PLAN adds over one table scan.  Clamped at 0 when a query beats its
     # own engine's lineitem floor (smaller table / fewer columns / limit
     # pushdown); those queries are at-floor by definition.
+    # ADVICE r9 #5: the floor is WIDTH-MATCHED per query — we measure a
+    # 1-column and a 4-column floor for both engines and linearly
+    # interpolate/extrapolate to each headliner's audited primary-scan
+    # column count (ReadSchema widths pinned below; decode, not
+    # scheduling, dominates the floor at this shape, so per-column
+    # linearity is the right first-order model).  Non-lineitem scanners
+    # (documents/embeddings) keep width 1 — their scan is not
+    # lineitem-shaped and the at_floor flag covers the tiny ones.
+    def _floor_at(width: int, narrow_ms: float, wide_ms: float) -> float:
+        return narrow_ms + (wide_ms - narrow_ms) * (width - 1) / 3.0
+
+    _floors: dict[str, tuple[float, float]] = {}
+    for k in headline:
+        w = _SF1_SCAN_WIDTH.get(k, 1)
+        # per-query, per-engine width-matched floors in seconds
+        _fs = _floor_at(w, floor_spark_ms, floor_spark_wide_ms) / 1000
+        _fd = _floor_at(w, floor_duck_ms, floor_duck_wide_ms) / 1000
+        _floors[k] = (round(_fs * 1000, 1), round(_fd * 1000, 1))
     ratio_adj = {
         k: round(
-            max(spark_sec[k] - floor_spark_ms / 1000, 0.0)
-            / max(duck_sec[k] - floor_duck_ms / 1000, 1e-3),
+            max(spark_sec[k] - _floors[k][0] / 1000, 0.0)
+            / max(duck_sec[k] - _floors[k][1] / 1000, 1e-3),
             2,
         )
         for k in headline
@@ -280,8 +328,8 @@ def bench_sf1_shape(headline, queries, cpus) -> dict:
         for k in headline
         if duck_sec.get(k) is not None
         and (
-            spark_sec[k] < 2 * floor_spark_ms / 1000
-            or duck_sec[k] < 2 * floor_duck_ms / 1000
+            spark_sec[k] < 2 * _floors[k][0] / 1000
+            or duck_sec[k] < 2 * _floors[k][1] / 1000
         )
     ]
     completed = [k for k in headline if duck_sec.get(k) is not None]
@@ -293,6 +341,11 @@ def bench_sf1_shape(headline, queries, cpus) -> dict:
         "plan_ms": {k: round(v, 1) for k, v in plan.items()},
         "duckdb": duck_sec,
         "duckdb_dnf": dnf,
+        "duckdb_error": duck_err,
+        "floor_width_matched_ms": {
+            k: {"spark": v[0], "duckdb": v[1], "width": _SF1_SCAN_WIDTH.get(k, 1)}
+            for k, v in _floors.items()
+        },
         "floor_scan_ms": floor_spark_ms,
         "floor_scan_wide_ms": floor_spark_wide_ms,
         "floor_scan_duckdb_ms": floor_duck_ms,
@@ -538,6 +591,29 @@ def main() -> None:
             }
         )
     )
+    # r10 (judge order #6): the driver truncates its BENCH_r{N}.json
+    # capture at 2 KB, which lost the r9 sf1_shape tail — persist the
+    # COMPLETE payload to disk alongside, so no section is ever lost.
+    # The stdout JSON line above stays the driver contract.
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "")
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_full_r{rnd}.json" if rnd else "BENCH_full.json",
+    )
+    payload = {
+        "total_opt_layout_sec": total,
+        "queries": results,
+        "queries_raw_layout": results_raw,
+        "plan_ms": {k: round(v, 1) for k, v in plan_ms.items()},
+        "run_full_ms": run_full_ms,
+        "floor_noop_ms": floor_ms,
+        "floor_scan_ms": floor_scan_ms,
+        "sf1_shape": sf1_section,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+        fh.write("\n")
 
 
 if __name__ == "__main__":

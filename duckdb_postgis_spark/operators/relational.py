@@ -752,14 +752,25 @@ def agg_quantile_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("l_extendedprice").cast("double")
     lo, hi = li.agg(F.min(x), F.max(x)).first()
     if lo is None or hi is None:
-        # empty (or all-NULL) input: min/max are NULL and no row can land
-        # in any bin — return the declared empty result instead of
-        # float(None) crashing (the _block_pair_topk empty-corpus rule)
-        return spark.createDataFrame(
-            [],
-            "l_returnflag string, exact_p50 double, "
-            "median_rank_in_bin boolean, merge_equals_direct boolean",
-        )
+        # min/max are NULL: either the table is empty, or every price is
+        # NULL.  The two diverge at the oracle (ADVICE r9 #1): GROUP BY
+        # over an empty table yields zero rows, but over a non-empty
+        # all-NULL-price table yields one row per flag with NULL
+        # quantile_cont — so emit exactly that shape (properties are
+        # vacuously TRUE: no binned rows to merge or rank).
+        flags = li.select("l_returnflag").distinct()
+        if flags.isEmpty():
+            return spark.createDataFrame(
+                [],
+                "l_returnflag string, exact_p50 double, "
+                "median_rank_in_bin boolean, merge_equals_direct boolean",
+            )
+        return flags.select(
+            "l_returnflag",
+            F.lit(None).cast("double").alias("exact_p50"),
+            F.lit(True).alias("median_rank_in_bin"),
+            F.lit(True).alias("merge_equals_direct"),
+        ).orderBy("l_returnflag")
     width = (float(hi) - float(lo)) / _QH_BINS or 1.0
     bin_of = F.least(
         F.greatest(F.floor((x - F.lit(float(lo))) / F.lit(width)), F.lit(0)),

@@ -129,6 +129,24 @@ ORACLES: dict[str, str] = {}
 # 25-seed geo fuzz family, so they carry the strongest indirect coverage
 # of the (b) set.  They lead the r10 refresh list (verdicts r6-era).
 #
+# ROUND-10 ROTATION (this window; executes the r10 plan below):
+# CORRECTNESS_r09 came back 50/50 green (rows+schema+hash, 0 err), so
+# every r9 slot rotates out with its verdict standing.  The arithmetic:
+# 2 r10 in-round code changes (dedup_semdedup_cells two-level seed
+# assignment, agg_quantile_histogram_merge all-NULL guard fix) + the 4
+# r6-era refreshes the r9 swaps displaced + geo_knn_join (r9 guard change
+# holding an r8 verdict) + all 42 r7-era verdicts + 1 stalest-r8 slot
+# (agg_approx_distinct, first in registration order) = 50 = DRIVER_WINDOW.
+# After this window lands, no registered query's verdict is older than r8
+# — the r9 judge's order #1 "Done" bar.
+#
+# ROUND-11 ROTATION PLAN (execute at round-11 start): if CORRECTNESS_r10
+# is green, all r10 slots rotate out.  Window, in order: (a) any r10/r11
+# additions needing a first driver verdict and any query whose code
+# changes in r11; (b) the remaining 47 r8-era verdicts (50 r8 slots minus
+# agg_quantile_histogram_merge, geo_knn_join, agg_approx_distinct which
+# refresh in r10); (c) spare slots to the stalest r9 verdicts.
+#
 # (a4) IN-ROUND r9 CHANGED CODE (changed code outranks refreshes, the
 # knn_cosine_topk precedent): join_theta_range gained the auto-dispatch
 # to join_range_bucketed (inactive at driver scale but a real plan
@@ -152,62 +170,66 @@ ORACLES: dict[str, str] = {}
 #   (d) remaining slots to the stalest r7 verdicts, displaced as always
 #       by any query whose CODE changes in round 10.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) post-r8-window additions: first driver verdicts ---------------
-    "agg_cms_topk_merge",
+    # -- (a) r10 in-round changed code (changed code outranks refreshes):
+    #    dedup_semdedup_cells — the r10 two-level seed assignment rework
+    #    (judge order #2: driver-side K seed collect/broadcast bounded);
+    #    agg_quantile_histogram_merge — the r10 empty-vs-all-NULL guard fix
+    #    (ADVICE r9 #1; also a (c) r9 guard-level displacee anyway) --------
     "dedup_semdedup_cells",
-    "stream_hll_distinct_live",
-    "schema_evolution_read",
-    # -- (a2) round-8 post-freeze changed code -----------------------------
-    "knn_cosine_topk",
-    # -- (b) the 45 r6-era verdicts (exhausts the window) ------------------
-    "geo_transform_27700_to_4326",
-    "multimodal_meta_stats",
-    "multimodal_image_features",
-    "multimodal_audio_energy",
-    "scan_project",
-    "filter_pred",
-    "pricing_summary",
-    "join_inner_hash",
-    "join_broadcast_4way",
-    "join_left_right_full",
-    "join_semi_anti",
-    "join_asof",
-    "set_ops",
-    "scalar_string_date_math",
-    "array_map_json",
-    "subquery_scalar_in",
-    "distinct_dedup_exact",
-    "agg_skew_salted",
-    "events_partition_pruned",
-    "join_range_bucketed",
-    "events_multigrain_rollup",
-    "window_trailing_range",
-    "unpivot_metrics",
-    "window_rank_distribution",
-    "agg_string_bool",
-    "agg_corr_exact",
-    "events_funnel",
-    "retention_cohorts",
-    "sessionize_islands",
-    "events_anomaly_zscore",
-    "events_gap_fill_locf",
-    "join_skew_salted",
-
-    "agg_approx_percentiles",
-    "events_autocorrelation",
-    "agg_mode_per_group",
-    "events_changepoint_cusum",
-    "join_semi_bloom_prefilter",
-    "pipeline_geo_file_e2e",
-    "snapshot_time_travel",
-    "join_scd2_point_in_time",
-    "stream_session_live",
-    # -- (a3) in-round r9 additions: first driver verdicts -----------------
-    "join_asof_forward",
-    "dedup_crosslingual_semantic",
-    # -- (a4) in-round r9 changed code --------------------------------------
-    "join_theta_range",
-    "pipeline_training_e2e",
+    "agg_quantile_histogram_merge",
+    # -- (b) the four r6-era refreshes displaced by the r9 (a3)/(a4) swaps
+    #    (the only r6 verdicts left; judge-replica re-proven green in r9) --
+    "geo_haversine_radius",
+    "geo_cell_rollup",
+    "geo_bbox_join_grid",
+    "multimodal_scene_cut",
+    # -- (c) the remaining r9 guard-level change holding an r8 verdict -----
+    "geo_knn_join",
+    # -- (d) all 42 r7-era verdicts (exhausts the window at 49) ------------
+    "text_stats",
+    "text_normalize_tokenize",
+    "dedup_exact_hash",
+    "embed_normalize",
+    "similarity_search_query",
+    "multimodal_join",
+    "similarity_search_ivf",
+    "agg_distinct",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_watermark_late",
+    "stream_dedup",
+    "stream_user_state",
+    "stream_static_join",
+    "stream_stream_join",
+    "subquery_exists_correlated",
+    "sample_stratified_hash",
+    "sample_reservoir_topk",
+    "seq_pack_greedy",
+    "udaf_char_variance",
+    "source_quality_report",
+    "shards_write_roundtrip",
+    "upsert_latest_wins",
+    "scd2_history",
+    "maintenance_compact_roundtrip",
+    "stream_tumbling_live",
+    "stream_upsert_live",
+    "stream_sliding_live",
+    "stream_watermark_late_live",
+    "stream_dedup_live",
+    "stream_stream_left_outer",
+    "stream_chained_dedup_agg",
+    "maintenance_scan_layout",
+    "events_zorder_pruned",
+    "pipeline_geojson_e2e",
+    "pipeline_nongeo_e2e",
+    "agg_heavy_hitters_twophase",
+    "events_directory_table",
+    "similarity_search_ivf_pruned",
+    "similarity_search_quantized",
+    "embed_pca_power_iteration",
+    # -- (e) last slot: stalest r8 verdict by registration order ----------
+    "agg_approx_distinct",
 )
 
 DRIVER_WINDOW = 50

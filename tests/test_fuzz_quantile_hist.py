@@ -79,6 +79,40 @@ def test_quantile_hist_spark_matches_oracle(spark, tmp_path, seed):
     assert got == want, f"seed {seed}: histogram-merge rows diverge"
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_quantile_hist_all_null_price(spark, tmp_path, seed):
+    """Non-empty table whose every l_extendedprice is NULL (ADVICE r9 #1):
+    the oracle's GROUP BY still emits one row per flag with NULL
+    quantile_cont — the empty-input guard must NOT swallow these rows.
+    Differential against the registered oracle, same harness as family 28."""
+    rng = random.Random(28500 + seed)
+    rows = [
+        (k, None, chr(ord("A") + rng.randint(0, 3)))
+        for k in range(rng.randint(1, 50))
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_extendedprice double, l_returnflag string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = sorted(
+        tuple(map(str, r))
+        for r in registry.QUERIES["agg_quantile_histogram_merge"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(map(str, r))
+        for r in con.execute(
+            registry.ORACLES["agg_quantile_histogram_merge"]
+        ).fetchall()
+    )
+    assert got == want, f"seed {seed}: all-NULL-price rows diverge"
+
+
 def test_quantile_hist_empty_input(spark, tmp_path):
     """Empty lineitem: min/max are NULL — the width computation must not
     float(None)-crash; the declared (empty) schema comes back instead

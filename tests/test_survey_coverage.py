@@ -110,54 +110,44 @@ def test_every_survey_operator_is_registered():
 
 def test_driver_window_covers_required_families():
     """The driver verifies only the first DRIVER_WINDOW entries of
-    queries().  Round-9 rotation policy (CORRECTNESS_r08 was 50/50, so all
-    r8 slots rotate out with verdicts standing): the window holds (a)
-    first driver verdicts for the four post-r8-window additions, (a2)
-    knn_cosine_topk (post-freeze _BLOCK_MAX_ROWS cap = changed code
-    outranks refreshes), and (b) the 45 queries whose latest verdict is
-    r6-era, which exactly exhausts the 50 slots.  After this window lands
-    every registered query has a driver verdict and none is older than
-    r7 — the r8 judge's order #1 'Done' bar."""
+    queries().  Round-10 rotation policy (CORRECTNESS_r09 was 50/50, so
+    all r9 slots rotate out with verdicts standing): the window holds
+    (a) the two r10 in-round code changes (dedup_semdedup_cells two-level
+    seed assignment; agg_quantile_histogram_merge all-NULL guard fix —
+    changed code outranks refreshes), (b) the four r6-era refreshes the
+    r9 swaps displaced, (c) geo_knn_join (r9 guard change holding an r8
+    verdict), (d) all 42 r7-era verdicts, and (e) one stalest-r8 slot
+    (agg_approx_distinct).  After this window lands no registered query's
+    verdict is older than r8 — the r9 judge's order #1 'Done' bar."""
     window = set(list(registry.all_queries())[: registry.DRIVER_WINDOW])
-    added_post_r8 = {
-        "agg_cms_topk_merge", "dedup_semdedup_cells",
-        "stream_hll_distinct_live", "schema_evolution_read",
-    }
-    changed_r8_post_freeze = {"knn_cosine_topk"}
+    changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
     r6_era = {
-        "geo_transform_27700_to_4326", "multimodal_meta_stats",
-        "multimodal_image_features", "multimodal_audio_energy",
-        "scan_project", "filter_pred", "pricing_summary",
-        "join_inner_hash", "join_broadcast_4way", "join_left_right_full",
-        "join_semi_anti", "join_asof", "set_ops",
-        "scalar_string_date_math", "array_map_json", "subquery_scalar_in",
-        "distinct_dedup_exact", "agg_skew_salted",
-        "events_partition_pruned", "join_range_bucketed",
-        "events_multigrain_rollup", "window_trailing_range",
-        "unpivot_metrics", "window_rank_distribution", "agg_string_bool",
-        "agg_corr_exact", "events_funnel", "retention_cohorts",
-        "sessionize_islands", "events_anomaly_zscore",
-        "events_gap_fill_locf", "join_skew_salted", "geo_bbox_join_grid",
-        "geo_cell_rollup", "geo_haversine_radius", "multimodal_scene_cut",
-        "agg_approx_percentiles", "events_autocorrelation",
-        "agg_mode_per_group", "events_changepoint_cusum",
-        "join_semi_bloom_prefilter", "pipeline_geo_file_e2e",
-        "snapshot_time_travel", "join_scd2_point_in_time",
-        "stream_session_live",
+        "geo_haversine_radius", "geo_cell_rollup", "geo_bbox_join_grid",
+        "multimodal_scene_cut",
     }
-    # (a3) in-round r9 additions displace the two refreshes with the
-    # strongest indirect coverage (geo_haversine_radius, geo_cell_rollup —
-    # both exercised by the in-window pipeline_geo_file_e2e and the geo
-    # fuzz family); they lead the r10 refresh list
-    r6_era -= {"geo_haversine_radius", "geo_cell_rollup"}
-    added_r9 = {"join_asof_forward", "dedup_crosslingual_semantic"}
-    # (a4) r9 changed code re-enters (the changed-code-outranks rule):
-    # theta's auto-dispatch branch and the pipeline's reshaped dedup
-    # exchange; displacing the two next-best-covered refreshes
-    r6_era -= {"geo_bbox_join_grid", "multimodal_scene_cut"}
-    changed_r9 = {"join_theta_range", "pipeline_training_e2e"}
-    required = (added_post_r8 | changed_r8_post_freeze | r6_era | added_r9
-                | changed_r9)
+    guard_r9 = {"geo_knn_join"}
+    r7_era = {
+        "text_stats", "text_normalize_tokenize", "dedup_exact_hash",
+        "embed_normalize", "similarity_search_query", "multimodal_join",
+        "similarity_search_ivf", "agg_distinct", "stream_tumbling",
+        "stream_sliding", "stream_session", "stream_watermark_late",
+        "stream_dedup", "stream_user_state", "stream_static_join",
+        "stream_stream_join", "subquery_exists_correlated",
+        "sample_stratified_hash", "sample_reservoir_topk",
+        "seq_pack_greedy", "udaf_char_variance", "source_quality_report",
+        "shards_write_roundtrip", "upsert_latest_wins", "scd2_history",
+        "maintenance_compact_roundtrip", "stream_tumbling_live",
+        "stream_upsert_live", "stream_sliding_live",
+        "stream_watermark_late_live", "stream_dedup_live",
+        "stream_stream_left_outer", "stream_chained_dedup_agg",
+        "maintenance_scan_layout", "events_zorder_pruned",
+        "pipeline_geojson_e2e", "pipeline_nongeo_e2e",
+        "agg_heavy_hitters_twophase", "events_directory_table",
+        "similarity_search_ivf_pruned", "similarity_search_quantized",
+        "embed_pca_power_iteration",
+    }
+    stalest_r8 = {"agg_approx_distinct"}
+    required = changed_r10 | r6_era | guard_r9 | r7_era | stalest_r8
     missing = sorted(required - window)
     assert not missing, f"outside driver window: {missing}"
     assert len(required) == registry.DRIVER_WINDOW
