@@ -70,3 +70,90 @@ def test_semdedup_spark_matches_oracle(spark, tmp_path, seed):
     )
     assert got == want, f"seed {seed}: semdedup rows diverge"
     assert want, f"seed {seed}: planted near-dups produced no removals"
+
+
+def test_semdedup_twolevel_exact_when_supers_cover(spark, tmp_path, monkeypatch):
+    """m >= K makes every seed its own super-cell, so the two-level route
+    degenerates to the exact global argmax — forced 'twolevel' must equal
+    forced 'matmul' AND the registered oracle byte-for-byte (the r10
+    order-#2 equality pin)."""
+    _write_corpus(7, tmp_path)
+    monkeypatch.setenv("SPARK_GRAFT_SEMDEDUP", "matmul")
+    exact = sorted(
+        tuple(map(str, r))
+        for r in registry.QUERIES["dedup_semdedup_cells"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SEMDEDUP", "twolevel")
+    monkeypatch.setenv("SPARK_GRAFT_SEMDEDUP_SUPER", "100000")
+    got = sorted(
+        tuple(map(str, r))
+        for r in registry.QUERIES["dedup_semdedup_cells"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == exact, "twolevel(m>=K) diverges from exact matmul argmax"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(map(str, r))
+        for r in con.execute(registry.ORACLES["dedup_semdedup_cells"]).fetchall()
+    )
+    assert got == want
+
+
+def test_semdedup_twolevel_properties(spark, tmp_path, monkeypatch):
+    """Default-m two-level route (the approximate IVF-nprobe-1 quantizer):
+    (1) deterministic across runs, (2) every reported removal is a TRUE
+    near-dup — exact cosine >= tau recomputed in numpy — because the
+    verify stage is exact regardless of the quantizer, (3) keep_id <
+    removed_id (the lower-id-wins rule), (4) the assignment stage maps
+    every vector to exactly one valid seed cell."""
+    _write_corpus(11, tmp_path)
+    monkeypatch.setenv("SPARK_GRAFT_SEMDEDUP", "twolevel")
+    monkeypatch.delenv("SPARK_GRAFT_SEMDEDUP_SUPER", raising=False)
+    q = registry.QUERIES["dedup_semdedup_cells"]
+    r1 = sorted(tuple(r) for r in q(spark, str(tmp_path)).collect())
+    r2 = sorted(tuple(r) for r in q(spark, str(tmp_path)).collect())
+    assert r1 == r2, "two-level route is nondeterministic"
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(f"{tmp_path}/embeddings.parquet")
+    V = np.stack([np.asarray(x, dtype="float64") for x in t["embedding"].to_pylist()])
+    ids = {int(i): k for k, i in enumerate(t["vec_id"].to_pylist())}
+
+    def cos(a, b):
+        return float(V[ids[a]] @ V[ids[b]]) / (
+            np.linalg.norm(V[ids[a]]) * np.linalg.norm(V[ids[b]])
+        )
+
+    assert r1, "planted near-dups produced no removals on the two-level path"
+    for removed, keep, _cell in r1:
+        assert keep < removed
+        assert cos(keep, removed) >= 0.4 - 1e-9, (removed, keep)
+    # assignment-stage invariants, probed directly
+    from duckdb_postgis_spark.catalog import table as _table
+    from duckdb_postgis_spark.operators.llm import (
+        _SEMDEDUP_CELL,
+        _corpus_stats,
+        _semdedup_two_level,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _table(spark, str(tmp_path), "embeddings")
+    n, _dim = _corpus_stats(f"{tmp_path}/embeddings.parquet")
+    kk = max(16, n // _SEMDEDUP_CELL)
+    seed_frame = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(kk)
+        .select(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("se"))
+    )
+    assigned = _semdedup_two_level(spark, emb, seed_frame, kk).collect()
+    assert len(assigned) == n, "two-level assignment dropped/duplicated vectors"
+    assert len({r["vec_id"] for r in assigned}) == n
+    seed_ids = {r["seed_id"] for r in seed_frame.collect()}
+    assert {r["cell"] for r in assigned} <= seed_ids
