@@ -143,9 +143,13 @@ ORACLES: dict[str, str] = {}
 # ROUND-11 ROTATION PLAN (execute at round-11 start): if CORRECTNESS_r10
 # is green, all r10 slots rotate out.  Window, in order: (a) any r10/r11
 # additions needing a first driver verdict and any query whose code
-# changes in r11; (b) the remaining 47 r8-era verdicts (50 r8 slots minus
-# agg_quantile_histogram_merge, geo_knn_join, agg_approx_distinct which
-# refresh in r10); (c) spare slots to the stalest r9 verdicts.
+# changes in r11, plus knn_cosine_topk (r10 guard-level change: the
+# exact-vs-ANN ResourceWarning past 10M rows — warning only, plan
+# construction identical, replica-verified in r10 — holds its r9 verdict
+# and re-enters per the changed-code rule); (b) the remaining 47 r8-era
+# verdicts (50 r8 slots minus agg_quantile_histogram_merge, geo_knn_join,
+# agg_approx_distinct which refresh in r10); (c) spare slots to the
+# stalest r9 verdicts.
 #
 # (a4) IN-ROUND r9 CHANGED CODE (changed code outranks refreshes, the
 # knn_cosine_topk precedent): join_theta_range gained the auto-dispatch
