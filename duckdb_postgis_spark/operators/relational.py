@@ -512,6 +512,115 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_nearest",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, nearest_event_ts, nearest_event_value,
+           direction
+    FROM (
+        SELECT o.o_orderkey, o.o_orderdate,
+               e.ts AS nearest_event_ts, e.value AS nearest_event_value,
+               CASE WHEN e.ts IS NULL THEN NULL
+                    WHEN e.ts <= o.o_orderdate THEN 'backward'
+                    ELSE 'forward' END AS direction,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o.o_orderkey
+                   ORDER BY ABS(epoch_us(e.ts) - epoch_us(o.o_orderdate))
+                                ASC NULLS LAST,
+                            e.ts ASC NULLS LAST,
+                            e.event_id ASC NULLS LAST
+               ) AS rn
+        FROM orders o
+        LEFT JOIN events e
+          ON e.user_id = o.o_custkey AND e.ts IS NOT NULL
+    ) t
+    WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (r10): the event closest in time to each
+    order's date for that customer, either side — completing the
+    backward (join_asof) / forward (join_asof_forward) / nearest family
+    (pandas merge_asof direction='nearest', QuestDB/kdb wj).  Tie rules,
+    pinned in both engines: equal absolute distance prefers the BACKWARD
+    event (ts ASC at equal dist); equal timestamp prefers the LOWEST
+    event_id.
+
+    Shape: the same union-merge rewrite as both siblings, run TWICE over
+    ONE union — a backward window (last_value up to current; events sort
+    before orders at equal ts so <= admits, event_id DESC so the frame's
+    last same-ts row is the lowest id) and a forward window (first_value
+    from current; orders sort before events, event_id ASC) — then a
+    per-row arbiter picks the nearer struct.  Both windows hash-partition
+    on the same user key, so Catalyst plans ONE Exchange with two Sorts:
+    still linear in |events| + |orders| and zero join nodes where the
+    inequality-join rewrite explodes per (user, order) pair before
+    pruning (the round-1 as-of lesson; the LEFT-join oracle above is the
+    quadratic form this plan avoids).  NULL event ts rows are excluded
+    (they can never be nearest); orders with no events emit NULL columns
+    (LEFT semantics)."""
+    orders = table(spark, sf_dir, "orders")
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    ev = events.filter(F.col("ts").isNotNull()).select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("mts"),
+        F.lit(0).alias("side_b"),  # events before orders: <= admits
+        F.lit(1).alias("side_f"),  # events after orders: >= admits
+        "event_id",
+        F.struct(
+            F.col("ts").alias("ets"), F.col("value").alias("eval")
+        ).alias("ev"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+    )
+    od = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").cast("timestamp").alias("mts"),
+        F.lit(1).alias("side_b"),
+        F.lit(0).alias("side_f"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("struct<ets:timestamp,eval:double>").alias("ev"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    w_prev = (
+        Window.partitionBy("uid")
+        .orderBy(F.col("mts").asc(), F.col("side_b").asc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("uid")
+        .orderBy(F.col("mts").asc(), F.col("side_f").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    u = (
+        ev.unionByName(od)
+        .withColumn("prev_ev", F.last("ev", ignorenulls=True).over(w_prev))
+        .withColumn("next_ev", F.first("ev", ignorenulls=True).over(w_next))
+        .filter(F.col("o_orderkey").isNotNull())
+    )
+    od_us = F.unix_micros(F.col("mts"))
+    dp = od_us - F.unix_micros(F.col("prev_ev.ets"))
+    dn = F.unix_micros(F.col("next_ev.ets")) - od_us
+    pick_prev = F.col("prev_ev").isNotNull() & (
+        F.col("next_ev").isNull() | (dp <= dn)
+    )
+    nearest = F.when(pick_prev, F.col("prev_ev")).otherwise(F.col("next_ev"))
+    direction = F.when(
+        F.col("prev_ev").isNull() & F.col("next_ev").isNull(),
+        F.lit(None).cast("string"),
+    ).otherwise(F.when(pick_prev, F.lit("backward")).otherwise(F.lit("forward")))
+    return u.select(
+        "o_orderkey",
+        "o_orderdate",
+        nearest["ets"].alias("nearest_event_ts"),
+        nearest["eval"].alias("nearest_event_value"),
+        direction.alias("direction"),
+    )
+
+
 # --------------------------------------------------------------------------
 # R10 distinct aggregates
 # --------------------------------------------------------------------------
@@ -874,6 +983,16 @@ _SQL_CMS_BUCKET = f"""
 """
 
 
+def cms_bucket(d: int, key):  # Spark twin of _SQL_CMS_BUCKET (shared with
+    # the streaming CMS — streams.py stream_cms_topk_live replays the same
+    # hash rows through the state store)
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{d}:"), key)), 1, 8), 16, 10)
+        .cast("long")
+        % _CMS_W
+    )
+
+
 @query(
     "agg_cms_topk_merge",
     oracle=f"""
@@ -940,11 +1059,7 @@ def agg_cms_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths."""
     li = table(spark, sf_dir, "lineitem")
     key = F.col("l_suppkey").cast("string")
-    bucket = lambda d, k: (  # noqa: E731
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"{d}:"), k)), 1, 8), 16, 10)
-        .cast("long")
-        % _CMS_W
-    )
+    bucket = cms_bucket
     shard = F.pmod(F.hash("l_orderkey"), F.lit(_CMS_SHARDS)).alias("shard")
     rows = li.select(
         shard, *[bucket(d, key).alias(f"_b{d}") for d in range(_CMS_D)]

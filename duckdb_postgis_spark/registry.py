@@ -174,6 +174,16 @@ ORACLES: dict[str, str] = {}
 #   (d) remaining slots to the stalest r7 verdicts, displaced as always
 #       by any query whose CODE changes in round 10.
 PRIORITY: tuple[str, ...] = (
+    # -- (a0) r10 in-round ADDITIONS: first driver verdicts (first-verdict
+    #    additions outrank refreshes, the r8/r9 (a3) precedent).  Displaced:
+    #    stream_tumbling_live and stream_sliding_live — both hold r7
+    #    verdicts AND the strongest indirect coverage in the registry (the
+    #    12-seed live window-parameter fuzz family replays the same
+    #    readStream machinery every CI run, and their batch twins
+    #    stream_tumbling/stream_sliding stay in-window); they lead the r11
+    #    refresh list ----------------------------------------------------
+    "join_asof_nearest",
+    "stream_cms_topk_live",
     # -- (a) r10 in-round changed code (changed code outranks refreshes):
     #    dedup_semdedup_cells — the r10 two-level seed assignment rework
     #    (judge order #2: driver-side K seed collect/broadcast bounded);
@@ -216,9 +226,7 @@ PRIORITY: tuple[str, ...] = (
     "upsert_latest_wins",
     "scd2_history",
     "maintenance_compact_roundtrip",
-    "stream_tumbling_live",
     "stream_upsert_live",
-    "stream_sliding_live",
     "stream_watermark_late_live",
     "stream_dedup_live",
     "stream_stream_left_outer",

@@ -22,11 +22,16 @@ import os
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_postgis_spark.catalog import _probe_events_ts, rebuild_events_ts
 from duckdb_postgis_spark.functions.num import dsum, sql_dsum
+from duckdb_postgis_spark.operators.relational import (
+    _CMS_D,
+    _SQL_CMS_BUCKET,
+    cms_bucket,
+)
 from duckdb_postgis_spark.registry import query
 
 
@@ -319,6 +324,120 @@ def q_stream_hll_distinct_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("win_start", "exact_nd_users", within.alias("est_within_5pct"))
         .orderBy("win_start")
     )
+
+
+@query(
+    "stream_cms_topk_live",
+    oracle=f"""
+    WITH ds AS (SELECT unnest(range({_CMS_D})) AS d),
+    cells AS (
+        SELECT date_trunc('hour', ts) AS win_start, ds.d,
+               {_SQL_CMS_BUCKET.format(d='ds.d', key='user_id')} AS w, COUNT(*) AS n
+        FROM events CROSS JOIN ds
+        GROUP BY 1, 2, 3
+    ),
+    top AS (
+        SELECT win_start, user_id, exact_cnt FROM (
+            SELECT date_trunc('hour', ts) AS win_start, user_id,
+                   COUNT(*) AS exact_cnt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY date_trunc('hour', ts)
+                       ORDER BY COUNT(*) DESC, user_id
+                   ) AS rn
+            FROM events GROUP BY 1, 2
+        ) WHERE rn <= 3
+    ),
+    probes AS (
+        SELECT t.win_start, t.user_id, t.exact_cnt, ds.d,
+               {_SQL_CMS_BUCKET.format(d='ds.d', key='t.user_id')} AS w
+        FROM top t CROSS JOIN ds
+    )
+    SELECT p.win_start, p.user_id, p.exact_cnt,
+           CAST(MIN(c.n) AS BIGINT) AS cms_est,
+           TRUE AS cms_ge_exact
+    FROM probes p
+    JOIN cells c ON c.win_start = p.win_start AND c.d = p.d AND c.w = p.w
+    GROUP BY 1, 2, 3
+    ORDER BY p.win_start, exact_cnt DESC, p.user_id
+    """,
+)
+def q_stream_cms_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window TOP-K FREQUENCY via count-min-sketch state
+    (r10) — completes the LIVE mergeable-summary trio begun by
+    stream_hll_distinct_live (distinct) the way agg_cms_topk_merge
+    completed the batch trio: exact per-key streaming counts need
+    unbounded state in the key cardinality, so the 100 TB ingest path
+    maintains a 4x512 CMS per hour window in the state store instead —
+    the streaming groupBy key space is (window, d, w), BOUNDED at
+    D*W = 2048 counters per window no matter how many users appear, the
+    watermark evicts closed windows, and counter updates are plain
+    additions so micro-batch merge is lossless BY CONSTRUCTION (the same
+    property the batch twin pins as merge_equals_direct).
+
+    Correctness contract (the stream_hll_distinct_live pattern,
+    frequency edition): after the AvailableNow drain the streamed
+    counter cells are probed for the batch-exact top-3 users per hour
+    (row_number over count desc, user_id — deterministic ties), and the
+    output carries win_start, user_id, exact_cnt (hash-verified) plus
+    cms_est read min-over-rows from the STREAMED state-store cells.  The
+    DuckDB oracle replays the entire sketch from raw events — seed-salted
+    md5 hash rows (the shared cms_bucket arithmetic), per-window counter
+    table, min read — so state-store drift in ANY cell a top key touches
+    is a value mismatch; cms_ge_exact pins the one-sided error guarantee
+    (collisions only add)."""
+    ev = events_stream(spark, sf_dir)
+    key = F.col("user_id").cast("string")
+    cells_in = ev.withWatermark("ts", "10 minutes").select(
+        "ts",
+        F.posexplode(
+            F.array(*[cms_bucket(d, key) for d in range(_CMS_D)])
+        ).alias("d", "w"),
+    )
+    state = (
+        cells_in.groupBy(F.window("ts", "1 hour").alias("win"), "d", "w")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "d", "w", "n")
+    )
+    streamed = run_available_now(state, "q_cms_topk", "update")
+    from duckdb_postgis_spark.catalog import table
+
+    evb = table(spark, sf_dir, "events")
+    per_user = evb.groupBy(
+        F.date_trunc("hour", "ts").alias("win_start"), "user_id"
+    ).agg(F.count("*").alias("exact_cnt"))
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("exact_cnt").desc(), F.col("user_id").asc()
+    )
+    top = (
+        per_user.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+    probes = top.select(
+        "win_start",
+        "user_id",
+        "exact_cnt",
+        F.posexplode(
+            F.array(
+                *[
+                    cms_bucket(d, F.col("user_id").cast("string"))
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("d", "w"),
+    )
+    est = (
+        probes.join(streamed, ["win_start", "d", "w"])
+        .groupBy("win_start", "user_id", "exact_cnt")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    return est.select(
+        "win_start",
+        "user_id",
+        "exact_cnt",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("cms_ge_exact"),
+    ).orderBy("win_start", F.col("exact_cnt").desc(), "user_id")
 
 
 @query(

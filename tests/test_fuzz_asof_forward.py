@@ -142,3 +142,63 @@ def test_asof_forward_empty_events(spark, tmp_path):
     out = registry.QUERIES["join_asof_forward"](spark, str(tmp_path)).collect()
     assert len(out) == 7
     assert all(r["next_event_ts"] is None for r in out)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_asof_nearest_spark_matches_oracle(spark, tmp_path, seed):
+    """join_asof_nearest rides the SAME family-33 corpora: the nearest
+    arbiter adds two new agreement points — equal-absolute-distance ties
+    (backward must win) and the backward/forward direction tag — on top
+    of the boundary/tie/NULL cases the generator already plants."""
+    _write_corpus(seed, tmp_path)
+    got = sorted(
+        tuple(map(str, r))
+        for r in registry.QUERIES["join_asof_nearest"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    con = duckdb.connect()
+    for t in ("orders", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    want = sorted(
+        tuple(map(str, r))
+        for r in con.execute(registry.ORACLES["join_asof_nearest"]).fetchall()
+    )
+    assert got == want, f"seed {seed}: nearest as-of rows diverge"
+
+
+def test_asof_nearest_equidistant_tie_prefers_backward(spark, tmp_path):
+    """One order with two events exactly D seconds before and after it:
+    the arbiter must pick the BACKWARD one and tag it so."""
+    od = _T0 + dt.timedelta(seconds=1000)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1], pa.int64()),
+                "o_custkey": pa.array([5], pa.int64()),
+                "o_orderdate": pa.array([od], pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([10, 11], pa.int64()),
+                "ts": pa.array(
+                    [od - dt.timedelta(seconds=30), od + dt.timedelta(seconds=30)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([5, 5], pa.int64()),
+                "value": pa.array([1.5, 2.5], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    rows = registry.QUERIES["join_asof_nearest"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["direction"] == "backward"
+    assert rows[0]["nearest_event_value"] == 1.5

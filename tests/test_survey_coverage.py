@@ -12,7 +12,7 @@ registry.load_all()
 RELATIONAL = [
     "scan_project", "filter_pred", "pricing_summary", "join_inner_hash",
     "join_broadcast_4way", "join_left_right_full", "join_semi_anti",
-    "join_theta_range", "join_asof", "join_asof_forward", "agg_distinct", "agg_approx_distinct",
+    "join_theta_range", "join_asof", "join_asof_forward", "join_asof_nearest", "agg_distinct", "agg_approx_distinct",
     "grouping_sets_cube_rollup", "window_rank_topn", "window_analytic",
     "sort_limit_topk", "set_ops", "scalar_string_date_math",
     "array_map_json", "subquery_scalar_in", "distinct_dedup_exact",
@@ -30,7 +30,7 @@ STREAMING = [
     "stream_watermark_late_live", "stream_dedup_live", "stream_user_state",
     "stream_static_join", "stream_stream_join", "stream_upsert_live",
     "stream_stream_left_outer", "stream_chained_dedup_agg",
-    "stream_hll_distinct_live",
+    "stream_hll_distinct_live", "stream_cms_topk_live",
 ]
 # §2.10 LLM pipeline L1-L9
 LLM = [
@@ -112,14 +112,21 @@ def test_driver_window_covers_required_families():
     """The driver verifies only the first DRIVER_WINDOW entries of
     queries().  Round-10 rotation policy (CORRECTNESS_r09 was 50/50, so
     all r9 slots rotate out with verdicts standing): the window holds
-    (a) the two r10 in-round code changes (dedup_semdedup_cells two-level
-    seed assignment; agg_quantile_histogram_merge all-NULL guard fix —
-    changed code outranks refreshes), (b) the four r6-era refreshes the
-    r9 swaps displaced, (c) geo_knn_join (r9 guard change holding an r8
-    verdict), (d) all 42 r7-era verdicts, and (e) one stalest-r8 slot
-    (agg_approx_distinct).  After this window lands no registered query's
-    verdict is older than r8 — the r9 judge's order #1 'Done' bar."""
+    (a0) first driver verdicts for the two r10 additions
+    (join_asof_nearest, stream_cms_topk_live — displacing the two
+    refreshes with the strongest indirect coverage,
+    stream_tumbling_live/stream_sliding_live: live-fuzz family + batch
+    twins in-window), (a) the two r10 in-round code changes
+    (dedup_semdedup_cells two-level seed assignment;
+    agg_quantile_histogram_merge all-NULL guard fix — changed code
+    outranks refreshes), (b) the four r6-era refreshes the r9 swaps
+    displaced, (c) geo_knn_join (r9 guard change holding an r8 verdict),
+    (d) 40 of the 42 r7-era verdicts, and (e) one stalest-r8 slot
+    (agg_approx_distinct).  After this window lands no registered
+    query's verdict is older than r8 except the two displaced live
+    streams (r7, leading the r11 refresh list)."""
     window = set(list(registry.all_queries())[: registry.DRIVER_WINDOW])
+    added_r10 = {"join_asof_nearest", "stream_cms_topk_live"}
     changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
     r6_era = {
         "geo_haversine_radius", "geo_cell_rollup", "geo_bbox_join_grid",
@@ -136,8 +143,8 @@ def test_driver_window_covers_required_families():
         "sample_stratified_hash", "sample_reservoir_topk",
         "seq_pack_greedy", "udaf_char_variance", "source_quality_report",
         "shards_write_roundtrip", "upsert_latest_wins", "scd2_history",
-        "maintenance_compact_roundtrip", "stream_tumbling_live",
-        "stream_upsert_live", "stream_sliding_live",
+        "maintenance_compact_roundtrip",
+        "stream_upsert_live",
         "stream_watermark_late_live", "stream_dedup_live",
         "stream_stream_left_outer", "stream_chained_dedup_agg",
         "maintenance_scan_layout", "events_zorder_pruned",
@@ -147,7 +154,8 @@ def test_driver_window_covers_required_families():
         "embed_pca_power_iteration",
     }
     stalest_r8 = {"agg_approx_distinct"}
-    required = changed_r10 | r6_era | guard_r9 | r7_era | stalest_r8
+    required = (added_r10 | changed_r10 | r6_era | guard_r9 | r7_era
+                | stalest_r8)
     missing = sorted(required - window)
     assert not missing, f"outside driver window: {missing}"
     assert len(required) == registry.DRIVER_WINDOW
