@@ -1099,12 +1099,10 @@ def _semdedup_two_level(
     m = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_SUPER", "0")) or max(
         16, math.isqrt(kk)
     )
-    sup_rows = sorted(
-        seed_frame.orderBy(F.md5(F.col("seed_id").cast("string")), "seed_id")
-        .limit(m)
-        .collect(),
-        key=lambda r: r["seed_id"],
-    )
+    sup_frame = seed_frame.orderBy(
+        F.md5(F.col("seed_id").cast("string")), "seed_id"
+    ).limit(m)
+    sup_rows = sorted(sup_frame.collect(), key=lambda r: r["seed_id"])
     sup_id = np.array([r["seed_id"] for r in sup_rows], dtype="int64")
     SUP = np.stack([r["se"] for r in sup_rows]).astype("float64")
     SUP = SUP / np.linalg.norm(SUP, axis=1, keepdims=True)

@@ -135,6 +135,10 @@ def test_no_unbounded_driver_collect():
         # matrix — K rows, never the corpus; the SQL path broadcasts the
         # identical frame JVM-side
         ("operators/llm.py", "seed_frame.collect()"),
+        # SemDeDup two-level route: only the ceil(sqrt(K)) SUPER-seed
+        # prefix (limit(m) upstream) comes to the driver — O(sqrt(K))
+        # rows by construction; the full K-seed set stays distributed
+        ("operators/llm.py", "sup_frame.collect()"),
     ]
     offenders = []
     for p in sorted(pkg.rglob("*.py")):
