@@ -3056,3 +3056,133 @@ def agg_heavy_hitters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), "token")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 relevance search over the corpus (round 10 continuation)
+# --------------------------------------------------------------------------
+#: fixed query terms (present across the synthetic vocabulary at differing
+#: document frequencies) — a real deployment parameterizes these; the
+#: registry needs a pinned query so both engines score the same search
+_BM25_TERMS = ("spark", "merge", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(str_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS token
+      FROM documents
+    ), tok2 AS (
+      SELECT doc_id, token FROM tok WHERE token != ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id
+    ), stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS nd,
+             CAST(SUM(dl) AS DOUBLE) AS tot
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok2
+      WHERE token IN {_BM25_TERMS!r} GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok2
+      WHERE token IN {_BM25_TERMS!r} GROUP BY token
+    ), contrib AS (
+      SELECT tf.doc_id, tf.token,
+             ((stats.nd - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+             * ((CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1!r})
+                / (CAST(tf.tf AS DOUBLE)
+                   + {_BM25_K1!r} * ({1 - _BM25_B!r} + {_BM25_B!r}
+                       * (CAST(dl.dl AS DOUBLE) / (stats.tot / stats.nd)))))
+                 AS c
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+    ), scored AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN token = '{_BM25_TERMS[0]}' THEN c END), 0)
+             + COALESCE(MAX(CASE WHEN token = '{_BM25_TERMS[1]}' THEN c END), 0)
+             + COALESCE(MAX(CASE WHEN token = '{_BM25_TERMS[2]}' THEN c END), 0)
+                 AS score
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_BM25_TOPK}
+    ORDER BY bm25 DESC, doc_id
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a fixed term query under BM25 scoring — the
+    search-relevance ranking pass of retrieval/quality pipelines (tf
+    saturation k1=1.2, length normalization b=0.75, Robertson-Sparck-Jones
+    document frequencies).  The idf uses the LOG-FREE rational core
+    (N-df+0.5)/(df+0.5) rather than its logarithm: ln() differs across
+    libm implementations in the last ulp (the text_tfidf_top_terms
+    precedent), while the rational form keeps every op an exactly-specified
+    IEEE binary op, so scores — and therefore the RANKING — are
+    bit-identical cross-engine.  Per-term contributions land in pivoted
+    columns and sum in fixed term order (left-associated adds mirrored
+    textually in the oracle); a distributed SUM's nondeterministic
+    reduction order never touches a float here.
+
+    Scale: tokenization + tf/df/dl are partial aggs over the token stream
+    (shuffle |distinct (doc, term)| for tf — 3 terms, so ~3 rows per
+    matching doc); N and avgdl ride the plan as one broadcast 1-row
+    aggregate (single action, the events_funnel shape); the final top-k is
+    a distributed TakeOrderedAndProject (per-partition top-k, k-row driver
+    merge) over docs that matched at least one term.  At
+    100 TB this is the standard two-phase sparse scoring shape — no dense
+    score vector, no driver participation."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), " ")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("nd"))
+    stats = dl.agg(F.sum("dl").cast("double").alias("tot")).join(
+        F.broadcast(n_docs)
+    )
+    qtok = tok.filter(F.col("token").isin(*_BM25_TERMS))
+    tf = qtok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = qtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    dfd = F.col("df").cast("double")
+    idf = (F.col("nd") - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    tfd = F.col("tf").cast("double")
+    norm = F.lit(_BM25_K1) * (
+        F.lit(1 - _BM25_B)
+        + F.lit(_BM25_B) * (F.col("dl").cast("double") / (F.col("tot") / F.col("nd")))
+    )
+    contrib = (
+        tf.join(df_, "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn("c", idf * ((tfd * F.lit(_BM25_K1 + 1)) / (tfd + norm)))
+    )
+    pivoted = (
+        contrib.groupBy("doc_id")
+        .pivot("token", list(_BM25_TERMS))
+        .agg(F.first("c"))
+    )
+    score = (
+        F.coalesce(F.col(_BM25_TERMS[0]), F.lit(0.0))
+        + F.coalesce(F.col(_BM25_TERMS[1]), F.lit(0.0))
+        + F.coalesce(F.col(_BM25_TERMS[2]), F.lit(0.0))
+    )
+    scored = pivoted.select("doc_id", score.alias("score"))
+    # (score DESC, doc_id) is a TOTAL order, so orderBy+limit — Spark's
+    # distributed TakeOrderedAndProject, per-partition top-k then a k-row
+    # driver merge — selects exactly the oracle's ROW_NUMBER()<=k set
+    # without funnelling all matched docs through one window partition
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )

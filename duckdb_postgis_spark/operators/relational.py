@@ -2699,3 +2699,155 @@ def join_semi_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_lines"))
         .orderBy("l_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# R34 trailing EWMA smoothing (round 10 continuation)
+# --------------------------------------------------------------------------
+_EWMA_ALPHA = 0.25
+_EWMA_K = 8
+#: w_k = alpha * (1-alpha)^k, k = 0.._EWMA_K-1 — every weight is exactly
+#: representable in binary64 (3^k / 4^(k+1), k <= 7), so the Python repr
+#: interpolated into the oracle parses to the IDENTICAL double
+_EWMA_W = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** k for k in range(_EWMA_K)]
+
+_SQL_EWMA_LAGS = ",\n               ".join(
+    f"LAG(value, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x{k}"
+    for k in range(1, _EWMA_K)
+)
+_SQL_EWMA_NUM = " + ".join(
+    f"(CASE WHEN x{k} IS NOT NULL THEN {w!r} * x{k} ELSE 0 END)"
+    for k, w in enumerate(_EWMA_W)
+)
+_SQL_EWMA_DEN = " + ".join(
+    f"(CASE WHEN x{k} IS NOT NULL THEN {w!r} ELSE 0 END)"
+    for k, w in enumerate(_EWMA_W)
+)
+
+
+@query(
+    "events_ewma_trailing",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT event_id, user_id, ts, value AS x0,
+               {_SQL_EWMA_LAGS}
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN ({_SQL_EWMA_DEN}) > 0
+                THEN ROUND(({_SQL_EWMA_NUM}) / ({_SQL_EWMA_DEN}), 6)
+           END AS ewma
+    FROM lagged
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def events_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted moving average per user series —
+    the standard smoothing pass of metric pipelines (alpha=0.25 over the
+    last 8 observations; the truncation error of dropping older terms is
+    bounded by (1-alpha)^8 ≈ 10% of total weight, re-normalized away by
+    dividing by the sum of PRESENT weights, which also makes the series
+    head and NULL gaps well-defined instead of biased toward zero).
+
+    Cross-engine float contract: each weight 0.25·0.75^k is exactly
+    representable in binary64 (3^k/4^(k+1)), the numerator/denominator are
+    the SAME left-associated chain of fixed-order IEEE adds in both
+    engines (generated from one Python list, interpolated into the oracle
+    by repr), and the division + round happen once at the end — so the
+    smoothed values are bit-identical, not merely close.
+
+    Scale: ONE window over (user_id; ts, event_id) = one hash exchange +
+    per-partition sort, all 8 lags share the single window frame
+    (Catalyst collapses equal window specs), arithmetic is whole-stage
+    codegen.  Linear in |events|; no driver participation.  The recursive
+    s_t = αx + (1-α)s_{t-1} form is NOT distributable without a full
+    prefix scan per user — the truncated-window form is the standard
+    at-scale rewrite (telemetry rollups, feature stores) and its error
+    bound is stated above."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("value").alias("x0")] + [
+        F.lag("value", k).over(w).alias(f"x{k}") for k in range(1, _EWMA_K)
+    ]
+    lagged = ev.select("event_id", "user_id", "ts", *lags)
+    num = None
+    den = None
+    for k, wt in enumerate(_EWMA_W):
+        xk = F.col(f"x{k}")
+        t_num = F.when(xk.isNotNull(), F.lit(wt) * xk).otherwise(F.lit(0.0))
+        t_den = F.when(xk.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    ewma = F.when(den > 0, F.round(num / den, 6))
+    return lagged.select("event_id", "user_id", "ts", ewma.alias("ewma"))
+
+
+# --------------------------------------------------------------------------
+# R35 interval-overlap concurrency via sweep line (round 10 continuation)
+# --------------------------------------------------------------------------
+@query(
+    "events_max_concurrency",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               MIN(ts) AS st, MAX(ts) AS en
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+    ),
+    deltas AS (
+        SELECT day, st AS t, 1 AS d FROM s
+        UNION ALL
+        SELECT day, en AS t, -1 AS d FROM s
+    ),
+    cum AS (
+        SELECT day, d,
+               SUM(d) OVER (PARTITION BY day ORDER BY t, d DESC) AS c
+        FROM deltas
+    )
+    SELECT day,
+           CAST(MAX(c) AS BIGINT) AS max_concurrent,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions
+    FROM cum GROUP BY day ORDER BY day
+    """,
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user sessions per day — the classic interval-overlap
+    question ("max simultaneous connections") answered by the SWEEP LINE
+    rewrite instead of an interval self-join.  Sessions are per-(user, day)
+    closed intervals [first event, last event]; each interval unpivots to a
+    +1 delta at its start and a -1 at its end; a running sum ordered by
+    (t, d DESC) is the live concurrency, and its per-day max is the answer.
+
+    Semantics pinned cross-engine: intervals are CLOSED — a session ending
+    at instant t overlaps one starting at t.  Ordering +1 before -1 at
+    equal t (d DESC) realizes that: the start row's running sum still
+    includes the ending session.  Both engines use the default RANGE frame,
+    so rows tied on (t, d) pool their deltas — the per-day MAX is therefore
+    well-defined and deterministic regardless of physical row order.
+
+    Scale: the naive interval self-join is O(overlapping pairs) — at 100 TB
+    a hot day explodes quadratically.  The sweep is O(n log n): one partial
+    agg to build sessions (shuffle |user-days|), one window sort partitioned
+    by DAY (each day's deltas = 2x that day's user count — bounded, and the
+    natural time-partitioned layout prunes the scan), one tiny rollup.
+    Output is |days| rows.  No pair set ever materializes."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    s = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.min("ts").alias("st"), F.max("ts").alias("en")
+    )
+    deltas = s.select(
+        "day", F.col("st").alias("t"), F.lit(1).alias("d")
+    ).unionByName(s.select("day", F.col("en").alias("t"), F.lit(-1).alias("d")))
+    w = Window.partitionBy("day").orderBy(F.col("t").asc(), F.col("d").desc())
+    cum = deltas.withColumn("c", F.sum("d").over(w))
+    return (
+        cum.groupBy("day")
+        .agg(
+            F.max("c").cast("long").alias("max_concurrent"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sessions"),
+        )
+        .transform(sorted_small, "day")
+    )

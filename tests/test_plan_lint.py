@@ -45,6 +45,10 @@ ALLOWED_BNLJ = {
     "text_tfidf_top_terms",
     # same 1-row broadcast-N shape as tfidf (corpus token total)
     "text_unigram_likelihood",
+    # r10 BM25: build side is the broadcast 1-row (nd, tot) corpus-stats
+    # aggregate — the tfidf/unigram constant-attach shape; tf/df/dl joins
+    # underneath are equi-joins only
+    "text_bm25_search",
     # post-stream batch filter attaches a broadcast 1-row max(ts) aggregate
     # (the safe-cutoff literal) — 1-row build side, constant-attach
     "stream_stream_left_outer",
