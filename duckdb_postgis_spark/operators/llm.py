@@ -3186,3 +3186,117 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BM25_TOPK)
         .select("doc_id", F.round("score", 6).alias("bm25"))
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining for contrastive training (round 10 continuation)
+# --------------------------------------------------------------------------
+#: query-set selector (~1% of the corpus) and negatives per query
+_HNM_QUERY_MOD = 97
+_HNM_K = 5
+
+
+@query(
+    "sample_hard_negative_mining",
+    oracle=f"""
+    SELECT q_id, neg_id, ROUND(c, 6) AS cosine
+    FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS neg_id, {_SQL_COS} AS c,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_SQL_COS} DESC, b.vec_id) AS rn
+      FROM embeddings a JOIN embeddings b
+        ON b.vec_id != a.vec_id AND b.label != a.label
+      WHERE a.vec_id % {_HNM_QUERY_MOD} = 0
+    ) WHERE rn <= {_HNM_K}
+    ORDER BY q_id, cosine DESC, neg_id
+    """,
+)
+def sample_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each anchor in a sampled query set
+    (vec_id % 97 — ~1% of the corpus), the top-5 most-cosine-similar
+    vectors carrying a DIFFERENT label.  This is the negatives-selection
+    pass of contrastive training (SimCLR/DPR-style): the most confusable
+    wrong-label examples are the gradient-richest negatives, and mining
+    them is a scoring sweep of the whole corpus per anchor.
+
+    Shape: the query side is tiny by construction, so it REPLICATES — each
+    anchor is exploded to every corpus chunk id and cogrouped with that
+    hash chunk of the corpus (the block-pair machinery of knn_cosine_topk,
+    specialized to one small side).  Each Arrow group runs one BLAS matmul
+    (chunk_rows x dim @ dim x n_queries), masks same-label and self pairs,
+    and keeps a per-chunk top-5 per anchor; a final window over the
+    P x |queries| x 5 candidate rows (thousands, not billions) picks the
+    global top-5 — correct because the global top-k is contained in the
+    union of per-chunk top-ks.  Corpus rows are scanned once, never
+    shuffled by pair; per-task memory is one chunk + the query matrix.
+    At 100 TB with a larger anchor set the same plan holds until
+    |anchors| x dim stops fitting a task — past that, route anchors
+    through the IVF/LSH family first (similarity_search_ivf, knn_ivf_lsh)
+    and mine negatives inside candidate cells only."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    n, dim = _corpus_stats(f"{sf_dir}/embeddings.parquet")
+    if n == 0 or dim == 0:
+        return spark.createDataFrame([], "q_id bigint, neg_id bigint, cosine double")
+    nchunks = _num_blocks(n, dim)
+    corpus = emb.withColumn(
+        "chunk", F.pmod(F.hash("vec_id"), F.lit(nchunks)).cast("int")
+    )
+    queries = (
+        emb.filter(F.col("vec_id") % _HNM_QUERY_MOD == 0)
+        .withColumn("chunk", F.explode(F.sequence(F.lit(0), F.lit(nchunks - 1))))
+        .withColumn("chunk", F.col("chunk").cast("int"))
+    )
+
+    def chunk_topk(key, cpdf, qpdf):
+        empty = pd.DataFrame({"q_id": [], "neg_id": [], "cosine": []}).astype(
+            {"q_id": "int64", "neg_id": "int64", "cosine": "float64"}
+        )
+        if cpdf.empty or qpdf.empty:
+            return empty
+        cid = cpdf["vec_id"].to_numpy()
+        qid = qpdf["vec_id"].to_numpy()
+        clab = cpdf["label"].to_numpy()
+        qlab = qpdf["label"].to_numpy()
+        C = np.stack(cpdf["embedding"].to_numpy()).astype("float64")
+        Q = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
+        C /= np.sqrt((C * C).sum(axis=1, keepdims=True))
+        Q /= np.sqrt((Q * Q).sum(axis=1, keepdims=True))
+        sims = Q @ C.T  # |queries| x |chunk|
+        mask = (qlab[:, None] != clab[None, :]) & (qid[:, None] != cid[None, :])
+        sims = np.where(mask, sims, -np.inf)
+        out_q, out_n, out_c = [], [], []
+        take = min(_HNM_K, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            top = np.argpartition(row, -take)[-take:]
+            top = top[np.isfinite(row[top])]
+            out_q.extend([qid[qi]] * len(top))
+            out_n.extend(cid[top])
+            out_c.extend(row[top])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {"q_id": out_q, "neg_id": out_n, "cosine": out_c}
+        ).astype({"q_id": "int64", "neg_id": "int64", "cosine": "float64"})
+
+    schema = StructType(
+        [
+            StructField("q_id", LongType()),
+            StructField("neg_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    candidates = (
+        corpus.groupBy("chunk")
+        .cogroup(queries.groupBy("chunk"))
+        .applyInPandas(chunk_topk, schema=schema)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "neg_id")
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HNM_K)
+        .select("q_id", "neg_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("q_id", F.col("cosine").desc(), "neg_id")
+    )

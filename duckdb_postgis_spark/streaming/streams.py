@@ -29,6 +29,7 @@ from duckdb_postgis_spark.catalog import _probe_events_ts, rebuild_events_ts
 from duckdb_postgis_spark.functions.num import dsum, sql_dsum
 from duckdb_postgis_spark.operators.relational import (
     _CMS_D,
+    _QH_BINS,
     _SQL_CMS_BUCKET,
     cms_bucket,
 )
@@ -978,4 +979,139 @@ def stream_transform_with_state_live(events: DataFrame) -> DataFrame:
         outputStructType=USER_STATE_OUTPUT,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+@query(
+    "stream_quantile_hist_live",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+           TRUE AS median_rank_in_bin,
+           TRUE AS stream_cells_equal_direct
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    ORDER BY win_start
+    """,
+)
+def q_stream_quantile_hist_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window MEDIAN via histogram state (r10 continuation)
+    — the quantile member of the LIVE mergeable-summary trio
+    (stream_hll_distinct_live: distinct; stream_cms_topk_live: frequency;
+    this: quantiles), mirroring how agg_quantile_histogram_merge completed
+    the batch trio.  Exact streaming quantiles need every value in state;
+    the 100 TB ingest path maintains a 256-bin equi-width histogram per
+    hour window instead — the streaming groupBy key space is
+    (window, bin), BOUNDED at _QH_BINS counters per window no matter how
+    many values arrive, the watermark evicts closed windows, and counter
+    updates are plain additions so micro-batch merge is lossless BY
+    CONSTRUCTION (the batch twin's merge_equals_direct property).
+
+    Correctness contract (the stream_hll_distinct_live pattern, quantile
+    edition): after the AvailableNow drain, the streamed per-window cells
+    are checked two ways against a batch recount of the same parquet —
+    (a) cell-exact equality with the direct batch histogram
+    (``stream_cells_equal_direct``: state-store drift in ANY counter is a
+    driver hash failure), and (b) the median bin read off the STREAMED
+    CDF really brackets rank ceil(n/2) when recounted from raw rows
+    (``median_rank_in_bin`` — the rank-space guarantee the batch twin
+    pins; fuzz family 28's counterexample killed the value-space claim).
+    The exact per-window median rides along hash-verified
+    (percentile/quantile_cont twin, round 6).  Bin bounds come from one
+    tiny min/max agg over the batch table — at ingest they ride parquet
+    footer stats or an a-priori domain contract; both the streamed and
+    the direct histograms bin through the SAME Python floats, so the
+    properties never depend on cross-engine float parity."""
+    from duckdb_postgis_spark.catalog import table
+
+    evb = table(spark, sf_dir, "events")
+    x = F.col("value").cast("double")
+    exact = evb.groupBy(F.date_trunc("hour", "ts").alias("win_start")).agg(
+        F.expr("percentile(value, 0.5)").alias("exact_raw")
+    )
+    lo, hi = evb.agg(F.min(x), F.max(x)).first()
+    if lo is None or hi is None:
+        # empty table or all-NULL values: no cells exist on either path —
+        # emit the oracle's shape (one row per window incl. the NULL-ts
+        # group's absence; properties vacuously TRUE)
+        return exact.select(
+            "win_start",
+            F.round("exact_raw", 6).alias("exact_p50"),
+            F.lit(True).alias("median_rank_in_bin"),
+            F.lit(True).alias("stream_cells_equal_direct"),
+        ).orderBy("win_start")
+    width = (float(hi) - float(lo)) / _QH_BINS or 1.0
+    bin_of = F.least(
+        F.greatest(F.floor((x - F.lit(float(lo))) / F.lit(width)), F.lit(0)),
+        F.lit(_QH_BINS - 1),
+    ).cast("int")
+
+    ev = events_stream(spark, sf_dir)
+    cells_in = (
+        ev.filter(F.col("value").isNotNull())
+        .withWatermark("ts", "10 minutes")
+        .select("ts", bin_of.alias("bin"))
+    )
+    state = (
+        cells_in.groupBy(F.window("ts", "1 hour").alias("win"), "bin")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "bin", "n")
+    )
+    streamed = run_available_now(state, "q_qhist", "update")
+
+    direct = (
+        evb.filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("hour", "ts").alias("win_start"), bin_of.alias("bin"))
+        .agg(F.count("*").alias("n_direct"))
+    )
+    mism = (
+        streamed.join(direct, ["win_start", "bin"], "full")
+        .groupBy("win_start")
+        .agg(
+            F.sum(
+                F.when(
+                    F.coalesce("n", F.lit(-1)) == F.coalesce("n_direct", F.lit(-2)),
+                    0,
+                ).otherwise(1)
+            ).alias("n_mismatch")
+        )
+    )
+    w = Window.partitionBy("win_start").orderBy("bin")
+    w_tot = Window.partitionBy("win_start")
+    cdf = streamed.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "tot", F.sum("n").over(w_tot)
+    )
+    med_bin = (
+        cdf.filter(F.col("cum").cast("double") >= 0.5 * F.col("tot").cast("double"))
+        .groupBy("win_start")
+        .agg(F.min("bin").alias("mbin"))
+    )
+    rank_chk = (
+        direct.join(med_bin, "win_start")
+        .groupBy("win_start")
+        .agg(
+            F.sum(
+                F.when(F.col("bin") < F.col("mbin"), F.col("n_direct")).otherwise(0)
+            ).alias("n_lt"),
+            F.sum(
+                F.when(F.col("bin") <= F.col("mbin"), F.col("n_direct")).otherwise(0)
+            ).alias("n_le"),
+            F.sum("n_direct").alias("n_all"),
+        )
+    )
+    half_up = F.floor((F.col("n_all") + 1) / 2)  # ceil(n/2), integer
+    return (
+        exact.join(rank_chk, "win_start", "left")
+        .join(mism, "win_start", "left")
+        .select(
+            "win_start",
+            F.round("exact_raw", 6).alias("exact_p50"),
+            F.coalesce(
+                (F.col("n_lt") < half_up) & (F.col("n_le") >= half_up), F.lit(True)
+            ).alias("median_rank_in_bin"),
+            F.coalesce(F.col("n_mismatch") == 0, F.lit(True)).alias(
+                "stream_cells_equal_direct"
+            ),
+        )
+        .orderBy("win_start")
     )
