@@ -2851,3 +2851,103 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sorted_small, "day")
     )
+
+
+# --------------------------------------------------------------------------
+# R36 HLL audience intersection via inclusion-exclusion (round 10 cont.)
+# --------------------------------------------------------------------------
+@query(
+    "agg_hll_intersection",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    nd AS (SELECT event_type, COUNT(*) AS nd FROM tu GROUP BY event_type),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS exact_inter
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b,
+           na.nd AS exact_nd_a, nb.nd AS exact_nd_b, i.exact_inter,
+           TRUE AS inter_within_5pct_of_union
+    FROM inter i
+    JOIN nd na ON na.event_type = i.type_a
+    JOIN nd nb ON nb.event_type = i.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation between event-type segments via HLL
+    INCLUSION-EXCLUSION: |A∩B| ≈ est(A) + est(B) − est(A∪B), the standard
+    sketch answer to "how many users do these two segments share" when the
+    raw id sets are too large to intersect exactly per ad-hoc question.
+    Union comes free from HLL's lossless-union property (``hll_union``);
+    intersection is NOT natively supported by HLL — inclusion-exclusion is
+    the textbook derivation and its error scales with the UNION size, not
+    the intersection, which is exactly what the pinned tolerance states.
+
+    Correctness contract (the agg_approx_distinct pattern): the output
+    carries the EXACT per-segment and per-pair intersection counts
+    (hash-verified against DuckDB's distinct self-join) plus
+    ``inter_within_5pct_of_union`` computed from the REAL sketch estimates
+    — |est∩ − exact∩| ≤ 0.05·|A∪B| + 1 — oracle-pinned TRUE, so sketch
+    drift through union re-estimation is a driver hash failure.
+
+    Scale: per-segment sketches are one partial agg of ~KB blobs
+    (mergeable — at 100 TB they live in a pre-aggregated sketch table, the
+    agg_hll_sketch_merge pattern, and EVERY pairwise question is answered
+    from |segments| sketches without rescanning the corpus).  The exact
+    self-join companion (ids-only, |users×segments| rows) is the
+    verification harness, not the scale path."""
+    ev = table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    seg = tu.groupBy("event_type").agg(
+        F.count("*").alias("nd"), F.hll_sketch_agg("user_id").alias("sk")
+    )
+    a = seg.select(
+        F.col("event_type").alias("type_a"),
+        F.col("nd").alias("exact_nd_a"),
+        F.col("sk").alias("sk_a"),
+    )
+    b = seg.select(
+        F.col("event_type").alias("type_b"),
+        F.col("nd").alias("exact_nd_b"),
+        F.col("sk").alias("sk_b"),
+    )
+    exact_inter = (
+        tu.alias("x")
+        .join(
+            tu.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    pairs = (
+        exact_inter.join(F.broadcast(a), "type_a")
+        .join(F.broadcast(b), "type_b")
+    )
+    est_a = F.hll_sketch_estimate("sk_a").cast("double")
+    est_b = F.hll_sketch_estimate("sk_b").cast("double")
+    est_u = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).cast("double")
+    est_inter = est_a + est_b - est_u
+    exact_union = (
+        F.col("exact_nd_a") + F.col("exact_nd_b") - F.col("exact_inter")
+    ).cast("double")
+    within = (
+        F.abs(est_inter - F.col("exact_inter").cast("double"))
+        <= F.lit(0.05) * exact_union + F.lit(1.0)
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "exact_nd_a",
+        "exact_nd_b",
+        "exact_inter",
+        within.alias("inter_within_5pct_of_union"),
+    ).transform(sorted_small, "type_a", "type_b")
