@@ -3235,7 +3235,15 @@ def sample_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     and mine negatives inside candidate cells only."""
     import numpy as np
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+        # SQL `b.label != a.label` excludes NULL labels on EITHER side;
+        # numpy's NaN != NaN is True — drop NULLs up front so the Arrow
+        # mask and the oracle agree (a NULL-label anchor gets no
+        # negatives and is absent from the output, both engines)
+        .filter(F.col("label").isNotNull())
+    )
     n, dim = _corpus_stats(f"{sf_dir}/embeddings.parquet")
     if n == 0 or dim == 0:
         return spark.createDataFrame([], "q_id bigint, neg_id bigint, cosine double")
@@ -3270,8 +3278,14 @@ def sample_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         take = min(_HNM_K, sims.shape[1])
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            top = np.argpartition(row, -take)[-take:]
-            top = top[np.isfinite(row[top])]
+            # chunk-local selection under the SAME total order as the
+            # global rank (cosine DESC, neg_id ASC) — exact-tie safe:
+            # duplicate vectors produce bit-equal cosines, and only an
+            # order-consistent local cut guarantees the global top-k
+            # survives the per-chunk cut (argpartition alone may keep the
+            # higher-id member of a tie the oracle resolves by lowest id)
+            order = np.lexsort((cid, -row))[:take]
+            top = order[np.isfinite(row[order])]
             out_q.extend([qid[qi]] * len(top))
             out_n.extend(cid[top])
             out_c.extend(row[top])

@@ -141,14 +141,22 @@ ORACLES: dict[str, str] = {}
 # — the r9 judge's order #1 "Done" bar.
 #
 # ROUND-11 ROTATION PLAN (execute at round-11 start): if CORRECTNESS_r10
-# is green, all r10 slots rotate out.  Window, in order: (a) any r10/r11
+# is green, all r10 slots rotate out.  Window, in order: (a) any r11
 # additions needing a first driver verdict and any query whose code
 # changes in r11, plus knn_cosine_topk (r10 guard-level change: the
 # exact-vs-ANN ResourceWarning past 10M rows — warning only, plan
 # construction identical, replica-verified in r10 — holds its r9 verdict
-# and re-enters per the changed-code rule); (b) the remaining 47 r8-era
-# verdicts (50 r8 slots minus agg_quantile_histogram_merge, geo_knn_join,
-# agg_approx_distinct which refresh in r10); (c) spare slots to the
+# and re-enters per the changed-code rule) and sample_hard_negative_mining
+# IF its r10 verdict predates the continuation-session lexsort tie fix +
+# NULL-label filter (both hash-preserving at driver scale, replica-
+# verified — changed-code rule applies only if the driver snapshotted the
+# pre-fix tree); (b) the EIGHT r7 verdicts the r10 windows displaced, in
+# displacement order: stream_tumbling_live, stream_sliding_live,
+# stream_upsert_live, stream_watermark_late_live, stream_dedup_live,
+# similarity_search_ivf_pruned, similarity_search_quantized,
+# embed_pca_power_iteration; (c) the remaining 47 r8-era verdicts
+# (50 r8 slots minus agg_quantile_histogram_merge, geo_knn_join,
+# agg_approx_distinct which refresh in r10); (d) spare slots to the
 # stalest r9 verdicts.
 #
 # (a4) IN-ROUND r9 CHANGED CODE (changed code outranks refreshes, the
@@ -184,6 +192,26 @@ PRIORITY: tuple[str, ...] = (
     #    refresh list ----------------------------------------------------
     "join_asof_nearest",
     "stream_cms_topk_live",
+    # -- (a0b) r10 CONTINUATION-SESSION additions, first driver verdicts
+    #    (same first-verdict rule).  Six displacees, chosen for the
+    #    strongest indirect coverage (the tumbling/sliding_live precedent
+    #    above), lead the r11 refresh list: stream_upsert_live /
+    #    stream_watermark_late_live / stream_dedup_live (r7 verdicts;
+    #    the live fuzz family replays the same readStream+state machinery
+    #    every CI run, and their batch twins upsert_latest_wins /
+    #    stream_watermark_late / stream_dedup stay in-window),
+    #    similarity_search_ivf_pruned / similarity_search_quantized
+    #    (r7 verdicts; recall oracles pinned TRUE in CI, sibling
+    #    similarity_search_ivf stays in-window, the pruned variant's
+    #    PartitionFilters shape is plan-asserted in test_layout_plans),
+    #    and embed_pca_power_iteration (r7; property-tested in CI and the
+    #    PCA machinery has no in-round code change since r7) --------------
+    "events_ewma_trailing",
+    "events_max_concurrency",
+    "text_bm25_search",
+    "sample_hard_negative_mining",
+    "stream_quantile_hist_live",
+    "agg_hll_intersection",
     # -- (a) r10 in-round changed code (changed code outranks refreshes):
     #    dedup_semdedup_cells — the r10 two-level seed assignment rework
     #    (judge order #2: driver-side K seed collect/broadcast bounded);
@@ -199,7 +227,8 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_scene_cut",
     # -- (c) the remaining r9 guard-level change holding an r8 verdict -----
     "geo_knn_join",
-    # -- (d) all 42 r7-era verdicts (exhausts the window at 49) ------------
+    # -- (d) 34 of the 40 r7-era verdicts (6 displaced to r11 by the (a0b)
+    #    continuation additions; exhausts the window at 49) ----------------
     "text_stats",
     "text_normalize_tokenize",
     "dedup_exact_hash",
@@ -226,9 +255,6 @@ PRIORITY: tuple[str, ...] = (
     "upsert_latest_wins",
     "scd2_history",
     "maintenance_compact_roundtrip",
-    "stream_upsert_live",
-    "stream_watermark_late_live",
-    "stream_dedup_live",
     "stream_stream_left_outer",
     "stream_chained_dedup_agg",
     "maintenance_scan_layout",
@@ -237,9 +263,6 @@ PRIORITY: tuple[str, ...] = (
     "pipeline_nongeo_e2e",
     "agg_heavy_hitters_twophase",
     "events_directory_table",
-    "similarity_search_ivf_pruned",
-    "similarity_search_quantized",
-    "embed_pca_power_iteration",
     # -- (e) last slot: stalest r8 verdict by registration order ----------
     "agg_approx_distinct",
 )

@@ -1,0 +1,160 @@
+"""Fuzz family 38: BM25 search + hard-negative mining, differential.
+
+* ``text_bm25_search``: 40 seeded document corpora from a small vocab —
+  docs missing every query term (must not appear), zero-token docs
+  (punctuation-only — dl undefined, doc can never match), high-tf spam
+  docs (saturation must rank them identically cross-engine), and
+  corpora where fewer than 10 docs match (top-k under-full).  The
+  ranking is compared row-for-row against the DuckDB oracle, which
+  recomputes idf/avgdl/saturation through its own SQL arithmetic.
+
+* ``sample_hard_negative_mining``: 40 seeded embedding corpora —
+  label pools of size 1 (every anchor's negatives are... nobody:
+  single-label corpus pins the exactly-empty output), NULL labels
+  (excluded on both sides — the numpy NaN != NaN trap), anchors-only
+  and no-anchor corpora, and duplicate vectors (cosine ties break to
+  lowest neg_id).
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from duckdb_postgis_spark import registry
+
+registry.load_all()
+
+_VOCAB = [
+    "spark", "merge", "vector", "join", "scan", "filter", "table", "row",
+    "batch", "query", "the", "a", "data",
+]
+
+
+def _write_docs(seed: int, path) -> None:
+    rng = random.Random(38000 + seed)
+    n_docs = rng.randint(3, 40)
+    rows = []
+    for d in range(n_docs):
+        shape = rng.choice(["normal", "no_query_terms", "zero_tokens", "spam"])
+        if shape == "zero_tokens":
+            text = "!!! 123 ???"
+        elif shape == "no_query_terms":
+            pool = [w for w in _VOCAB if w not in ("spark", "merge", "vector")]
+            text = " ".join(rng.choices(pool, k=rng.randint(1, 30)))
+        elif shape == "spam":
+            term = rng.choice(["spark", "merge", "vector"])
+            text = " ".join([term] * rng.randint(10, 60))
+        else:
+            text = " ".join(rng.choices(_VOCAB, k=rng.randint(1, 50)))
+        rows.append((d, text))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["fuzz"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        path / "documents.parquet",
+    )
+
+
+def _write_embeddings(seed: int, path) -> None:
+    rng = random.Random(38500 + seed)
+    n = rng.randint(4, 120)
+    dim = rng.choice([4, 8, 16])
+    n_labels = rng.choice([1, 1, 2, 3, 5])
+    rows = []
+    for i in range(n):
+        # vec_id stride ensures some seeds have several anchors
+        # (vec_id % 97 == 0), some exactly one, some none
+        vid = i * rng.choice([1, 7, 97])
+        if rng.random() < 0.1:
+            lab = None  # excluded on both sides
+        else:
+            lab = rng.randrange(n_labels)
+        if rng.random() < 0.15 and rows:
+            vec = rows[rng.randrange(len(rows))][1]  # duplicate: cosine tie
+        else:
+            vec = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((vid, vec, lab))
+    # unique vec_ids (duplicates in id break ROW_NUMBER determinism)
+    seen, uniq = set(), []
+    for vid, vec, lab in rows:
+        while vid in seen:
+            vid += 1
+        seen.add(vid)
+        uniq.append((vid, vec, lab))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in uniq], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in uniq], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in uniq], pa.int32()),
+            }
+        ),
+        path / "embeddings.parquet",
+    )
+
+
+def _compare(spark, path, name: str, seed) -> None:
+    got = sorted(
+        tuple(map(str, r))
+        for r in registry.QUERIES[name](spark, str(path)).collect()
+    )
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        f = path / f"{t}.parquet"
+        if f.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{f}')"
+            )
+    want = sorted(
+        tuple(map(str, r)) for r in con.execute(registry.ORACLES[name]).fetchall()
+    )
+    assert got == want, f"seed {seed}: {name} rows diverge"
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_bm25_matches_oracle(spark, tmp_path, seed):
+    _write_docs(seed, tmp_path)
+    _compare(spark, tmp_path, "text_bm25_search", seed)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_hard_negatives_match_oracle(spark, tmp_path, seed):
+    _write_embeddings(seed, tmp_path)
+    _compare(spark, tmp_path, "sample_hard_negative_mining", seed)
+
+
+def test_single_label_corpus_is_empty(spark, tmp_path):
+    """One label everywhere: no wrong-label candidates exist, so the
+    output is exactly empty — the all-same-lang precedent from the
+    cross-lingual dedup family."""
+    rng = random.Random(38999)
+    rows = [
+        (i * 97, [rng.uniform(-1, 1) for _ in range(8)], 1) for i in range(12)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    out = registry.QUERIES["sample_hard_negative_mining"](
+        spark, str(tmp_path)
+    ).collect()
+    assert out == []

@@ -20,7 +20,8 @@ RELATIONAL = [
     "agg_string_bool", "agg_corr_exact", "events_funnel", "retention_cohorts",
     "sessionize_islands", "events_anomaly_zscore", "events_autocorrelation",
     "agg_mode_per_group", "events_changepoint_cusum",
-    "join_semi_bloom_prefilter",
+    "join_semi_bloom_prefilter", "events_ewma_trailing",
+    "events_max_concurrency",
 ]
 # §2.9 streaming batch twins + §2.12c live streams
 STREAMING = [
@@ -31,6 +32,7 @@ STREAMING = [
     "stream_static_join", "stream_stream_join", "stream_upsert_live",
     "stream_stream_left_outer", "stream_chained_dedup_agg",
     "stream_hll_distinct_live", "stream_cms_topk_live",
+    "stream_quantile_hist_live",
 ]
 # §2.10 LLM pipeline L1-L9
 LLM = [
@@ -63,7 +65,7 @@ SCALE = [
     "similarity_search_quantized", "embed_pca_power_iteration",
     "agg_heavy_hitters_twophase", "agg_hll_sketch_merge",
     "similarity_search_pq", "agg_quantile_histogram_merge",
-    "agg_cms_topk_merge",
+    "agg_cms_topk_merge", "agg_hll_intersection",
 ]
 # §2.12d text/dedup extensions
 TEXT_EXT = [
@@ -73,7 +75,7 @@ TEXT_EXT = [
     "json_extract_events", "cogroup_reconcile", "dedup_cluster_components",
     "join_null_safe", "subquery_exists_correlated", "dedup_verify_levenshtein",
     "dedup_survivorship_merge", "dedup_exact_prefix", "embed_quantize_int8",
-    "dedup_semdedup_cells",
+    "dedup_semdedup_cells", "text_bm25_search",
 ]
 
 # §2.12e training-data-pipeline extensions
@@ -83,6 +85,7 @@ TRAINING = [
     "udaf_char_variance", "shards_write_roundtrip", "pipeline_training_e2e",
     "source_quality_report", "sample_temperature_weighted",
     "text_unigram_likelihood", "text_pii_scrub", "dedup_substring_spans",
+    "sample_hard_negative_mining",
 ]
 
 # §2.13 incremental-maintenance (lakehouse) surface
@@ -112,21 +115,36 @@ def test_driver_window_covers_required_families():
     """The driver verifies only the first DRIVER_WINDOW entries of
     queries().  Round-10 rotation policy (CORRECTNESS_r09 was 50/50, so
     all r9 slots rotate out with verdicts standing): the window holds
-    (a0) first driver verdicts for the two r10 additions
-    (join_asof_nearest, stream_cms_topk_live — displacing the two
-    refreshes with the strongest indirect coverage,
-    stream_tumbling_live/stream_sliding_live: live-fuzz family + batch
-    twins in-window), (a) the two r10 in-round code changes
+    (a0) first driver verdicts for the eight r10 additions — the two
+    early-session ones (join_asof_nearest, stream_cms_topk_live —
+    displacing stream_tumbling_live/stream_sliding_live: live-fuzz
+    family + batch twins in-window) and the six continuation-session
+    ones (events_ewma_trailing, events_max_concurrency,
+    text_bm25_search, sample_hard_negative_mining,
+    stream_quantile_hist_live, agg_hll_intersection — displacing the
+    six r7 slots with the strongest indirect coverage, listed in the
+    added_r10 comment below), (a) the two r10 in-round code changes
     (dedup_semdedup_cells two-level seed assignment;
     agg_quantile_histogram_merge all-NULL guard fix — changed code
     outranks refreshes), (b) the four r6-era refreshes the r9 swaps
     displaced, (c) geo_knn_join (r9 guard change holding an r8 verdict),
-    (d) 40 of the 42 r7-era verdicts, and (e) one stalest-r8 slot
+    (d) 34 of the 42 r7-era verdicts, and (e) one stalest-r8 slot
     (agg_approx_distinct).  After this window lands no registered
-    query's verdict is older than r8 except the two displaced live
-    streams (r7, leading the r11 refresh list)."""
+    query's verdict is older than r8 except the eight displaced r7
+    slots (leading the r11 refresh list)."""
     window = set(list(registry.all_queries())[: registry.DRIVER_WINDOW])
-    added_r10 = {"join_asof_nearest", "stream_cms_topk_live"}
+    added_r10 = {
+        "join_asof_nearest", "stream_cms_topk_live",
+        # continuation-session additions (same first-verdict rule);
+        # displaced to the r11 refresh lead: stream_upsert_live,
+        # stream_watermark_late_live, stream_dedup_live (live fuzz family
+        # + in-window batch twins), similarity_search_ivf_pruned,
+        # similarity_search_quantized (recall pins + in-window sibling),
+        # embed_pca_power_iteration (property-tested, code unchanged)
+        "events_ewma_trailing", "events_max_concurrency",
+        "text_bm25_search", "sample_hard_negative_mining",
+        "stream_quantile_hist_live", "agg_hll_intersection",
+    }
     changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
     r6_era = {
         "geo_haversine_radius", "geo_cell_rollup", "geo_bbox_join_grid",
@@ -144,14 +162,14 @@ def test_driver_window_covers_required_families():
         "seq_pack_greedy", "udaf_char_variance", "source_quality_report",
         "shards_write_roundtrip", "upsert_latest_wins", "scd2_history",
         "maintenance_compact_roundtrip",
-        "stream_upsert_live",
-        "stream_watermark_late_live", "stream_dedup_live",
+        
+        
         "stream_stream_left_outer", "stream_chained_dedup_agg",
         "maintenance_scan_layout", "events_zorder_pruned",
         "pipeline_geojson_e2e", "pipeline_nongeo_e2e",
         "agg_heavy_hitters_twophase", "events_directory_table",
-        "similarity_search_ivf_pruned", "similarity_search_quantized",
-        "embed_pca_power_iteration",
+        
+        
     }
     stalest_r8 = {"agg_approx_distinct"}
     required = (added_r10 | changed_r10 | r6_era | guard_r9 | r7_era
