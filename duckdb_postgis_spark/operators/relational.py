@@ -2951,3 +2951,329 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_inter",
         within.alias("inter_within_5pct_of_union"),
     ).transform(sorted_small, "type_a", "type_b")
+
+
+# --------------------------------------------------------------------------
+# R37 last-touch conversion attribution (round 10 continuation)
+# --------------------------------------------------------------------------
+@query(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH conv AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+    ),
+    touch AS (
+        SELECT event_id, user_id, ts, event_type FROM events
+        WHERE event_type != 'purchase' AND ts IS NOT NULL
+    ),
+    attributed AS (
+        SELECT cid, value, COALESCE(tch, 'direct') AS channel
+        FROM (
+            SELECT c.event_id AS cid, c.value AS value,
+                   t.event_type AS tch,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.event_id
+                       ORDER BY t.ts DESC NULLS LAST,
+                                t.event_id DESC NULLS LAST
+                   ) AS rn
+            FROM conv c
+            LEFT JOIN touch t
+              ON t.user_id = c.user_id AND t.ts <= c.ts
+        ) x
+        WHERE rn = 1
+    )
+    SELECT channel, COUNT(*) AS n_conversions,
+           {sql_dsum('value')} AS revenue
+    FROM attributed GROUP BY channel ORDER BY channel
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH conversion attribution inside the event stream: every
+    'purchase' event's value is credited to the SAME user's most recent
+    non-purchase event type at-or-before it (the touchpoint 'channel');
+    conversions with no prior touchpoint go to 'direct' — the
+    marketing-attribution rollup every events warehouse runs.  Semantics
+    = the R9 backward as-of join run stream-against-itself (same tie
+    rules: latest ts, highest event_id at equal ts; a same-instant
+    touchpoint IS admitted — touches sort before conversions); revenue
+    uses the functions/num.py exact-DECIMAL sum so the money totals are
+    arrival-order-independent and bit-identical cross-engine.
+
+    (First cut attributed ORDERS to prior events — degenerate on this
+    dataset, where every o_orderdate predates every event ts, so 100% of
+    rows landed in 'direct'; within-stream conversion attribution is
+    both the truer product shape and a non-trivial driver signal.)
+
+    Scale: ONE events scan split by a codegen predicate feeds both
+    union branches, then the R9 union-merge — one hash exchange on user,
+    zero join nodes, linear in |events| where the oracle's inequality
+    join explodes per (user, conversion) pair; the rollup is a partial
+    agg over |channels| groups, flowing in the same stage chain."""
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    ).filter(F.col("ts").isNotNull())
+    touch = events.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("mts"),
+        F.lit(0).alias("side"),  # touches sort before conversions (<=)
+        "event_id",
+        F.struct(F.col("event_type").alias("etype")).alias("ev"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    conv = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("mts"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("struct<etype:string>").alias("ev"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(F.col("mts").asc(), F.col("side").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = (
+        touch.unionByName(conv)
+        .withColumn("last_ev", F.last("ev", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            F.coalesce(F.col("last_ev.etype"), F.lit("direct")).alias("channel"),
+            "value",
+        )
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(F.count("*").alias("n_conversions"), dsum("value").alias("revenue"))
+        .transform(sorted_small, "channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# R38 top event-type paths per session (round 10 continuation)
+# --------------------------------------------------------------------------
+_PATHS_GAP_MIN = 30
+_PATHS_TOPK = 10
+
+
+@query(
+    "events_top_paths",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL {_PATHS_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    triples AS (
+        SELECT event_type || '>' ||
+               LEAD(event_type, 1) OVER s || '>' ||
+               LEAD(event_type, 2) OVER s AS path,
+               LEAD(session_id, 2) OVER s = session_id AS complete
+        FROM numbered
+        WINDOW s AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT path, CAST(n AS BIGINT) AS n FROM (
+        SELECT path, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rk
+        FROM triples WHERE complete GROUP BY path
+    ) WHERE rk <= {_PATHS_TOPK}
+    ORDER BY n DESC, path
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step event-type paths within user sessions — the
+    behavioral n-gram mining pass of product analytics ("what do users do
+    right before purchasing").  Sessions are 30-minute-gap islands (the
+    sessionize_islands rule); a path is three CONSECUTIVE events of one
+    session (lead×2 — triples crossing a session boundary are excluded by
+    comparing the session id two steps ahead); counts are exact integers
+    and ties rank by path string, so the top-k set is deterministic
+    cross-engine with no float anywhere.
+
+    Scale: the islands flag + running session sum + the two leads all
+    share ONE hash partition on user (Catalyst collapses the compatible
+    window specs into one Exchange + sorts); the triple count is a
+    partial agg over |distinct paths| ≤ |types|³ groups; the final top-k
+    is a distributed TakeOrdered.  Linear in |events|."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = _PATHS_GAP_MIN * 60
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > gap_s * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    s = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    triples = numbered.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(s),
+            F.lead("event_type", 2).over(s),
+        ).alias("path"),
+        (F.lead("session_id", 2).over(s) == F.col("session_id")).alias("complete"),
+    )
+    counts = (
+        triples.filter(F.col("complete"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), "path")
+        .limit(_PATHS_TOPK)
+        .select("path", "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# R39 fixed-point PageRank over the customer-supplier graph (round 10 cont.)
+# --------------------------------------------------------------------------
+#: fixed-point base: ranks are integers in units of 1e-9 — every
+#: contribution is an exact integer floor-division, so the distributed
+#: SUM is order-independent and the ranking is deterministic on ANY
+#: cluster (float PageRank sums neighbor contributions in shuffle order —
+#: nondeterministic last-ulp, engine-dependent ranking).  Headroom:
+#: rank*85 stays under int64 to ~1e8 nodes at this base.
+_PR_BASE = 1_000_000_000
+_PR_ITERS = 2
+_PR_TOPK = 20
+#: one-deep persist ledger for the degree-annotated edge list (the
+#: _SEMDEDUP_PERSISTED contract: sequential single-threaded use)
+_PAGERANK_PERSISTED: list[DataFrame] = []
+
+
+@query(
+    "graph_pagerank_bipartite",
+    oracle=f"""
+    WITH e0 AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT 'c' || c AS src, 's' || s AS dst FROM e0
+        UNION ALL
+        SELECT 's' || s, 'c' || c FROM e0
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST({_PR_BASE} AS BIGINT) AS r FROM deg),
+    r1 AS (
+        SELECT e.dst AS node,
+               CAST({int(0.15 * _PR_BASE)} +
+                    SUM((r.r * 85) // (100 * d.outdeg)) AS BIGINT) AS r
+        FROM edges e
+        JOIN r0 r ON r.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ),
+    r2 AS (
+        SELECT e.dst AS node,
+               CAST({int(0.15 * _PR_BASE)} +
+                    SUM((r.r * 85) // (100 * d.outdeg)) AS BIGINT) AS r
+        FROM edges e
+        JOIN r1 r ON r.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    )
+    SELECT node, r AS rank_fp FROM (
+        SELECT node, r, ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rk
+        FROM r2
+    ) WHERE rk <= {_PR_TOPK}
+    ORDER BY rank_fp DESC, node
+    """,
+)
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-iteration PageRank over the customer↔supplier trade graph
+    (edges from orders⋈lineitem, both directions so the bipartite walk
+    mixes) — the iterative-graph-algorithm surface (the PCA power
+    iteration's discrete cousin; GraphFrames/Pregel express the same loop).
+
+    The distinctive choice is FIXED-POINT arithmetic: ranks are integers
+    in units of 1e-9 and each neighbor contribution is the exact integer
+    floor-division (r·85) div (100·outdeg) — so the shuffle-order of the
+    distributed SUM cannot perturb a single bit, and the ranking is
+    reproducible on any cluster AND bit-identical to the SQL oracle.
+    Classic float PageRank sums contributions in nondeterministic order;
+    its ranking near-ties are engine- and run-dependent — the same
+    reason the BM25/tfidf operators use rational idf.  Quantization
+    error per iteration is < 1e-9·outdeg, orders below any rank gap of
+    interest; int64 headroom holds to ~1e8 nodes.
+
+    Scale: nodes travel as INTEGERS (2·custkey / 2·suppkey+1 — string
+    labels materialize only on the final top-k rows, so every shuffle
+    ships two longs, not strings); the degree-annotated edge list is
+    built once and PERSISTED (the GraphX/Pregel convention — without it
+    Spark's lineage recomputes the 2·|pairs| distinct per iteration, the
+    dominant cost; measured 116 s → 41 s at the sf1 shape, the residual
+    being the one unavoidable 6 M-row join+distinct that builds the pair
+    set).  Each
+    iteration is then one edges⋈ranks equi-join + one partial-agg sum by
+    dst over ids+ints only, the textbook distributed PageRank shape; the
+    top-k is a distributed TakeOrdered.  Persist ledger: one-deep,
+    single-threaded-sequential contract (the _SEMDEDUP_PERSISTED
+    precedent)."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.hint("shuffle_hash")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    while _PAGERANK_PERSISTED:
+        _PAGERANK_PERSISTED.pop().unpersist(blocking=False)
+    # SHUFFLE_HASH hints throughout: edges and ranks are both hash-keyed
+    # by the same src/node key, so the shuffle-hash join is the co-located
+    # textbook plan — and a broadcast of the |nodes|-row rank/degree
+    # tables is exactly what a memory-tight driver cannot afford next to
+    # the cached edge list (observed: plain-session 1g driver OOMs the
+    # broadcast build at the sf1 shape; the hinted plan runs in the same
+    # session comfortably)
+    ew = edges.join(deg.hint("shuffle_hash"), "src").persist()
+    _PAGERANK_PERSISTED.append(ew)
+    ranks = deg.select(F.col("src").alias("node"), F.lit(_PR_BASE).cast("long").alias("r"))
+    base = int(0.15 * _PR_BASE)
+    for _ in range(_PR_ITERS):
+        contrib = ew.join(
+            ranks.hint("shuffle_hash"), ew.src == ranks.node
+        ).select("dst", F.expr("(r * 85) div (100 * outdeg)").alias("contrib"))
+        ranks = (
+            contrib.groupBy("dst")
+            .agg((F.lit(base) + F.sum("contrib")).cast("long").alias("r"))
+            .withColumnRenamed("dst", "node")
+        )
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.expr("node div 2")),
+    ).otherwise(F.concat(F.lit("s"), F.expr("(node - 1) div 2")))
+    return (
+        ranks.select(label.alias("node"), F.col("r").alias("rank_fp"))
+        .orderBy(F.col("rank_fp").desc(), "node")
+        .limit(_PR_TOPK)
+    )

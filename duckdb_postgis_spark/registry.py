@@ -150,11 +150,12 @@ ORACLES: dict[str, str] = {}
 # IF its r10 verdict predates the continuation-session lexsort tie fix +
 # NULL-label filter (both hash-preserving at driver scale, replica-
 # verified — changed-code rule applies only if the driver snapshotted the
-# pre-fix tree); (b) the EIGHT r7 verdicts the r10 windows displaced, in
+# pre-fix tree); (b) the ELEVEN r7 verdicts the r10 windows displaced, in
 # displacement order: stream_tumbling_live, stream_sliding_live,
 # stream_upsert_live, stream_watermark_late_live, stream_dedup_live,
 # similarity_search_ivf_pruned, similarity_search_quantized,
-# embed_pca_power_iteration; (c) the remaining 47 r8-era verdicts
+# embed_pca_power_iteration, events_zorder_pruned, events_directory_table,
+# maintenance_scan_layout; (c) the remaining 47 r8-era verdicts
 # (50 r8 slots minus agg_quantile_histogram_merge, geo_knn_join,
 # agg_approx_distinct which refresh in r10); (d) spare slots to the
 # stalest r9 verdicts.
@@ -212,6 +213,16 @@ PRIORITY: tuple[str, ...] = (
     "sample_hard_negative_mining",
     "stream_quantile_hist_live",
     "agg_hll_intersection",
+    # -- (a0c) second continuation batch, first driver verdicts.  Three
+    #    displacees (same strongest-indirect-coverage rule): the r7-verdict
+    #    layout trio events_zorder_pruned / events_directory_table /
+    #    maintenance_scan_layout — all three are plan-asserted AND
+    #    value-tested in tests/test_layout_plans.py every CI run, and the
+    #    layout family keeps maintenance_compact_roundtrip +
+    #    shards_write_roundtrip in-window; they join the r11 refresh lead --
+    "events_attribution_last_touch",
+    "events_top_paths",
+    "graph_pagerank_bipartite",
     # -- (a) r10 in-round changed code (changed code outranks refreshes):
     #    dedup_semdedup_cells — the r10 two-level seed assignment rework
     #    (judge order #2: driver-side K seed collect/broadcast bounded);
@@ -227,8 +238,8 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_scene_cut",
     # -- (c) the remaining r9 guard-level change holding an r8 verdict -----
     "geo_knn_join",
-    # -- (d) 34 of the 40 r7-era verdicts (6 displaced to r11 by the (a0b)
-    #    continuation additions; exhausts the window at 49) ----------------
+    # -- (d) 31 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
+    #    more by (a0c); exhausts the window at 49) --------------------------
     "text_stats",
     "text_normalize_tokenize",
     "dedup_exact_hash",
@@ -257,12 +268,9 @@ PRIORITY: tuple[str, ...] = (
     "maintenance_compact_roundtrip",
     "stream_stream_left_outer",
     "stream_chained_dedup_agg",
-    "maintenance_scan_layout",
-    "events_zorder_pruned",
     "pipeline_geojson_e2e",
     "pipeline_nongeo_e2e",
     "agg_heavy_hitters_twophase",
-    "events_directory_table",
     # -- (e) last slot: stalest r8 verdict by registration order ----------
     "agg_approx_distinct",
 )

@@ -21,7 +21,8 @@ RELATIONAL = [
     "sessionize_islands", "events_anomaly_zscore", "events_autocorrelation",
     "agg_mode_per_group", "events_changepoint_cusum",
     "join_semi_bloom_prefilter", "events_ewma_trailing",
-    "events_max_concurrency",
+    "events_max_concurrency", "events_attribution_last_touch",
+    "events_top_paths",
 ]
 # §2.9 streaming batch twins + §2.12c live streams
 STREAMING = [
@@ -66,6 +67,7 @@ SCALE = [
     "agg_heavy_hitters_twophase", "agg_hll_sketch_merge",
     "similarity_search_pq", "agg_quantile_histogram_merge",
     "agg_cms_topk_merge", "agg_hll_intersection",
+    "graph_pagerank_bipartite",
 ]
 # §2.12d text/dedup extensions
 TEXT_EXT = [
@@ -128,9 +130,9 @@ def test_driver_window_covers_required_families():
     agg_quantile_histogram_merge all-NULL guard fix — changed code
     outranks refreshes), (b) the four r6-era refreshes the r9 swaps
     displaced, (c) geo_knn_join (r9 guard change holding an r8 verdict),
-    (d) 34 of the 42 r7-era verdicts, and (e) one stalest-r8 slot
+    (d) 31 of the 42 r7-era verdicts, and (e) one stalest-r8 slot
     (agg_approx_distinct).  After this window lands no registered
-    query's verdict is older than r8 except the eight displaced r7
+    query's verdict is older than r8 except the eleven displaced r7
     slots (leading the r11 refresh list)."""
     window = set(list(registry.all_queries())[: registry.DRIVER_WINDOW])
     added_r10 = {
@@ -144,6 +146,14 @@ def test_driver_window_covers_required_families():
         "events_ewma_trailing", "events_max_concurrency",
         "text_bm25_search", "sample_hard_negative_mining",
         "stream_quantile_hist_live", "agg_hll_intersection",
+        # second continuation batch; displaced the r7 layout trio
+        # (events_zorder_pruned, events_directory_table,
+        # maintenance_scan_layout — plan-asserted + value-tested in
+        # test_layout_plans.py every CI run, family keeps
+        # maintenance_compact_roundtrip + shards_write_roundtrip
+        # in-window)
+        "events_attribution_last_touch", "events_top_paths",
+        "graph_pagerank_bipartite",
     }
     changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
     r6_era = {
@@ -165,9 +175,9 @@ def test_driver_window_covers_required_families():
         
         
         "stream_stream_left_outer", "stream_chained_dedup_agg",
-        "maintenance_scan_layout", "events_zorder_pruned",
+        
         "pipeline_geojson_e2e", "pipeline_nongeo_e2e",
-        "agg_heavy_hitters_twophase", "events_directory_table",
+        "agg_heavy_hitters_twophase", 
         
         
     }
