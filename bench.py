@@ -433,6 +433,13 @@ def main() -> None:
         "knn_cosine_topk",
         "dedup_minhash_lsh",
         "pipeline_training_e2e",
+        # r10 continuation additions (core8 = the first 8, unchanged —
+        # these extend the per-query tail + the sf1 twin table only):
+        # the window-heavy smoother, the matmul-vs-all-pairs-SQL engine
+        # win, and the iterative graph op
+        "events_ewma_trailing",
+        "sample_hard_negative_mining",
+        "graph_pagerank_bipartite",
     ]
     CORE8 = set(headline[:8])
     queries = registry.all_queries()

@@ -3314,3 +3314,124 @@ def sample_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "neg_id", F.round("cosine", 6).alias("cosine"))
         .orderBy("q_id", F.col("cosine").desc(), "neg_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-pipeline e2e: filter -> attach -> banded dedup -> survivorship
+# -> governance summary, as ONE composed plan (round 10 continuation)
+# --------------------------------------------------------------------------
+_EPIPE_CHARS_LO = 150
+_EPIPE_CHARS_HI = 450
+
+#: the banded candidate template re-targeted at the FILTERED corpus CTE:
+#: only the codes scan moves to `corpus`; the bits-width rule (the `m`
+#: CTE) KEEPS counting the raw embeddings table — the band width is a
+#: deployment constant of the corpus, not a per-filter variable, so both
+#: engines derive it from the same pre-filter count (Spark reads it from
+#: the parquet footer with zero extra actions)
+_SQL_EPIPE_CAND = _SQL_DEDUP_COS_CAND_TPL.format(
+    exact_n=_DEDUP_COS_EXACT_N, bands=_LSH_BANDS
+).replace("FROM embeddings e, m,", "FROM corpus e, m,")
+
+
+@query(
+    "pipeline_embedding_e2e",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT e.vec_id, e.embedding, e.label, d.n_chars
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        WHERE d.n_chars BETWEEN {_EPIPE_CHARS_LO} AND {_EPIPE_CHARS_HI}
+    ),
+    {_SQL_EPIPE_CAND.lstrip().removeprefix('WITH')},
+    pairs AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN corpus a ON a.vec_id = c.a_id
+        JOIN corpus b ON b.vec_id = c.b_id
+        WHERE {_SQL_COS} >= {_SQL_COS_THRESH}
+    ),
+    flagged AS (
+        SELECT corpus.*,
+               vec_id IN (SELECT DISTINCT b_id FROM pairs) AS dropped
+        FROM corpus
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped_dup,
+           CASE WHEN SUM(CASE WHEN dropped THEN 0 ELSE 1 END) > 0
+                THEN ROUND(
+                    CAST(SUM(CASE WHEN dropped THEN 0 ELSE n_chars END)
+                         AS DOUBLE)
+                    / SUM(CASE WHEN dropped THEN 0 ELSE 1 END), 6)
+           END AS avg_chars_kept
+    FROM flagged GROUP BY label ORDER BY label
+    """,
+)
+def pipeline_embedding_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBEDDING-SIDE counterpart of pipeline_training_e2e: quality
+    filter → embedding attach → banded semantic dedup → keep-lowest-id
+    survivorship → per-label governance summary, declared as ONE composed
+    plan so Catalyst shares the scans and pipelines the stages (the
+    whole-pipeline shape a 100 TB embedding store runs nightly).
+
+    Stages: (1) documents gated on n_chars ∈ [{_EPIPE_CHARS_LO},
+    {_EPIPE_CHARS_HI}] (the cheap governance filter; the full Gopher rule
+    set lives in text_gopher_quality); (2) embeddings attach on
+    doc_id = vec_id — an ids-keyed equi join; (3) near-dup pairs over the
+    SURVIVING corpus via the dedup_embedding_cosine machinery
+    (banded component-sign candidates + exact cosine ≥ {_SQL_COS_THRESH}
+    verify; band width keyed to the PRE-filter footer count on both
+    engines — a deployment constant, so no extra Spark action); (4)
+    survivorship drops the higher id of every verified pair (greedy
+    keep-lowest, the SemDeDup rule); (5) the summary reports per-label
+    candidates/kept/dropped and the exact-rational mean doc length of
+    the kept set.
+
+    Scale: every stage is ids-keyed or in-row — the filter prunes at the
+    documents scan (PushedFilters), the attach and the two verify
+    re-joins shuffle ids not vectors, candidates are banded (linear at
+    width-law bits), and the summary is a partial agg over |labels|
+    groups.  Nothing driver-side; the composition adds NO exchange beyond
+    what its stages already need."""
+    docs = table(spark, sf_dir, "documents").filter(
+        (F.col("n_chars") >= _EPIPE_CHARS_LO)
+        & (F.col("n_chars") <= _EPIPE_CHARS_HI)
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    n, dim = _corpus_stats(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "n_chars"), "vec_id"
+    )
+    if n == 0 or dim == 0:
+        return spark.createDataFrame(
+            [],
+            "label int, n_candidates bigint, n_kept bigint, "
+            "n_dropped_dup bigint, avg_chars_kept double",
+        )
+    pairs = _dedup_cos_pairs(corpus.select("vec_id", "embedding"), n, dim)
+    dropped = pairs.select(F.col("b_id").alias("vec_id")).distinct()
+    flagged = corpus.join(
+        dropped.withColumn("dropped", F.lit(True)), "vec_id", "left"
+    ).withColumn("dropped", F.coalesce("dropped", F.lit(False)))
+    kept_n = F.sum(F.when(F.col("dropped"), 0).otherwise(1))
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            kept_n.alias("n_kept"),
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("n_dropped_dup"),
+            F.when(
+                kept_n > 0,
+                F.round(
+                    F.sum(
+                        F.when(F.col("dropped"), 0).otherwise(F.col("n_chars"))
+                    ).cast("double")
+                    / kept_n,
+                    6,
+                ),
+            ).alias("avg_chars_kept"),
+        )
+        .transform(sorted_small, "label")
+    )

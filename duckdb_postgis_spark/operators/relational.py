@@ -3277,3 +3277,100 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_fp").desc(), "node")
         .limit(_PR_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# R40 as-of join with tolerance (round 10 continuation)
+# --------------------------------------------------------------------------
+_ASOF_TOL_S = 86400  # 24 h — splits the driver data ~40/60 matched/NULL
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT err_id, err_ts, click_ts, click_value, gap_s
+    FROM (
+        SELECT e.event_id AS err_id, e.ts AS err_ts,
+               CASE WHEN epoch_us(e.ts) - epoch_us(c.ts)
+                         <= CAST({_ASOF_TOL_S} AS BIGINT) * 1000000
+                    THEN c.ts END AS click_ts,
+               CASE WHEN epoch_us(e.ts) - epoch_us(c.ts)
+                         <= CAST({_ASOF_TOL_S} AS BIGINT) * 1000000
+                    THEN c.value END AS click_value,
+               CASE WHEN epoch_us(e.ts) - epoch_us(c.ts)
+                         <= CAST({_ASOF_TOL_S} AS BIGINT) * 1000000
+                    THEN CAST(floor((epoch_us(e.ts) - epoch_us(c.ts)) / 1000000)
+                              AS BIGINT) END AS gap_s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST
+               ) AS rn
+        FROM (SELECT * FROM events
+              WHERE event_type = 'error' AND ts IS NOT NULL) e
+        LEFT JOIN (SELECT * FROM events
+                   WHERE event_type = 'click' AND ts IS NOT NULL) c
+          ON c.user_id = e.user_id AND c.ts <= e.ts
+    ) t
+    WHERE rn = 1
+    ORDER BY err_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOLERANCE-bounded backward as-of join (pandas merge_asof's
+    ``tolerance=`` parameter, completing the backward/forward/nearest/
+    tolerance family): for each 'error' event, the same user's most
+    recent 'click' AT MOST 24 hours earlier — the error-cause
+    correlation question of incident analytics.  Matches beyond the
+    tolerance emit NULL columns (the error row itself always survives:
+    LEFT semantics), and the integer second gap rides along.
+
+    The tolerance test happens AFTER the nearest match is found — the
+    pandas/QuestDB rule: a match outside tolerance does NOT fall back to
+    an older in-tolerance event (the oracle's rn = 1 row is fixed before
+    the CASE; the union-merge applies the same order).  Ties mirror
+    join_asof: latest ts, highest event_id.
+
+    Scale: same ONE-exchange union-merge as the whole as-of family —
+    one scan of events split by codegen predicates, one hash partition
+    on user, zero join nodes, linear in |events|.  The tolerance is a
+    per-row filter on the arbiter output, free at any scale."""
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    ).filter(F.col("ts").isNotNull())
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("mts"),
+        F.lit(0).alias("side"),  # clicks sort before errors at equal ts (<=)
+        "event_id",
+        F.struct(
+            F.col("ts").alias("cts"), F.col("value").alias("cval")
+        ).alias("ev"),
+        F.lit(None).cast("long").alias("err_id"),
+    )
+    errs = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("mts"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("struct<cts:timestamp,cval:double>").alias("ev"),
+        F.col("event_id").alias("err_id"),
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(F.col("mts").asc(), F.col("side").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = (
+        clicks.unionByName(errs)
+        .withColumn("last_click", F.last("ev", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    gap_us = F.unix_micros(F.col("mts")) - F.unix_micros(F.col("last_click.cts"))
+    in_tol = gap_us <= _ASOF_TOL_S * 1_000_000
+    return u.select(
+        F.col("err_id"),
+        F.col("mts").alias("err_ts"),
+        F.when(in_tol, F.col("last_click.cts")).alias("click_ts"),
+        F.when(in_tol, F.col("last_click.cval")).alias("click_value"),
+        F.when(in_tol, F.floor(gap_us / 1_000_000).cast("long")).alias("gap_s"),
+    ).orderBy("err_id")

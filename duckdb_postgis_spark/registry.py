@@ -155,7 +155,9 @@ ORACLES: dict[str, str] = {}
 # stream_upsert_live, stream_watermark_late_live, stream_dedup_live,
 # similarity_search_ivf_pruned, similarity_search_quantized,
 # embed_pca_power_iteration, events_zorder_pruned, events_directory_table,
-# maintenance_scan_layout; (c) the remaining 47 r8-era verdicts
+# maintenance_scan_layout, agg_heavy_hitters_twophase,
+# stream_chained_dedup_agg (THIRTEEN total); (c) the remaining 47 r8-era
+# verdicts
 # (50 r8 slots minus agg_quantile_histogram_merge, geo_knn_join,
 # agg_approx_distinct which refresh in r10); (d) spare slots to the
 # stalest r9 verdicts.
@@ -223,6 +225,15 @@ PRIORITY: tuple[str, ...] = (
     "events_attribution_last_touch",
     "events_top_paths",
     "graph_pagerank_bipartite",
+    # -- (a0d) third continuation batch, first driver verdicts.  Two
+    #    displacees: agg_heavy_hitters_twophase (r7 verdict; the
+    #    candidate-superset property is oracle-pinned in every CI
+    #    parity run) and stream_chained_dedup_agg (r7; its component
+    #    operators stream_dedup + stream_tumbling stay in-window and the
+    #    live fuzz family replays the chained state machinery); both join
+    #    the r11 refresh lead -------------------------------------------
+    "join_asof_tolerance",
+    "pipeline_embedding_e2e",
     # -- (a) r10 in-round changed code (changed code outranks refreshes):
     #    dedup_semdedup_cells — the r10 two-level seed assignment rework
     #    (judge order #2: driver-side K seed collect/broadcast bounded);
@@ -238,8 +249,8 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_scene_cut",
     # -- (c) the remaining r9 guard-level change holding an r8 verdict -----
     "geo_knn_join",
-    # -- (d) 31 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
-    #    more by (a0c); exhausts the window at 49) --------------------------
+    # -- (d) 29 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
+    #    by (a0c), 2 by (a0d); exhausts the window at 49) -------------------
     "text_stats",
     "text_normalize_tokenize",
     "dedup_exact_hash",
@@ -267,10 +278,8 @@ PRIORITY: tuple[str, ...] = (
     "scd2_history",
     "maintenance_compact_roundtrip",
     "stream_stream_left_outer",
-    "stream_chained_dedup_agg",
     "pipeline_geojson_e2e",
     "pipeline_nongeo_e2e",
-    "agg_heavy_hitters_twophase",
     # -- (e) last slot: stalest r8 verdict by registration order ----------
     "agg_approx_distinct",
 )

@@ -182,3 +182,13 @@ def test_attribution_no_touchpoints_all_direct(spark, tmp_path):
     assert out[0]["channel"] == "direct"
     assert out[0]["n_conversions"] == 5
     assert out[0]["revenue"] == 50.0
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_asof_tolerance_matches_oracle(spark, tmp_path, seed):
+    """join_asof_tolerance rides the SAME family-39 corpora: the error/
+    click split plus the tie/NULL cases exercise the tolerance arbiter
+    — in particular out-of-tolerance nearest matches that must NOT fall
+    back to an older in-tolerance click."""
+    _write_events(seed, tmp_path)
+    _compare(spark, tmp_path, "join_asof_tolerance", seed, ["events"])

@@ -158,3 +158,47 @@ def test_single_label_corpus_is_empty(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()
     assert out == []
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_pipeline_embedding_e2e_matches_oracle(spark, tmp_path, seed):
+    """pipeline_embedding_e2e rides combined family-38 corpora: the docs
+    generator supplies the n_chars gate's population (doc_id aligned to
+    vec_id by construction below) and the embeddings generator the dedup
+    corpus — covering empty-after-filter labels, all-dup labels
+    (duplicate vectors), and labels whose every member is dropped."""
+    rng = random.Random(38800 + seed)
+    n = rng.randint(4, 80)
+    dim = rng.choice([4, 8])
+    vids, vecs, labs, texts = [], [], [], []
+    for i in range(n):
+        vids.append(i)
+        if rng.random() < 0.2 and vecs:
+            vecs.append(vecs[rng.randrange(len(vecs))])  # exact dup
+        else:
+            vecs.append([rng.uniform(-1, 1) for _ in range(dim)])
+        labs.append(rng.randrange(3))
+        texts.append("x" * rng.randint(50, 600))  # n_chars straddles the gate
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(labs, pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(vids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["fuzz"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    _compare(spark, tmp_path, "pipeline_embedding_e2e", seed)

@@ -22,7 +22,7 @@ RELATIONAL = [
     "agg_mode_per_group", "events_changepoint_cusum",
     "join_semi_bloom_prefilter", "events_ewma_trailing",
     "events_max_concurrency", "events_attribution_last_touch",
-    "events_top_paths",
+    "events_top_paths", "join_asof_tolerance",
 ]
 # §2.9 streaming batch twins + §2.12c live streams
 STREAMING = [
@@ -87,7 +87,7 @@ TRAINING = [
     "udaf_char_variance", "shards_write_roundtrip", "pipeline_training_e2e",
     "source_quality_report", "sample_temperature_weighted",
     "text_unigram_likelihood", "text_pii_scrub", "dedup_substring_spans",
-    "sample_hard_negative_mining",
+    "sample_hard_negative_mining", "pipeline_embedding_e2e",
 ]
 
 # §2.13 incremental-maintenance (lakehouse) surface
@@ -130,9 +130,9 @@ def test_driver_window_covers_required_families():
     agg_quantile_histogram_merge all-NULL guard fix — changed code
     outranks refreshes), (b) the four r6-era refreshes the r9 swaps
     displaced, (c) geo_knn_join (r9 guard change holding an r8 verdict),
-    (d) 31 of the 42 r7-era verdicts, and (e) one stalest-r8 slot
+    (d) 29 of the 42 r7-era verdicts, and (e) one stalest-r8 slot
     (agg_approx_distinct).  After this window lands no registered
-    query's verdict is older than r8 except the eleven displaced r7
+    query's verdict is older than r8 except the thirteen displaced r7
     slots (leading the r11 refresh list)."""
     window = set(list(registry.all_queries())[: registry.DRIVER_WINDOW])
     added_r10 = {
@@ -154,6 +154,11 @@ def test_driver_window_covers_required_families():
         # in-window)
         "events_attribution_last_touch", "events_top_paths",
         "graph_pagerank_bipartite",
+        # third continuation batch; displaced agg_heavy_hitters_twophase
+        # (superset property oracle-pinned every CI parity run) and
+        # stream_chained_dedup_agg (components stream_dedup +
+        # stream_tumbling in-window, live fuzz family replays the chain)
+        "join_asof_tolerance", "pipeline_embedding_e2e",
     }
     changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
     r6_era = {
@@ -174,10 +179,10 @@ def test_driver_window_covers_required_families():
         "maintenance_compact_roundtrip",
         
         
-        "stream_stream_left_outer", "stream_chained_dedup_agg",
+        "stream_stream_left_outer", 
         
         "pipeline_geojson_e2e", "pipeline_nongeo_e2e",
-        "agg_heavy_hitters_twophase", 
+        
         
         
     }
