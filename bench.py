@@ -542,7 +542,12 @@ def main() -> None:
         except Exception as exc:  # a broken stress build must not kill
             sf1_section = {"error": f"{type(exc).__name__}: {exc}"}
 
-    total = round(sum(results.values()), 4)
+    # bench_schema 4 (r10 continuation): three new operators joined the
+    # TIMED set (per-query tail + sf1 twins), but the headline "value"
+    # stays the schema-3 10-query total so BENCH_r8..r10 remain
+    # longitudinally comparable; the all-query total rides alongside.
+    schema3 = set(headline[:10])
+    total = round(sum(v for k, v in results.items() if k in schema3), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -560,8 +565,12 @@ def main() -> None:
                 # + pipeline_training_e2e, so r8+ totals are not comparable
                 # to bench_schema-2 totals; total_core8_sec carries the
                 # longitudinally-comparable r6/r7 8-query total.
-                "bench_schema": 3,
+                # bench_schema 4 (r10 continuation): the TIMED set grew by
+                # three operators but "value" stays the schema-3 10-query
+                # total (see above) — r8..r10 values stay comparable.
+                "bench_schema": 4,
                 "total_opt_layout_sec": total,
+                "total_all_timed_sec": round(sum(results.values()), 4),
                 "total_core8_sec": round(
                     sum(v for k, v in results.items() if k in CORE8), 4
                 ),

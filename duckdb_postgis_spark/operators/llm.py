@@ -1335,7 +1335,14 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     while _SEMDEDUP_PERSISTED:
-        _SEMDEDUP_PERSISTED.pop().unpersist(blocking=False)
+        try:
+            _SEMDEDUP_PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            # ledgered frame from an already-stopped SparkSession (a
+            # multi-session harness run) — its cache died with the
+            # context; same guard as the pagerank ledger, found by the
+            # r10 bench NPE on a dead driverEndpoint
+            pass
     # the n x K scoring + argmax is the dominant stage and BOTH sides
     # of the pair self-join read it — persist the tiny ids-only
     # (vec_id, cell) frame so it computes once (review finding: the

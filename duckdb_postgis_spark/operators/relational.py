@@ -3247,7 +3247,16 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     while _PAGERANK_PERSISTED:
-        _PAGERANK_PERSISTED.pop().unpersist(blocking=False)
+        try:
+            _PAGERANK_PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            # the ledgered frame belongs to an already-stopped
+            # SparkSession (bench runs the sf1 section in its own
+            # session, stops it, then re-enters here under the sf0.1
+            # session) — its cache died with the context, so there is
+            # nothing to release; found by the r10 bench run (NPE from
+            # BlockManagerMaster on the dead driverEndpoint)
+            pass
     # SHUFFLE_HASH hints throughout: edges and ranks are both hash-keyed
     # by the same src/node key, so the shuffle-hash join is the co-located
     # textbook plan — and a broadcast of the |nodes|-row rank/degree
