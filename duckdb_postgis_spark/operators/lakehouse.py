@@ -268,3 +268,98 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "dim_event_id", "bal")
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# CDC changelog apply with delete semantics (round 10 continuation)
+# --------------------------------------------------------------------------
+@query(
+    "lakehouse_cdc_apply",
+    oracle="""
+    WITH chg AS (
+        SELECT user_id, ts, event_id, value,
+               CASE event_type WHEN 'signup'   THEN 'I'
+                               WHEN 'purchase' THEN 'U'
+                               WHEN 'error'    THEN 'D' END AS op
+        FROM events
+        WHERE event_type IN ('signup', 'purchase', 'error')
+    ),
+    last AS (
+        SELECT user_id, op AS final_op, ts AS change_ts, value AS new_bal
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM chg
+        ) t WHERE rn = 1
+    )
+    SELECT COALESCE(c.c_custkey, last.user_id) AS entity_key,
+           c.c_acctbal AS base_bal,
+           last.final_op,
+           last.change_ts,
+           CASE WHEN last.final_op IN ('I', 'U') THEN last.new_bal
+                ELSE c.c_acctbal END AS effective_bal
+    FROM customer c FULL OUTER JOIN last ON c.c_custkey = last.user_id
+    WHERE last.final_op IS NULL OR last.final_op <> 'D'
+    ORDER BY entity_key
+    """,
+)
+def lakehouse_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changelog (insert/update/DELETE ops) to a base snapshot
+    — the Debezium→lakehouse MERGE that `upsert_latest_wins` only half
+    covers: a key whose LAST change is a delete vanishes from the new
+    snapshot; a key last inserted/updated takes the change's value; keys
+    the changelog never touched keep their base row; changelog keys absent
+    from the base appear as fresh inserts (base_bal NULL).  Ops derive
+    from event_type (signup→I, purchase→U, error→D) and replay order is
+    the deterministic (ts, event_id) — only the FINAL op per key decides,
+    which is exactly Delta/Iceberg MERGE semantics after changelog
+    compaction.
+
+    Scale: change capture compacts to one row per key BEFORE the join
+    (row_number rank-1 = WindowGroupLimit, per-partition top-1 state, no
+    full sort), then ONE full-outer hash join on the merge key — |keys|
+    meets |keys|, never |changes|.  The delete filter is a post-join
+    predicate on the compacted side, so tombstones cost nothing extra.
+    This is the plan a MERGE INTO with WHEN MATCHED DELETE lowers to."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    chg = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "purchase", "U")
+        .otherwise("D")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        chg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("op").alias("final_op"),
+            F.col("ts").alias("change_ts"),
+            F.col("value").alias("new_bal"),
+        )
+    )
+    cust = table(spark, sf_dir, "customer")
+    joined = cust.join(last, cust.c_custkey == last.user_id, "full_outer")
+    return (
+        joined.filter(F.col("final_op").isNull() | (F.col("final_op") != "D"))
+        .select(
+            F.coalesce("c_custkey", "user_id").alias("entity_key"),
+            F.col("c_acctbal").alias("base_bal"),
+            "final_op",
+            "change_ts",
+            F.when(F.col("final_op").isin("I", "U"), F.col("new_bal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("effective_bal"),
+        )
+        .orderBy("entity_key")
+    )

@@ -3383,3 +3383,87 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("last_click.cval")).alias("click_value"),
         F.when(in_tol, F.floor(gap_us / 1_000_000).cast("long")).alias("gap_s"),
     ).orderBy("err_id")
+
+
+# --------------------------------------------------------------------------
+# R41 session Markov transition matrix (round 10 continuation)
+# --------------------------------------------------------------------------
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM o
+    ),
+    t AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER w2 AS to_type,
+               CASE WHEN LEAD(sid) OVER w2 = sid THEN 1 ELSE 0 END AS same
+        FROM s
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+        SELECT from_type, to_type, COUNT(*) AS n_trans
+        FROM t WHERE same = 1 GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_trans,
+           CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+               AS from_total,
+           CAST((CAST(n_trans AS HUGEINT) * 1000000)
+                // SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+               AS prob_ppm
+    FROM m ORDER BY from_type, to_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types WITHIN
+    30-minute-gap sessions — the behavioral model behind next-action
+    prediction and funnel simulation.  Transitions never cross a session
+    boundary (the lead row's session id must match), and probabilities are
+    FIXED-POINT parts-per-million via integer floor division
+    (``n*1e6 DIV total``) so the matrix is bit-identical cross-engine —
+    a float divide's last ULP would differ and break the value hash.
+
+    Scale: the sessionize window, the lead window and nothing else — both
+    share ONE hash partitioning on user_id (one Exchange), then a partial
+    agg over at most |types|^2 groups and a window over that tiny grouped
+    frame.  Linear in events, output bounded by the type-alphabet square.
+    Overflow audit: n_trans*1e6 wraps a signed 64-bit at ~9.2e12
+    transitions PER (from,to) PAIR — two orders past a 100 TB event log's
+    hottest pair; the DuckDB twin goes through HUGEINT for the same
+    headroom."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = ev.withColumn("new_session", new_session).withColumn(
+        "sid", F.sum("new_session").over(wrun)
+    )
+    t = s.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        (F.lead("sid").over(w) == F.col("sid")).alias("same"),
+    ).filter(F.col("same"))
+    m = t.groupBy("from_type", "to_type").agg(F.count("*").alias("n_trans"))
+    wt = Window.partitionBy("from_type")
+    return (
+        m.withColumn("from_total", F.sum("n_trans").over(wt))
+        .withColumn(
+            "prob_ppm",
+            F.expr("CAST(n_trans * 1000000L DIV from_total AS BIGINT)"),
+        )
+        .transform(sorted_small, "from_type", "to_type")
+    )

@@ -822,3 +822,81 @@ def events_directory_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# ANALYZE-style per-column statistics collection (round 10 continuation)
+# --------------------------------------------------------------------------
+_STATS_COLS = (
+    "l_discount",
+    "l_extendedprice",
+    "l_linenumber",
+    "l_orderkey",
+    "l_partkey",
+    "l_quantity",
+    "l_suppkey",
+    "l_tax",
+)
+
+
+def _stats_oracle() -> str:
+    branches = "\n    UNION ALL\n".join(
+        f"""    SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS DOUBLE) AS min_val,
+           CAST(MAX({c}) AS DOUBLE) AS max_val
+    FROM lineitem"""
+        for c in _STATS_COLS
+    )
+    return branches + "\n    ORDER BY col_name"
+
+
+@query("maintenance_column_stats", oracle=_stats_oracle())
+def maintenance_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE — per-column statistics collection over lineitem's
+    eight numeric columns (row count, null count, exact NDV, min, max):
+    the stats a cost-based optimizer, a Z-order planner, or a data-quality
+    monitor reads before touching the data.  Columns travel as ROWS
+    (``stack``) so the stats table has a fixed schema however wide the
+    source is; min/max surface as doubles (exact — no arithmetic, just
+    comparisons), counts as bigints.
+
+    Scale: ONE scan computes all 40 aggregates; the multi-column exact
+    NDV plans as Catalyst's Expand (one duplicated pass per distinct
+    column — the same shape DuckDB runs), which is the exact form's cost
+    floor.  At 100 TB the exact NDVs hand off to the mergeable-sketch
+    path (`agg_approx_distinct` / `agg_hll_sketch_merge` — one pass, no
+    Expand, per-shard sketches merged losslessly); the exact form stays
+    as the oracle twin.  Stats output is 8 rows regardless of input."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _STATS_COLS:
+        aggs += [
+            F.count(c).alias(f"cnt_{c}"),
+            F.countDistinct(c).alias(f"ndv_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+        ]
+    row = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', cnt_{c}, ndv_{c}, mn_{c}, mx_{c}" for c in _STATS_COLS
+    )
+    return (
+        row.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(_STATS_COLS)}, {stack_args}) AS "
+                "(col_name, n_non_null, n_distinct, min_val, max_val)"
+            ),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            (F.col("n_rows") - F.col("n_non_null")).alias("n_nulls"),
+            "n_distinct",
+            "min_val",
+            "max_val",
+        )
+        .orderBy("col_name")
+    )

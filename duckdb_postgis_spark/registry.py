@@ -234,6 +234,20 @@ PRIORITY: tuple[str, ...] = (
     #    the r11 refresh lead -------------------------------------------
     "join_asof_tolerance",
     "pipeline_embedding_e2e",
+    # -- (a0e) fourth continuation batch, first driver verdicts.  Three
+    #    displacees (every registered query keeps full differential parity
+    #    at sf0.001 in every CI run via test_oracle_parity, so the choice
+    #    optimizes for redundant EXTRA coverage): sample_reservoir_topk
+    #    (r7 verdict; plan-asserted in test_plans AND its sampling siblings
+    #    sample_stratified_hash / sample_temperature_weighted machinery
+    #    stays exercised), udaf_char_variance (r7; the exact-arithmetic
+    #    aggregate convention it pins is independently guarded by
+    #    test_num_exact), seq_pack_greedy (r7; pure window/agg composition
+    #    whose building blocks are in-window via sessionize/window
+    #    queries); all three join the r11 refresh lead ---------------------
+    "events_markov_transitions",
+    "lakehouse_cdc_apply",
+    "maintenance_column_stats",
     # -- (a) r10 in-round changed code (changed code outranks refreshes):
     #    dedup_semdedup_cells — the r10 two-level seed assignment rework
     #    (judge order #2: driver-side K seed collect/broadcast bounded);
@@ -249,8 +263,8 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_scene_cut",
     # -- (c) the remaining r9 guard-level change holding an r8 verdict -----
     "geo_knn_join",
-    # -- (d) 29 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
-    #    by (a0c), 2 by (a0d); exhausts the window at 49) -------------------
+    # -- (d) 26 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
+    #    by (a0c), 2 by (a0d), 3 by (a0e); exhausts the window at 49) -------
     "text_stats",
     "text_normalize_tokenize",
     "dedup_exact_hash",
@@ -269,9 +283,6 @@ PRIORITY: tuple[str, ...] = (
     "stream_stream_join",
     "subquery_exists_correlated",
     "sample_stratified_hash",
-    "sample_reservoir_topk",
-    "seq_pack_greedy",
-    "udaf_char_variance",
     "source_quality_report",
     "shards_write_roundtrip",
     "upsert_latest_wins",
