@@ -3442,3 +3442,170 @@ def pipeline_embedding_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sorted_small, "label")
     )
+
+
+# --------------------------------------------------------------------------
+# Containment near-dup (asymmetric set overlap) — round 10 continuation
+# --------------------------------------------------------------------------
+@query(
+    "dedup_ngram_containment",
+    oracle="""
+    WITH words AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM words WHERE len(w) >= 3
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, x.n AS n_a, y.n AS n_b,
+           ROUND(CAST(i AS DOUBLE) / LEAST(x.n, y.n), 6) AS containment
+    FROM inter
+    JOIN sz x ON x.doc_id = doc_a
+    JOIN sz y ON y.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / LEAST(x.n, y.n) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|) ≥ 0.8 over 3-gram
+    shingle sets — the asymmetric overlap measure that catches a short
+    document embedded inside a long one (quote farms, boilerplate wraps,
+    article+comments scrapes), exactly the pairs Jaccard MISSES: a 100-gram
+    doc fully contained in a 10,000-gram doc scores containment 1.0 but
+    Jaccard ≈ 0.01.  The standard second pass next to `dedup_ngram_jaccard`
+    in a training-data pipeline (Broder's containment vs resemblance).
+
+    Containment is exact-integer division → bit-identical double, ROUND 6
+    mirrored in the oracle.
+
+    Scale: same inverted-index self-join as the Jaccard twin — only docs
+    SHARING a shingle ever meet (never all-pairs); at 100 TB add the
+    rarest-shingle prefix filter and drop stopword-shingles (hot-key
+    skew → AQE skew-join).  Shuffles ship (doc_id, shingle-hash) ids,
+    never text bodies."""
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingle_df(docs, 3)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(sb, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cont = F.col("i").cast("double") / F.least("n_a", "n_b")
+    return (
+        inter.join(
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .filter(cont >= 0.8)
+        .select(
+            "doc_a", "doc_b", "n_a", "n_b", F.round(cont, 6).alias("containment")
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# PMI collocation mining — round 10 continuation
+# --------------------------------------------------------------------------
+@query(
+    "text_collocation_pmi",
+    oracle="""
+    WITH words AS (SELECT str_split(text, ' ') AS w FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                      i -> [w[i], w[i+1]])) AS p
+        FROM words WHERE len(w) >= 2
+    ),
+    pairs AS (
+        SELECT p[1] AS w1, p[2] AS w2 FROM bg
+        WHERE p[1] <> '' AND p[2] <> ''
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY w1, w2),
+    tot AS (SELECT SUM(c_ab) AS n_total FROM bgc),
+    uni AS (
+        SELECT tok, COUNT(*) AS c FROM (
+            SELECT w1 AS tok FROM pairs UNION ALL SELECT w2 FROM pairs
+        ) GROUP BY tok
+    )
+    SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
+           CAST((CAST(c_ab AS HUGEINT) * n_total * 1000000)
+                // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS pmi_ppm
+    FROM bgc
+    JOIN uni ua ON ua.tok = w1
+    JOIN uni ub ON ub.tok = w2
+    CROSS JOIN tot
+    WHERE c_ab >= 3
+    ORDER BY pmi_ppm DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information — the
+    classic phrase-mining pass (Church & Hanks 1990) that surfaces
+    multi-word expressions ("new york", "machine learning") for tokenizer
+    vocab construction and quality auditing.  PMI = log p(ab)/(p(a)p(b))
+    is MONOTONE in the rational c_ab·N/(c_a·c_b), so the ranking needs no
+    log at all: the score ships as fixed-point parts-per-million via
+    integer floor division — bit-identical cross-engine where a float
+    log's last ULP would not be.  Unigram counts use BIGRAM-SLOT
+    occurrences (each pair contributes w1 and w2), so p(ab), p(a), p(b)
+    share one event space and PMI is self-consistent at corpus edges.
+
+    Scale: two linear groupBys (bigrams, unigram slots) + a broadcast
+    1-row corpus total + two vocab-keyed joins (AQE broadcasts the rare
+    side; at web scale both sides hash-partition on the word — bounded by
+    vocab, not corpus) + a distributed TakeOrdered top-20 under the total
+    order (pmi, w1, w2).  min-count 3 prunes the hapax tail before the
+    joins.  Overflow: c_ab·N·1e6 rides DECIMAL(38,0) (HUGEINT twin) —
+    exact past 9.2e18."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(F.split("text", " ").alias("w")).filter(F.size("w") >= 2)
+    win = F.size("w") - 1
+    z = F.arrays_zip(F.slice("w", 1, win), F.slice("w", 2, win))
+    pairs = (
+        base.select(F.explode(z).alias("t"))
+        .select(F.col("t.0").alias("w1"), F.col("t.1").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bgc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    tot = bgc.agg(F.sum("c_ab").alias("n_total"))
+    uni = (
+        pairs.select(F.col("w1").alias("tok"))
+        .unionByName(pairs.select(F.col("w2").alias("tok")))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        bgc.filter(F.col("c_ab") >= 3)
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                "CAST((CAST(c_ab AS DECIMAL(38,0)) * n_total * 1000000)"
+                " DIV (CAST(c_a AS DECIMAL(19,0)) * CAST(c_b AS DECIMAL(19,0)))"
+                " AS BIGINT)"
+            ).alias("pmi_ppm"),
+        )
+        .orderBy(F.col("pmi_ppm").desc(), "w1", "w2")
+        .limit(20)
+    )

@@ -922,3 +922,84 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_clean",
         ((F.col("n_emails") == 0) & (F.col("n_phones") == 0)).cast("int"),
     )
+
+
+# --------------------------------------------------------------------------
+# Target-mixture domain rebalancing — round 10 continuation
+# --------------------------------------------------------------------------
+@query(
+    "sample_mixture_rebalance",
+    oracle="""
+    WITH tot AS (
+        SELECT COUNT(*) AS n_total, COUNT(DISTINCT source) AS n_src
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(n_total // n_src AS BIGINT) AS quota,
+           CAST(SUM(CASE WHEN rn <= n_total // n_src THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= n_total // n_src THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM ranked CROSS JOIN tot
+    GROUP BY source, n_total, n_src
+    ORDER BY source
+    """,
+)
+def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance a skewed corpus toward a TARGET DOMAIN MIXTURE (uniform
+    across sources here — the DoReMi/Pile-style reweighting pass): each
+    source gets quota = N/|sources| slots; oversampled domains keep their
+    quota-many lowest-md5-rank docs, undersampled domains keep everything.
+    Selection is the deterministic hash-rank rule (no RNG — identical
+    re-runs at 100 TB, resumable builds), and the summary carries
+    kept_chars (exact integer sum over the SELECTED rows) so the oracle
+    hash-verifies WHICH documents were chosen, not just how many.
+
+    Scale: a 2-value broadcast (corpus total, source count) + ONE shuffle
+    by source with a per-source md5 rank — the same layout as
+    `sample_reservoir_topk`; per-source sort is the cost and follows the
+    hottest domain, handled by range-partitioned rank at extreme skew.
+    Dynamic quota means no WindowGroupLimit pushdown — the documented
+    trade for exact-count mixture targets (threshold-hash sampling,
+    `sample_stratified_hash`, is the pushdown-friendly fixed-rate twin)."""
+    docs = table(spark, sf_dir, "documents")
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("source").alias("n_src"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    ranked = docs.select("doc_id", "source", "n_chars").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    quota = F.expr("n_total DIV n_src")
+    kept = F.col("rn") <= quota
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_total", "n_src")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            quota.cast("long").alias("quota"),
+            "n_kept",
+            "kept_chars",
+        )
+        .transform(sorted_small, "source")
+    )

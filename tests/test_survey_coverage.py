@@ -77,7 +77,8 @@ TEXT_EXT = [
     "json_extract_events", "cogroup_reconcile", "dedup_cluster_components",
     "join_null_safe", "subquery_exists_correlated", "dedup_verify_levenshtein",
     "dedup_survivorship_merge", "dedup_exact_prefix", "embed_quantize_int8",
-    "dedup_semdedup_cells", "text_bm25_search",
+    "dedup_semdedup_cells", "text_bm25_search", "dedup_ngram_containment",
+    "text_collocation_pmi",
 ]
 
 # §2.12e training-data-pipeline extensions
@@ -88,6 +89,7 @@ TRAINING = [
     "source_quality_report", "sample_temperature_weighted",
     "text_unigram_likelihood", "text_pii_scrub", "dedup_substring_spans",
     "sample_hard_negative_mining", "pipeline_embedding_e2e",
+    "sample_mixture_rebalance",
 ]
 
 # §2.13 incremental-maintenance (lakehouse) surface
@@ -167,6 +169,12 @@ def test_driver_window_covers_required_families():
         # differential parity every CI run via test_oracle_parity
         "events_markov_transitions", "lakehouse_cdc_apply",
         "maintenance_column_stats",
+        # fifth continuation batch; displaced stream_user_state,
+        # stream_static_join, stream_stream_join (readStream machinery
+        # replayed by test_streaming_live every CI run,
+        # stream_stream_left_outer keeps the family in-window)
+        "dedup_ngram_containment", "text_collocation_pmi",
+        "sample_mixture_rebalance",
     }
     changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
     r6_era = {
@@ -179,8 +187,7 @@ def test_driver_window_covers_required_families():
         "embed_normalize", "similarity_search_query", "multimodal_join",
         "similarity_search_ivf", "agg_distinct", "stream_tumbling",
         "stream_sliding", "stream_session", "stream_watermark_late",
-        "stream_dedup", "stream_user_state", "stream_static_join",
-        "stream_stream_join", "subquery_exists_correlated",
+        "stream_dedup", "subquery_exists_correlated",
         "sample_stratified_hash", "source_quality_report",
         "shards_write_roundtrip", "upsert_latest_wins", "scd2_history",
         "maintenance_compact_roundtrip",
