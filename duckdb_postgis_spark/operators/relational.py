@@ -3467,3 +3467,246 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sorted_small, "from_type", "to_type")
     )
+
+
+# --------------------------------------------------------------------------
+# R42 RFM customer segmentation (round 10 continuation)
+# --------------------------------------------------------------------------
+@query(
+    "events_rfm_segments",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(ts) AS amax FROM events),
+    per_user AS (
+        SELECT user_id,
+               CAST(FLOOR((epoch_us(amax) - epoch_us(MAX(ts))) / 86400000000.0)
+                    AS BIGINT) AS rec_days,
+               COUNT(*) AS freq,
+               SUM({sql_cents('value')}) AS mon_cents
+        FROM events CROSS JOIN anchor
+        WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY user_id, amax
+    ),
+    bounds AS (
+        SELECT quantile_cont(rec_days, 0.25) AS r1, quantile_cont(rec_days, 0.5) AS r2,
+               quantile_cont(rec_days, 0.75) AS r3,
+               quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+               quantile_cont(freq, 0.75) AS f3,
+               quantile_cont(mon_cents, 0.25) AS m1, quantile_cont(mon_cents, 0.5) AS m2,
+               quantile_cont(mon_cents, 0.75) AS m3
+        FROM per_user
+    )
+    SELECT CAST(1 + CAST(rec_days <= r3 AS INT) + CAST(rec_days <= r2 AS INT)
+                + CAST(rec_days <= r1 AS INT) AS INT) AS r_score,
+           CAST(1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+                + CAST(freq > f3 AS INT) AS INT) AS f_score,
+           CAST(1 + CAST(mon_cents > m1 AS INT) + CAST(mon_cents > m2 AS INT)
+                + CAST(mon_cents > m3 AS INT) AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(mon_cents) AS DOUBLE) / 100 AS segment_value
+    FROM per_user CROSS JOIN bounds
+    GROUP BY 1, 2, 3
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    canonical CRM scoring pass: per-user purchase recency (days before the
+    corpus max ts), purchase count, and exact-cents spend, each scored 1-4
+    against the EXACT corpus quartiles, then the 64-cell segment grid is
+    summarized.  Quartiles use continuous interpolation on INTEGER inputs
+    with dyadic fractions (0/.25/.5/.75), so both engines' interpolation
+    arithmetic is exact in doubles (inputs < 2^50) and every boundary
+    comparison is deterministic — no ntile, whose global single-partition
+    window would serialize at scale.  Recency scores INVERT (recent = 4).
+
+    Scale: one shuffle to the per-user frame, a 1-row broadcast anchor and
+    a 9-value broadcast boundary row, then scoring is in-row codegen and
+    the final agg has ≤64 groups.  Spark's exact `percentile` buffers
+    per-partition values — at 1 B+ users hand the boundary row to
+    `approx_percentile` (the NDV→HLL trade, `agg_approx_percentiles`);
+    scores and the oracle stay unchanged."""
+    allev = table(spark, sf_dir, "events")
+    ev = allev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    # anchor = corpus max ts over ALL events (the "as of" instant), not
+    # just purchases — a user whose last purchase is old must score stale
+    # even if nobody purchased recently
+    anchor = allev.agg(F.max("ts").alias("amax"))
+    per_user = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "amax")
+        .agg(
+            F.floor(
+                (F.unix_micros(F.col("amax")) - F.unix_micros(F.max("ts")))
+                / 86400000000.0
+            )
+            .cast("long")
+            .alias("rec_days"),
+            F.count("*").alias("freq"),
+            F.sum(cents("value")).alias("mon_cents"),
+        )
+    )
+    qs = lambda c: F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))")  # noqa: E731
+    bounds = per_user.agg(
+        qs("rec_days").alias("rq"), qs("freq").alias("fq"), qs("mon_cents").alias("mq")
+    )
+    scored = per_user.crossJoin(F.broadcast(bounds)).select(
+        (
+            1
+            + (F.col("rec_days") <= F.element_at("rq", 3)).cast("int")
+            + (F.col("rec_days") <= F.element_at("rq", 2)).cast("int")
+            + (F.col("rec_days") <= F.element_at("rq", 1)).cast("int")
+        ).alias("r_score"),
+        (
+            1
+            + (F.col("freq") > F.element_at("fq", 1)).cast("int")
+            + (F.col("freq") > F.element_at("fq", 2)).cast("int")
+            + (F.col("freq") > F.element_at("fq", 3)).cast("int")
+        ).alias("f_score"),
+        (
+            1
+            + (F.col("mon_cents") > F.element_at("mq", 1)).cast("int")
+            + (F.col("mon_cents") > F.element_at("mq", 2)).cast("int")
+            + (F.col("mon_cents") > F.element_at("mq", 3)).cast("int")
+        ).alias("m_score"),
+        "mon_cents",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_users"),
+            (F.sum("mon_cents").cast("double") / 100).alias("segment_value"),
+        )
+        .transform(sorted_small, "r_score", "f_score", "m_score")
+    )
+
+
+# --------------------------------------------------------------------------
+# R43 trailing moving median (round 10 continuation)
+# --------------------------------------------------------------------------
+@query(
+    "window_moving_median",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, ts, value,
+               list_sort(list({c}) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               )) AS arr
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    )
+    SELECT user_id, event_id, ts, value,
+           CAST(arr[CAST((len(arr) + 1) // 2 AS INT)]
+                + arr[CAST(len(arr) // 2 + 1 AS INT)] AS DOUBLE) / 200
+               AS median_5
+    FROM v ORDER BY user_id, ts, event_id
+    """.replace("{c}", sql_cents("value")),
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-observation MOVING MEDIAN per user series — the robust
+    smoother that survives the spikes EWMA chases (`events_ewma_trailing`
+    is the responsive twin; medians are the standard pair in monitoring).
+    The median is computed in the exact integer CENTS domain: the frame's
+    values sort in-row, the two middle elements ADD as integers (odd
+    frames add the middle to itself), and one double division by 200
+    surfaces dollars — a single IEEE op, bit-identical cross-engine,
+    where a float percentile's interpolation order would not be.
+
+    Scale: one window partitioned by user_id sharing the series hash
+    partition (ONE exchange); the frame materializes ≤5 ints per row
+    in-row — no second shuffle, no UDF, linear in events.  NULL values
+    and NULL ts are excluded by declared semantics (engines disagree on
+    NULL placement inside windowed list aggregates)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    w5 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list(cents("value")).over(w5))
+    v = ev.select("user_id", "event_id", "ts", "value", arr.alias("arr"))
+    n = F.size("arr")
+    med_x2 = F.element_at("arr", ((n + 1) / 2).cast("int")) + F.element_at(
+        "arr", (n / 2 + 1).cast("int")
+    )
+    return v.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (med_x2.cast("double") / 200).alias("median_5"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+# --------------------------------------------------------------------------
+# R44 revenue concentration (top-k value share) — round 10 continuation
+# --------------------------------------------------------------------------
+@query(
+    "events_value_concentration",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT event_type, user_id, SUM({sql_cents('value')}) AS ucents
+        FROM events
+        WHERE value IS NOT NULL AND value > 0
+        GROUP BY event_type, user_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY ucents DESC, user_id
+               ) AS rn
+        FROM per_user
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(ucents) AS DOUBLE) / 100 AS total_value,
+           CAST(SUM(CASE WHEN rn <= 100 THEN ucents ELSE 0 END) AS DOUBLE)
+               / 100 AS top100_value,
+           CAST((SUM(CASE WHEN rn <= 100 THEN ucents ELSE 0 END)::HUGEINT
+                 * 1000000) // SUM(ucents) AS BIGINT) AS share_ppm
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per event type: what share of total POSITIVE
+    value the top-100 users capture — the Pareto "whale" metric behind
+    abuse screens and revenue-risk dashboards.  Declared over positive
+    flows only (refunds excluded), so the totals are strictly positive
+    and the fixed-point ppm share uses floor division on positives, where
+    Spark's truncating DIV and DuckDB's flooring // agree exactly.
+
+    Scale: per-(type, user) partial agg (one shuffle), then row_number
+    rank ≤ 100 partitioned by type compiles to WindowGroupLimit —
+    per-partition top-100 state, never a full per-type sort — and a
+    ≤|types|-row rollup.  This is the scale-safe rewrite of the global
+    decile curve, whose unpartitioned ntile serializes on one task."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(cents("value")).alias("ucents")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ucents").desc(), F.col("user_id")
+    )
+    ranked = per_user.withColumn("rn", F.row_number().over(w))
+    top = F.sum(F.when(F.col("rn") <= 100, F.col("ucents")).otherwise(0))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            (F.sum("ucents").cast("double") / 100).alias("total_value"),
+            (top.cast("double") / 100).alias("top100_value"),
+            F.expr(
+                "CAST(SUM(CASE WHEN rn <= 100 THEN ucents ELSE 0 END) * 1000000L"
+                " DIV SUM(ucents) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .transform(sorted_small, "event_type")
+    )

@@ -259,6 +259,18 @@ PRIORITY: tuple[str, ...] = (
     "dedup_ngram_containment",
     "text_collocation_pmi",
     "sample_mixture_rebalance",
+    # -- (a0g) sixth continuation batch, first driver verdicts.  Three
+    #    displacees: upsert_latest_wins (r7; its merge machinery is now
+    #    exercised in-window by lakehouse_cdc_apply, whose final-op rule
+    #    subsumes latest-wins, plus CI parity), scd2_history (r7; the SCD2
+    #    window build is replayed by join_scd2_point_in_time's CI parity
+    #    and the lakehouse family), maintenance_compact_roundtrip (r7;
+    #    value+plan pinned in test_layout_plans every CI run,
+    #    shards_write_roundtrip keeps the layout family in-window); all
+    #    three join the r11 refresh lead --------------------------------
+    "events_rfm_segments",
+    "window_moving_median",
+    "events_value_concentration",
     # -- (a) r10 in-round changed code (changed code outranks refreshes):
     #    dedup_semdedup_cells — the r10 two-level seed assignment rework
     #    (judge order #2: driver-side K seed collect/broadcast bounded);
@@ -274,9 +286,9 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_scene_cut",
     # -- (c) the remaining r9 guard-level change holding an r8 verdict -----
     "geo_knn_join",
-    # -- (d) 23 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
-    #    by (a0c), 2 by (a0d), 3 by (a0e), 3 by (a0f); exhausts the window
-    #    at 49) --------------------------------------------------------------
+    # -- (d) 20 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
+    #    by (a0c), 2 by (a0d), 3 by (a0e), 3 by (a0f), 3 by (a0g); exhausts
+    #    the window at 49) ---------------------------------------------------
     "text_stats",
     "text_normalize_tokenize",
     "dedup_exact_hash",
@@ -294,9 +306,6 @@ PRIORITY: tuple[str, ...] = (
     "sample_stratified_hash",
     "source_quality_report",
     "shards_write_roundtrip",
-    "upsert_latest_wins",
-    "scd2_history",
-    "maintenance_compact_roundtrip",
     "stream_stream_left_outer",
     "pipeline_geojson_e2e",
     "pipeline_nongeo_e2e",

@@ -23,6 +23,8 @@ RELATIONAL = [
     "join_semi_bloom_prefilter", "events_ewma_trailing",
     "events_max_concurrency", "events_attribution_last_touch",
     "events_top_paths", "join_asof_tolerance", "events_markov_transitions",
+    "events_rfm_segments", "window_moving_median",
+    "events_value_concentration",
 ]
 # §2.9 streaming batch twins + §2.12c live streams
 STREAMING = [
@@ -175,6 +177,12 @@ def test_driver_window_covers_required_families():
         # stream_stream_left_outer keeps the family in-window)
         "dedup_ngram_containment", "text_collocation_pmi",
         "sample_mixture_rebalance",
+        # sixth continuation batch; displaced upsert_latest_wins (merge
+        # machinery in-window via lakehouse_cdc_apply), scd2_history
+        # (SCD2 build replayed by join_scd2_point_in_time CI parity) and
+        # maintenance_compact_roundtrip (test_layout_plans pins it)
+        "events_rfm_segments", "window_moving_median",
+        "events_value_concentration",
     }
     changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
     r6_era = {
@@ -189,16 +197,8 @@ def test_driver_window_covers_required_families():
         "stream_sliding", "stream_session", "stream_watermark_late",
         "stream_dedup", "subquery_exists_correlated",
         "sample_stratified_hash", "source_quality_report",
-        "shards_write_roundtrip", "upsert_latest_wins", "scd2_history",
-        "maintenance_compact_roundtrip",
-        
-        
-        "stream_stream_left_outer", 
-        
+        "shards_write_roundtrip", "stream_stream_left_outer",
         "pipeline_geojson_e2e", "pipeline_nongeo_e2e",
-        
-        
-        
     }
     stalest_r8 = {"agg_approx_distinct"}
     required = (added_r10 | changed_r10 | r6_era | guard_r9 | r7_era
