@@ -1003,3 +1003,77 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sorted_small, "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Composed quality-gate governance pass — round 10 continuation
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_quality_gate",
+    oracle="""
+    WITH sig AS (
+        SELECT source, n_chars,
+               len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_words,
+               len(list_distinct(list_filter(str_split(text, ' '),
+                                             x -> x <> ''))) AS n_uniq,
+               length(replace(text, ' ', '')) AS n_alpha
+        FROM documents
+    ),
+    gated AS (
+        SELECT source, n_chars,
+               (n_words BETWEEN 5 AND 5000)
+               AND (2 * (n_words - n_uniq) <= n_words)
+               AND (2 * n_words <= n_alpha AND n_alpha <= 12 * n_words)
+                   AS kept
+        FROM sig
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars
+    FROM gated GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality GATE — the composed governance pass a training-data
+    pipeline runs before tokenization: a document survives only if it
+    passes ALL of (i) length 5..5000 words, (ii) duplicate-word fraction
+    ≤ 0.5, and (iii) mean word length in [2, 12] chars.  Every gate is an
+    INTEGER comparison (the fraction gates cross-multiply: 2·dups ≤ words;
+    2·words ≤ chars ≤ 12·words), so the pass/fail bit is exact on both
+    engines — no float ratio ever materializes.  Per-source summary
+    carries kept_chars, hash-verifying WHICH documents survived.
+
+    Scale: split once per row behind a projection, in-row codegen signals,
+    zero shuffle until the ≤|sources|-group rollup — the same one-pass
+    shape as `text_gopher_quality`, composed into a deployable gate.  At
+    100 TB this runs as the map side of the ingest job; the gate bit
+    prunes the tokenizer's input before anything shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    sig = docs.select(
+        "source",
+        "n_chars",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_uniq"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_alpha"),
+    )
+    kept = (
+        F.col("n_words").between(5, 5000)
+        & (2 * (F.col("n_words") - F.col("n_uniq")) <= F.col("n_words"))
+        & (2 * F.col("n_words") <= F.col("n_alpha"))
+        & (F.col("n_alpha") <= 12 * F.col("n_words"))
+    )
+    return (
+        sig.withColumn("kept", kept)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+        .transform(sorted_small, "source")
+    )

@@ -900,3 +900,49 @@ def maintenance_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental snapshot diff (CDC read between versions) — round 10 cont.
+# --------------------------------------------------------------------------
+@query(
+    "lakehouse_manifest_diff",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_added,
+           CAST(SUM(n_chars) AS BIGINT) AS added_chars
+    FROM documents WHERE doc_id % 2 = 1
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def lakehouse_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot DIFF — the CDC-read between two table versions
+    (Delta's `table_changes` / Iceberg's incremental scan): what rows did
+    version 2 add over version 1?  The answer is computed WITHOUT touching
+    any version-1 data file: the scan's file list is exactly
+    manifest-2 MINUS manifest-1, so the diff costs the appended bytes
+    only.  The oracle recomputes the added membership from the base table
+    — a v1 file leaking into the diff (double-counting the old rows) or a
+    missing appended file is a driver hash failure.
+
+    Scale: this is THE pattern that makes downstream incremental jobs
+    linear in the DELTA, not the table: a 100 TB table appending 100 GB a
+    day re-processes 100 GB.  Manifest set-difference is driver-side
+    metadata (KBs); the data path scans only the new files."""
+    import json
+
+    root = ensure_versioned_docs(spark, sf_dir)
+    with open(f"{root}/manifest-1.json") as fh:
+        v1 = set(json.load(fh)["files"])
+    with open(f"{root}/manifest-2.json") as fh:
+        v2 = json.load(fh)["files"]
+    added = sorted(set(v2) - v1)
+    delta = spark.read.parquet(*added)
+    return (
+        delta.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_added"),
+            F.sum("n_chars").alias("added_chars"),
+        )
+        .orderBy("lang")
+    )

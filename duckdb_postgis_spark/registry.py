@@ -271,6 +271,16 @@ PRIORITY: tuple[str, ...] = (
     "events_rfm_segments",
     "window_moving_median",
     "events_value_concentration",
+    # -- (a0h) seventh continuation batch, first driver verdicts.  Three
+    #    displacees: text_stats and text_normalize_tokenize (r7; the split
+    #    tokenization convention they pin is the shared substrate of every
+    #    in-window shingle/text query and both keep CI parity),
+    #    source_quality_report (r7; its per-source governance shape is now
+    #    exercised in-window by pipeline_quality_gate + CI parity); all
+    #    three join the r11 refresh lead --------------------------------
+    "stream_rate_limit_live",
+    "pipeline_quality_gate",
+    "lakehouse_manifest_diff",
     # -- (a) r10 in-round changed code (changed code outranks refreshes):
     #    dedup_semdedup_cells — the r10 two-level seed assignment rework
     #    (judge order #2: driver-side K seed collect/broadcast bounded);
@@ -286,11 +296,9 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_scene_cut",
     # -- (c) the remaining r9 guard-level change holding an r8 verdict -----
     "geo_knn_join",
-    # -- (d) 20 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
-    #    by (a0c), 2 by (a0d), 3 by (a0e), 3 by (a0f), 3 by (a0g); exhausts
+    # -- (d) 17 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
+    #    by (a0c), 2 by (a0d), 3 each by (a0e)/(a0f)/(a0g)/(a0h); exhausts
     #    the window at 49) ---------------------------------------------------
-    "text_stats",
-    "text_normalize_tokenize",
     "dedup_exact_hash",
     "embed_normalize",
     "similarity_search_query",
@@ -304,7 +312,6 @@ PRIORITY: tuple[str, ...] = (
     "stream_dedup",
     "subquery_exists_correlated",
     "sample_stratified_hash",
-    "source_quality_report",
     "shards_write_roundtrip",
     "stream_stream_left_outer",
     "pipeline_geojson_e2e",

@@ -1115,3 +1115,116 @@ def q_stream_quantile_hist_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Stateful per-user rate limiting (round 10 continuation)
+# --------------------------------------------------------------------------
+#: fixed-window rate limit: first K events per (user, minute) are allowed
+_RATE_K = 3
+RATE_STATE_SCHEMA = "cur_minute LONG, used LONG"
+RATE_OUTPUT = "event_id LONG, user_id LONG, allowed BOOLEAN"
+
+
+def stream_rate_limit_live(events: DataFrame) -> DataFrame:
+    """Per-user fixed-window RATE LIMITING as a custom stateful operator —
+    the ingest-guard every event collector runs: the first _RATE_K events
+    per (user, minute) pass, the rest are flagged denied.  State is two
+    longs per user (current minute epoch + used slots) — O(users),
+    independent of event volume, exactly what a token-bucket service
+    keeps in its hot store.
+
+    Decisions are VECTORIZED inside each Arrow group (minute-bucketed
+    cumcount + carry-in from state — no per-row Python): rows sort by
+    (ts, event_id) within the batch, the first minute's count carries in
+    from state, and the state stores the last minute's usage for the next
+    micro-batch.  Semantics are arrival-order per user (what a real rate
+    limiter sees); the replay is deterministic because the file source
+    drains in one availableNow batch per file."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cur_minute, used = state.get if state.exists else (-1, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            # unit-proof: Arrow may hand datetime64[ns] or [us] depending on
+            # the pandas/pyarrow pairing — normalize to ns before bucketing
+            minutes = (
+                pdf["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+                // 60_000_000_000
+            )
+            within = pd.Series(minutes).groupby(minutes).cumcount().to_numpy()
+            carry = np.where(minutes == cur_minute, used, 0)
+            allowed = (within + carry) < _RATE_K
+            if len(pdf):
+                last_m = int(minutes[-1])
+                in_last = minutes == last_m
+                last_used = int(allowed[in_last].sum()) + (
+                    used if last_m == cur_minute else 0
+                )
+                cur_minute, used = last_m, last_used
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "user_id": np.full(len(pdf), key[0], dtype="int64"),
+                    "allowed": allowed,
+                }
+            )
+        state.update((int(cur_minute), int(used)))
+
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RATE_OUTPUT,
+            stateStructType=RATE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@query(
+    "stream_rate_limit_live",
+    oracle=f"""
+    WITH decided AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, CAST(epoch_us(ts) AS BIGINT) // 60000000
+                   ORDER BY ts, event_id
+               ) <= {_RATE_K} AS allowed
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+           CAST(SUM(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT) AS n_denied
+    FROM decided GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful rate limiter (applyInPandasWithState): per-event
+    allow/deny decisions drain through the state store, then roll up per
+    user.  The oracle replays the SAME fixed-window rule as a batch
+    row_number over (user, minute) — every per-event decision the stream
+    made is therefore differentially verified in aggregate."""
+    out = run_available_now(
+        stream_rate_limit_live(events_stream(spark, sf_dir)),
+        "q_rate_limit",
+        "update",
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("allowed"), 1).otherwise(0)).alias("n_allowed"),
+            F.sum(F.when(F.col("allowed"), 0).otherwise(1)).alias("n_denied"),
+        )
+        .orderBy("user_id")
+    )

@@ -35,7 +35,7 @@ STREAMING = [
     "stream_static_join", "stream_stream_join", "stream_upsert_live",
     "stream_stream_left_outer", "stream_chained_dedup_agg",
     "stream_hll_distinct_live", "stream_cms_topk_live",
-    "stream_quantile_hist_live",
+    "stream_quantile_hist_live", "stream_rate_limit_live",
 ]
 # §2.10 LLM pipeline L1-L9
 LLM = [
@@ -91,7 +91,7 @@ TRAINING = [
     "source_quality_report", "sample_temperature_weighted",
     "text_unigram_likelihood", "text_pii_scrub", "dedup_substring_spans",
     "sample_hard_negative_mining", "pipeline_embedding_e2e",
-    "sample_mixture_rebalance",
+    "sample_mixture_rebalance", "pipeline_quality_gate",
 ]
 
 # §2.13 incremental-maintenance (lakehouse) surface
@@ -100,6 +100,7 @@ LAKEHOUSE = [
     "incremental_agg_merge", "snapshot_time_travel", "join_scd2_point_in_time",
     "maintenance_scan_layout", "events_zorder_pruned", "events_directory_table",
     "schema_evolution_read", "lakehouse_cdc_apply", "maintenance_column_stats",
+    "lakehouse_manifest_diff",
 ]
 
 ALL_DECLARED = (
@@ -183,6 +184,12 @@ def test_driver_window_covers_required_families():
         # maintenance_compact_roundtrip (test_layout_plans pins it)
         "events_rfm_segments", "window_moving_median",
         "events_value_concentration",
+        # seventh continuation batch; displaced text_stats +
+        # text_normalize_tokenize (tokenization substrate shared by every
+        # in-window shingle/text query) and source_quality_report
+        # (governance shape in-window via pipeline_quality_gate)
+        "stream_rate_limit_live", "pipeline_quality_gate",
+        "lakehouse_manifest_diff",
     }
     changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
     r6_era = {
@@ -191,12 +198,12 @@ def test_driver_window_covers_required_families():
     }
     guard_r9 = {"geo_knn_join"}
     r7_era = {
-        "text_stats", "text_normalize_tokenize", "dedup_exact_hash",
+        "dedup_exact_hash",
         "embed_normalize", "similarity_search_query", "multimodal_join",
         "similarity_search_ivf", "agg_distinct", "stream_tumbling",
         "stream_sliding", "stream_session", "stream_watermark_late",
         "stream_dedup", "subquery_exists_correlated",
-        "sample_stratified_hash", "source_quality_report",
+        "sample_stratified_hash",
         "shards_write_roundtrip", "stream_stream_left_outer",
         "pipeline_geojson_e2e", "pipeline_nongeo_e2e",
     }
