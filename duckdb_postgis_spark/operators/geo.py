@@ -1020,3 +1020,85 @@ def pipeline_nongeo_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+# --------------------------------------------------------------------------
+# G15 spatial hotspot detection (neighborhood-smoothed density) — round 10
+# --------------------------------------------------------------------------
+_HOT_CELL = 5  # degrees per hotspot grid cell (finer than the G9 rollup)
+
+
+@query(
+    "geo_hotspot_cells",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CAST(floor({_LON} / {_HOT_CELL}) AS INT) AS cx,
+               CAST(floor({_LAT} / {_HOT_CELL}) AS INT) AS cy,
+               COUNT(*) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    offs AS (
+        SELECT dx, dy
+        FROM (SELECT unnest([-1, 0, 1]) AS dx), (SELECT unnest([-1, 0, 1]) AS dy)
+    ),
+    neigh AS (
+        SELECT a.cx, a.cy,
+               CAST(MAX(CASE WHEN o.dx = 0 AND o.dy = 0 THEN b.n END) AS BIGINT)
+                   AS own_n,
+               CAST(SUM(b.n) AS BIGINT) AS neigh_n
+        FROM cells a
+        JOIN offs o ON TRUE
+        JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        GROUP BY a.cx, a.cy
+    )
+    SELECT cx, cy, own_n, neigh_n
+    FROM neigh
+    ORDER BY neigh_n DESC, cx, cy
+    LIMIT 10
+    """,
+)
+def geo_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial HOTSPOT detection (a Getis-Ord-G*-lite): points quantize to
+    5-degree cells; each cell's heat is the SUM over its 3x3 neighbor block
+    (own count rides along), and the top-10 hottest cells surface under
+    the total order (neigh_n, cx, cy).  Neighborhood smoothing is what
+    separates a genuine spatial cluster from a lone dense cell — the
+    standard first pass of spatial-anomaly pipelines.  All-integer
+    arithmetic: exact counts, exact sums, deterministic ranking.
+
+    Scale: the raw scan partial-aggs to |cells| rows (bounded by the grid
+    resolution, 72x36 here — NOT by corpus size), then the neighbor probe
+    is a 9-way offset explode + equi-join on integer cell keys between two
+    |cells|-row frames — broadcastable at any corpus size because the cell
+    table is resolution-bounded.  Points never ride the neighbor join.
+    TakeOrdered top-10.  This is the cell-join pattern of
+    `geo_bbox_join_grid` re-pointed at density smoothing."""
+    c = _coords(spark, sf_dir)
+    cells = c.groupBy(
+        F.floor(F.col("lon") / _HOT_CELL).cast("int").alias("cx"),
+        F.floor(F.col("lat") / _HOT_CELL).cast("int").alias("cy"),
+    ).agg(F.count("*").alias("n"))
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("int").alias("dx"),
+        (F.col("id") / 3).cast("int").alias("dy"),
+    ).select("dx", (F.col("dy") - 1).cast("int").alias("dy"))
+    probes = cells.select("cx", "cy").crossJoin(F.broadcast(offs))
+    b = cells.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"), F.col("n")
+    )
+    neigh = (
+        probes.join(
+            b,
+            (b.bx == probes.cx + F.col("dx")) & (b.by == probes.cy + F.col("dy")),
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.max(
+                F.when((F.col("dx") == 0) & (F.col("dy") == 0), F.col("n"))
+            ).alias("own_n"),
+            F.sum("n").alias("neigh_n"),
+        )
+    )
+    return neigh.select("cx", "cy", "own_n", "neigh_n").orderBy(
+        F.col("neigh_n").desc(), "cx", "cy"
+    ).limit(10)

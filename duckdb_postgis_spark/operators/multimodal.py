@@ -678,3 +678,72 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "hamming")
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# M8: bitrate / compression-ratio outlier screen (round 10 continuation)
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_bitrate_outliers",
+    oracle=_MEDIA_CTE
+    + """
+    , ratios AS (
+        SELECT doc_id, media_type, CAST(width * height AS BIGINT) AS pixels,
+               CAST(octet_length(payload) * 1000000 // (width * height)
+                    AS BIGINT) AS ratio_ppm
+        FROM media
+    ),
+    med AS (
+        SELECT media_type,
+               quantile_cont(ratio_ppm, 0.5) * 2 AS med_x2
+        FROM ratios GROUP BY media_type
+    )
+    SELECT r.doc_id, r.media_type, r.pixels, r.ratio_ppm,
+           CAST(m.med_x2 AS DOUBLE) AS type_median_x2
+    FROM ratios r JOIN med m ON m.media_type = r.media_type
+    WHERE r.ratio_ppm * 2 > 3 * m.med_x2 OR r.ratio_ppm * 6 < m.med_x2
+    ORDER BY r.doc_id
+    """,
+)
+def multimodal_bitrate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-per-pixel OUTLIER screen — the media-QA pass that flags
+    corrupt or mislabeled assets (a 'video' with 50 bytes/frame, an
+    'image' 10x denser than its peers) before they poison a training mix.
+    Each row's ratio is fixed-point ppm (bytes*1e6 DIV pixels, exact
+    integers); a row is an outlier when it exceeds 1.5x or falls under
+    1/3 of its OWN media type's median — both comparisons cross-multiplied
+    against the doubled median so the odd/even-median fraction never
+    materializes as a rounded float.
+
+    Scale: one in-row ratio projection, one exact-percentile partial agg
+    to a |media_types|-row broadcast, one broadcast join + codegen flag —
+    points never shuffle.  At billions of assets the exact per-type median
+    hands to approx_percentile exactly like `events_rfm_segments`."""
+    m = media_table(spark, sf_dir)
+    ratios = m.select(
+        "doc_id",
+        "media_type",
+        (F.col("meta.width").cast("long") * F.col("meta.height")).alias("pixels"),
+        F.expr(
+            "CAST(octet_length(payload) * 1000000L"
+            " DIV (meta.width * CAST(meta.height AS LONG)) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+    med = ratios.groupBy("media_type").agg(
+        (F.expr("percentile(ratio_ppm, 0.5)") * 2).alias("med_x2")
+    )
+    return (
+        ratios.join(F.broadcast(med), "media_type")
+        .filter(
+            (F.col("ratio_ppm") * 2 > 3 * F.col("med_x2"))
+            | (F.col("ratio_ppm") * 6 < F.col("med_x2"))
+        )
+        .select(
+            "doc_id",
+            "media_type",
+            "pixels",
+            "ratio_ppm",
+            F.col("med_x2").cast("double").alias("type_median_x2"),
+        )
+        .orderBy("doc_id")
+    )

@@ -3710,3 +3710,84 @@ def events_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sorted_small, "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# R45 market-basket association lift (round 10 continuation)
+# --------------------------------------------------------------------------
+@query(
+    "orders_market_basket",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_baskets FROM baskets),
+    item AS (SELECT part, COUNT(*) AS c FROM baskets GROUP BY part),
+    pair AS (
+        SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS c_ab
+        FROM baskets a JOIN baskets b
+          ON a.okey = b.okey AND a.part < b.part
+        GROUP BY a.part, b.part
+    )
+    SELECT part_a, part_b, c_ab, ia.c AS c_a, ib.c AS c_b,
+           CAST((CAST(c_ab AS HUGEINT) * n_baskets * 1000000)
+                // (CAST(ia.c AS HUGEINT) * ib.c) AS BIGINT) AS lift_ppm
+    FROM pair
+    JOIN item ia ON ia.part = part_a
+    JOIN item ib ON ib.part = part_b
+    CROSS JOIN n
+    WHERE c_ab >= 3
+    ORDER BY lift_ppm DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: the top-20 part pairs by LIFT
+    (support(a,b)/(support(a)·support(b))) across order baskets, with a
+    min-support gate of 3 co-occurrences — the classic retail
+    cross-sell/recommendation screen.  Lift is monotone in the rational
+    c_ab·N/(c_a·c_b), so (the `text_collocation_pmi` convention) the score
+    ships LOG-FREE as fixed-point ppm via DECIMAL(38,0)/HUGEINT floor
+    division — the ranking is bit-exact cross-engine.
+
+    Scale: pair generation is a self-join ON THE BASKET KEY — pairs per
+    basket are quadratic in that basket's OWN size (~items²/2, bounded by
+    the largest order, never corpus-quadratic); one distinct, two linear
+    groupBys, a broadcast 1-row basket total, two item-keyed count joins,
+    distributed TakeOrdered top-20.  A pathological mega-basket is the
+    skew knob: cap basket size or salt the basket key (AQE skew-join
+    handles the shuffle side)."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n = baskets.agg(F.countDistinct("okey").alias("n_baskets"))
+    item = baskets.groupBy("part").agg(F.count("*").alias("c"))
+    a = baskets.select("okey", F.col("part").alias("part_a"))
+    b = baskets.select("okey", F.col("part").alias("part_b"))
+    pair = (
+        a.join(b, "okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    return (
+        pair.filter(F.col("c_ab") >= 3)
+        .join(item.select(F.col("part").alias("part_a"), F.col("c").alias("c_a")), "part_a")
+        .join(item.select(F.col("part").alias("part_b"), F.col("c").alias("c_b")), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                "CAST((CAST(c_ab AS DECIMAL(38,0)) * n_baskets * 1000000)"
+                " DIV (CAST(c_a AS DECIMAL(19,0)) * CAST(c_b AS DECIMAL(19,0)))"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "part_a", "part_b")
+        .limit(20)
+    )

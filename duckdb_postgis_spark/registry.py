@@ -281,6 +281,18 @@ PRIORITY: tuple[str, ...] = (
     "stream_rate_limit_live",
     "pipeline_quality_gate",
     "lakehouse_manifest_diff",
+    # -- (a0i) eighth continuation batch, first driver verdicts.  Three
+    #    displacees: embed_normalize (r7; the in-row array arithmetic it
+    #    pins underlies every ANN/embedding query incl. in-window
+    #    similarity_search_ivf, + CI parity), similarity_search_query (r7;
+    #    in-row cosine exercised by the in-window ANN family and the
+    #    recall pins), multimodal_join (r7; the media_table machinery and
+    #    ids-keyed join shape are now in-window via
+    #    multimodal_bitrate_outliers, + CI parity); all three join the
+    #    r11 refresh lead ------------------------------------------------
+    "geo_hotspot_cells",
+    "multimodal_bitrate_outliers",
+    "orders_market_basket",
     # -- (a) r10 in-round changed code (changed code outranks refreshes):
     #    dedup_semdedup_cells — the r10 two-level seed assignment rework
     #    (judge order #2: driver-side K seed collect/broadcast bounded);
@@ -296,13 +308,10 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_scene_cut",
     # -- (c) the remaining r9 guard-level change holding an r8 verdict -----
     "geo_knn_join",
-    # -- (d) 17 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
-    #    by (a0c), 2 by (a0d), 3 each by (a0e)/(a0f)/(a0g)/(a0h); exhausts
-    #    the window at 49) ---------------------------------------------------
+    # -- (d) 14 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
+    #    by (a0c), 2 by (a0d), 3 each by (a0e)/(a0f)/(a0g)/(a0h)/(a0i);
+    #    exhausts the window at 49) -------------------------------------------
     "dedup_exact_hash",
-    "embed_normalize",
-    "similarity_search_query",
-    "multimodal_join",
     "similarity_search_ivf",
     "agg_distinct",
     "stream_tumbling",

@@ -24,7 +24,7 @@ RELATIONAL = [
     "events_max_concurrency", "events_attribution_last_touch",
     "events_top_paths", "join_asof_tolerance", "events_markov_transitions",
     "events_rfm_segments", "window_moving_median",
-    "events_value_concentration",
+    "events_value_concentration", "orders_market_basket",
 ]
 # §2.9 streaming batch twins + §2.12c live streams
 STREAMING = [
@@ -49,13 +49,14 @@ GEO = [
     "geo_point_wkt", "geo_crs_infer_ranges", "geo_transform_27700_to_4326",
     "geo_wkb_roundtrip", "geo_bbox_join_grid", "geo_cell_rollup",
     "geo_haversine_radius", "geo_knn_join", "pipeline_geo_file_e2e",
-    "pipeline_geojson_e2e", "pipeline_nongeo_e2e",
+    "pipeline_geojson_e2e", "pipeline_nongeo_e2e", "geo_hotspot_cells",
 ]
 # §2.12a multimodal
 MULTIMODAL = [
     "multimodal_meta_stats", "multimodal_image_features",
     "multimodal_frame_sample", "multimodal_audio_energy", "multimodal_scene_cut",
     "multimodal_dedup_exact", "multimodal_phash_dedup",
+    "multimodal_bitrate_outliers",
 ]
 # §2.12b ANN / skew / layout
 SCALE = [
@@ -190,6 +191,12 @@ def test_driver_window_covers_required_families():
         # (governance shape in-window via pipeline_quality_gate)
         "stream_rate_limit_live", "pipeline_quality_gate",
         "lakehouse_manifest_diff",
+        # eighth continuation batch; displaced embed_normalize,
+        # similarity_search_query (in-row array/cosine machinery in-window
+        # via the ANN family) and multimodal_join (media_table machinery
+        # in-window via multimodal_bitrate_outliers)
+        "geo_hotspot_cells", "multimodal_bitrate_outliers",
+        "orders_market_basket",
     }
     changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
     r6_era = {
@@ -199,7 +206,6 @@ def test_driver_window_covers_required_families():
     guard_r9 = {"geo_knn_join"}
     r7_era = {
         "dedup_exact_hash",
-        "embed_normalize", "similarity_search_query", "multimodal_join",
         "similarity_search_ivf", "agg_distinct", "stream_tumbling",
         "stream_sliding", "stream_session", "stream_watermark_late",
         "stream_dedup", "subquery_exists_correlated",
