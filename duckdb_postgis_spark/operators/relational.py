@@ -3791,3 +3791,187 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_ppm").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# R46 fulfillment SLA by priority (round 10 continuation)
+# --------------------------------------------------------------------------
+@query(
+    "orders_fulfillment_sla",
+    oracle="""
+    WITH d AS (
+        SELECT o.o_orderpriority,
+               CAST(FLOOR((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                          / 86400000000.0) AS BIGINT) AS delay_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           quantile_cont(delay_days, 0.5) AS p50_delay,
+           quantile_cont(delay_days, 0.9) AS p90_delay,
+           CAST(SUM(CASE WHEN delay_days <= 7 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS within_7d_ppm
+    FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def orders_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-SLA report by order priority: per-line ship delay in
+    whole days (integer floor over the micros gap — no calendar function,
+    so both engines bucket identically), exact p50/p90 delay, and the
+    fixed-point share of lines shipped within 7 days.  The percentiles
+    interpolate INTEGER day counts with dyadic fractions (.5/.9 → exact
+    dyadic positions on n-1 grids both engines share), deterministic
+    doubles either side.
+
+    Scale: ONE fact-to-fact equi-join on the order key — at 100 TB this
+    is the bucketed-colocated layout (A6, `join_bucketed_colocated`): both
+    tables bucket by orderkey and the join is exchange-free; here AQE
+    plans the shuffle join.  Then a ≤|priorities|-group partial agg.
+    `quantile_cont(0.9)`'s 0.9 fraction is NOT dyadic — but positions are
+    p·(n−1) with integer values, and both engines evaluate the same
+    a + frac·(b−a) on integers ≤ 2^40, exact in doubles."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    # lineitem/orders timestamps ship as TIMESTAMP_NTZ in the driver's
+    # parquet; unix_micros needs TIMESTAMP — the session tz is UTC on both
+    # engines (machine tz), so the cast is a pure type relabel here
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.floor((us("l_shipdate") - us("o_orderdate")) / 86400000000.0)
+        .cast("long")
+        .alias("delay_days"),
+    )
+    return (
+        d.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.expr("percentile(delay_days, 0.5)").alias("p50_delay"),
+            F.expr("percentile(delay_days, 0.9)").alias("p90_delay"),
+            F.expr(
+                "CAST(SUM(CASE WHEN delay_days <= 7 THEN 1 ELSE 0 END)"
+                " * 1000000L DIV COUNT(*) AS BIGINT)"
+            ).alias("within_7d_ppm"),
+        )
+        .transform(sorted_small, "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# R47 running distinct count via first-occurrence rewrite (round 10 cont.)
+# --------------------------------------------------------------------------
+@query(
+    "window_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type ORDER BY ts, event_id
+                    ) = 1 THEN 1 ELSE 0 END AS first_seen
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT user_id, event_id, ts, event_type,
+           CAST(SUM(first_seen) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM flagged ORDER BY user_id, ts, event_id
+    """,
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user series ("how many distinct event
+    types has this user produced so far") via the FIRST-OCCURRENCE
+    rewrite: rank-1 within (user, type) marks each type's debut, and a
+    running sum of debut flags IS the expanding distinct count.  The naive
+    form — collect_set over an expanding window — holds every prefix's
+    set in window state (quadratic memory on hot keys) and Spark refuses
+    distinct aggregates over windows outright; the rewrite is exact and
+    linear, the standard trick this operator pins.
+
+    Scale: two windows — one hash partition on (user, type), one on user
+    — both linear with per-key state O(1); the running sum reuses the
+    sessionize layout.  Output is row-per-event with an integer count,
+    bit-exact by construction."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w_debut = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.row_number().over(w_debut) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+# --------------------------------------------------------------------------
+# R48 weekly seasonality profile in pure integer time arithmetic (round 10)
+# --------------------------------------------------------------------------
+@query(
+    "events_seasonality_profile",
+    oracle="""
+    WITH b AS (
+        SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INT) AS dow,
+               CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour
+        FROM events WHERE ts IS NOT NULL
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM b)
+    SELECT dow, hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * 168 * 1000000 // n_total AS BIGINT)
+               AS intensity_ppm
+    FROM b CROSS JOIN tot
+    GROUP BY dow, hour, n_total
+    ORDER BY dow, hour
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: event intensity per (day-of-week, hour)
+    cell, normalized so a perfectly flat week scores 1 000 000 ppm in
+    every one of the 168 cells — the load-shaping/capacity fingerprint.
+    Day-of-week comes from PURE INTEGER epoch arithmetic
+    ((days since 1970-01-01 + 4) % 7, anchored on Thursday) — no calendar
+    function, whose week-start and index conventions differ across
+    engines; hour is UTC epoch arithmetic the same way.
+
+    Scale: one scan, partial agg onto a key space bounded at 168 cells
+    (shuffle carries |cells| rows per task), one broadcast 1-row total —
+    the flattest possible profile plan."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    b = ev.select(
+        (
+            (F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long") + 4) % 7
+        )
+        .cast("int")
+        .alias("dow"),
+        (F.floor(F.unix_micros("ts") / F.lit(3600000000)).cast("long") % 24)
+        .cast("int")
+        .alias("hour"),
+    )
+    tot = b.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("dow", "hour", "n_total")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "dow",
+            "hour",
+            "n",
+            F.expr("CAST(n * 168L * 1000000 DIV n_total AS BIGINT)").alias(
+                "intensity_ppm"
+            ),
+        )
+        .transform(sorted_small, "dow", "hour")
+    )

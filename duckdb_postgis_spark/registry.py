@@ -293,6 +293,17 @@ PRIORITY: tuple[str, ...] = (
     "geo_hotspot_cells",
     "multimodal_bitrate_outliers",
     "orders_market_basket",
+    # -- (a0j) ninth continuation batch, first driver verdicts.  Three
+    #    displacees: stream_sliding (r7; sibling stream_tumbling stays
+    #    in-window and the live window-parameter fuzz family replays the
+    #    same machinery), stream_watermark_late (r7; watermark eviction is
+    #    replayed by the live fuzz family + CI parity),
+    #    sample_stratified_hash (r7; the md5-deterministic sampling
+    #    machinery is in-window via sample_mixture_rebalance and the plan
+    #    is asserted in test_plans); all three join the r11 refresh lead --
+    "orders_fulfillment_sla",
+    "window_cumulative_distinct",
+    "events_seasonality_profile",
     # -- (a) r10 in-round changed code (changed code outranks refreshes):
     #    dedup_semdedup_cells — the r10 two-level seed assignment rework
     #    (judge order #2: driver-side K seed collect/broadcast bounded);
@@ -308,19 +319,16 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_scene_cut",
     # -- (c) the remaining r9 guard-level change holding an r8 verdict -----
     "geo_knn_join",
-    # -- (d) 14 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
-    #    by (a0c), 2 by (a0d), 3 each by (a0e)/(a0f)/(a0g)/(a0h)/(a0i);
-    #    exhausts the window at 49) -------------------------------------------
+    # -- (d) 11 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
+    #    by (a0c), 2 by (a0d), 3 each by (a0e)/(a0f)/(a0g)/(a0h)/(a0i)/
+    #    (a0j); exhausts the window at 49) -------------------------------------
     "dedup_exact_hash",
     "similarity_search_ivf",
     "agg_distinct",
     "stream_tumbling",
-    "stream_sliding",
     "stream_session",
-    "stream_watermark_late",
     "stream_dedup",
     "subquery_exists_correlated",
-    "sample_stratified_hash",
     "shards_write_roundtrip",
     "stream_stream_left_outer",
     "pipeline_geojson_e2e",

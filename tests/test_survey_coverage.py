@@ -25,6 +25,8 @@ RELATIONAL = [
     "events_top_paths", "join_asof_tolerance", "events_markov_transitions",
     "events_rfm_segments", "window_moving_median",
     "events_value_concentration", "orders_market_basket",
+    "orders_fulfillment_sla", "window_cumulative_distinct",
+    "events_seasonality_profile",
 ]
 # §2.9 streaming batch twins + §2.12c live streams
 STREAMING = [
@@ -197,6 +199,12 @@ def test_driver_window_covers_required_families():
         # in-window via multimodal_bitrate_outliers)
         "geo_hotspot_cells", "multimodal_bitrate_outliers",
         "orders_market_basket",
+        # ninth continuation batch; displaced stream_sliding,
+        # stream_watermark_late (live fuzz family + in-window
+        # stream_tumbling sibling) and sample_stratified_hash
+        # (md5-deterministic sampling in-window via mixture rebalance)
+        "orders_fulfillment_sla", "window_cumulative_distinct",
+        "events_seasonality_profile",
     }
     changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
     r6_era = {
@@ -207,9 +215,8 @@ def test_driver_window_covers_required_families():
     r7_era = {
         "dedup_exact_hash",
         "similarity_search_ivf", "agg_distinct", "stream_tumbling",
-        "stream_sliding", "stream_session", "stream_watermark_late",
+        "stream_session",
         "stream_dedup", "subquery_exists_correlated",
-        "sample_stratified_hash",
         "shards_write_roundtrip", "stream_stream_left_outer",
         "pipeline_geojson_e2e", "pipeline_nongeo_e2e",
     }
