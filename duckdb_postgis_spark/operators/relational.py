@@ -3975,3 +3975,124 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sorted_small, "dow", "hour")
     )
+
+
+# --------------------------------------------------------------------------
+# R49 burst detection vs trailing time window (round 10 continuation)
+# --------------------------------------------------------------------------
+@query(
+    "events_burst_detection",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 60000000 AS BIGINT) AS minute_idx,
+               COUNT(*) AS n
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY event_type, CAST(epoch_us(ts) // 60000000 AS BIGINT)
+    ),
+    w AS (
+        SELECT event_type, minute_idx, n,
+               CAST(COALESCE(SUM(n) OVER (
+                   PARTITION BY event_type ORDER BY minute_idx
+                   RANGE BETWEEN 60 PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS trailing_n
+        FROM m
+    )
+    SELECT event_type, minute_idx, n, trailing_n
+    FROM w
+    WHERE trailing_n > 0 AND n * 60 > 4 * trailing_n
+    ORDER BY event_type, minute_idx
+    """,
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURST detection per event type: a minute fires when its count
+    exceeds 4x the trailing hour's per-minute average — the Kleinberg-lite
+    alert behind spam/incident monitors.  The trailing window is a RANGE
+    frame over the integer minute INDEX (60 PRECEDING .. 1 PRECEDING), so
+    silent minutes correctly dilute the average (a rows-frame over present
+    minutes would not be time-true), and the threshold cross-multiplies
+    (n*60 > 4*trailing) so no float average ever materializes.  Differs
+    from `events_anomaly_zscore` (global per-type moments) in being
+    LOCALLY adaptive — a slow ramp never fires, a step does.
+
+    Scale: partial agg to |type x minute| rows, ONE window sharing the
+    type hash partition with a range frame whose state is the trailing
+    60 index entries — linear, and the minute rollup is the natural
+    pre-aggregation a 100 TB monitor materializes anyway."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    m = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(60000000))
+        .cast("long")
+        .alias("minute_idx"),
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute_idx")
+        .rangeBetween(-60, -1)
+    )
+    flagged = m.withColumn(
+        "trailing_n", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        flagged.filter(
+            (F.col("trailing_n") > 0)
+            & (F.col("n") * 60 > 4 * F.col("trailing_n"))
+        )
+        .select("event_type", "minute_idx", "n", "trailing_n")
+        .orderBy("event_type", "minute_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# R50 activity bitmap aggregate (roaring-lite retention index) — round 10
+# --------------------------------------------------------------------------
+@query(
+    "agg_bitmap_distinct_days",
+    oracle="""
+    WITH d AS (
+        SELECT user_id,
+               CAST((epoch_us(ts) // 86400000000) % 63 AS INT) AS day_slot
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(bit_or(CAST(1 AS BIGINT) << day_slot) AS BIGINT) AS day_mask,
+           CAST(bit_count(bit_or(CAST(1 AS BIGINT) << day_slot)) AS INT)
+               AS n_active_days
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+)
+def agg_bitmap_distinct_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ACTIVITY BITMAP over a rolling 63-day wheel: each active
+    day sets bit (epoch_day % 63) — 63 slots, never bit 63, because a
+    SIGNED 64-bit 1<<63 overflows (DuckDB raises; Spark wraps to the sign
+    bit — a silent cross-engine trap this operator pins away) — and the
+    per-user mask is a single
+    bit_or aggregate — the roaring-bitmap-index pattern that answers
+    retention/streak questions ("active ≥ k of the last 64 days", DAU/WAU
+    overlap) from ONE long per user instead of a distinct-date set.
+    popcount of the mask is the distinct-active-day count (exact while
+    the observation span ≤ 64 days; beyond it the wheel wraps — the
+    documented trade, shard masks per 64-day epoch to extend).
+
+    Scale: bit_or is a tiny commutative partial aggregate — map-side
+    combine reduces every partition to one long per user before the
+    shuffle, the cheapest possible distinct-day plan; masks from
+    different shards/engines merge losslessly by OR (the HLL-union
+    property, but exact)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = ev.select(
+        "user_id",
+        (F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long") % 63)
+        .cast("int")
+        .alias("day_slot"),
+    )
+    mask = F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), day_slot)"))
+    return (
+        d.groupBy("user_id")
+        .agg(
+            mask.cast("long").alias("day_mask"),
+            F.bit_count(mask).cast("int").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )

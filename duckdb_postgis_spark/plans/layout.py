@@ -946,3 +946,60 @@ def lakehouse_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# ORC interchange roundtrip (second columnar format) — round 10 continuation
+# --------------------------------------------------------------------------
+def ensure_orc_copy(spark: SparkSession, sf_dir: str) -> str:
+    """One-time ORC materialization of lineitem — the cross-format
+    interchange a heterogeneous lake needs (Hive/Trino estates are ORC;
+    Spark reads/writes it natively with the same vectorized reader
+    contract as parquet)."""
+    path = f"{_LAYOUT_ROOT}/lineitem_orc_{_token(sf_dir, 'lineitem')}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(path)
+    return path
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_sum,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink roundtrip gate: lineitem writes to ORC once, reads
+    back through Spark's native ORC vectorized reader, and digests per
+    returnflag (count, key sum, exact decimal price sum, timestamp
+    min/max); the oracle recomputes the digests from the raw parquet — a
+    row, value, or TIMESTAMP-encoding corruption across the format
+    boundary is a driver hash failure (ORC timestamps notoriously
+    re-zone; the min/max columns pin that).
+
+    Scale: format conversion is a narrow one-time pass; the digest reads
+    ORC with predicate/column pushdown exactly like parquet (ORC carries
+    its own stripe stats), so scan-layer parity across formats is what
+    this query certifies."""
+    orc_dir = ensure_orc_copy(spark, sf_dir)
+    li = spark.read.orc(orc_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_orderkey").alias("key_sum"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_sum"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -304,6 +304,18 @@ PRIORITY: tuple[str, ...] = (
     "orders_fulfillment_sla",
     "window_cumulative_distinct",
     "events_seasonality_profile",
+    # -- (a0k) tenth continuation batch, first driver verdicts.  Three
+    #    displacees: shards_write_roundtrip (r7; the write-digest gate
+    #    shape is now in-window via scan_orc_roundtrip and the shard
+    #    layout is value+plan pinned in test_layout_plans),
+    #    dedup_exact_hash (r7; the sha256 digest convention is exercised
+    #    by three fuzz families + CI parity), subquery_exists_correlated
+    #    (r7; lowers to the same left-semi machinery as in-window
+    #    join_semi_bloom_prefilter's probe side, + CI parity); all three
+    #    join the r11 refresh lead ---------------------------------------
+    "scan_orc_roundtrip",
+    "events_burst_detection",
+    "agg_bitmap_distinct_days",
     # -- (a) r10 in-round changed code (changed code outranks refreshes):
     #    dedup_semdedup_cells — the r10 two-level seed assignment rework
     #    (judge order #2: driver-side K seed collect/broadcast bounded);
@@ -319,17 +331,14 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_scene_cut",
     # -- (c) the remaining r9 guard-level change holding an r8 verdict -----
     "geo_knn_join",
-    # -- (d) 11 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
+    # -- (d) 8 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
     #    by (a0c), 2 by (a0d), 3 each by (a0e)/(a0f)/(a0g)/(a0h)/(a0i)/
-    #    (a0j); exhausts the window at 49) -------------------------------------
-    "dedup_exact_hash",
+    #    (a0j)/(a0k); exhausts the window at 49) -------------------------------
     "similarity_search_ivf",
     "agg_distinct",
     "stream_tumbling",
     "stream_session",
     "stream_dedup",
-    "subquery_exists_correlated",
-    "shards_write_roundtrip",
     "stream_stream_left_outer",
     "pipeline_geojson_e2e",
     "pipeline_nongeo_e2e",

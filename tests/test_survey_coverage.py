@@ -26,7 +26,8 @@ RELATIONAL = [
     "events_rfm_segments", "window_moving_median",
     "events_value_concentration", "orders_market_basket",
     "orders_fulfillment_sla", "window_cumulative_distinct",
-    "events_seasonality_profile",
+    "events_seasonality_profile", "events_burst_detection",
+    "agg_bitmap_distinct_days",
 ]
 # §2.9 streaming batch twins + §2.12c live streams
 STREAMING = [
@@ -103,7 +104,7 @@ LAKEHOUSE = [
     "incremental_agg_merge", "snapshot_time_travel", "join_scd2_point_in_time",
     "maintenance_scan_layout", "events_zorder_pruned", "events_directory_table",
     "schema_evolution_read", "lakehouse_cdc_apply", "maintenance_column_stats",
-    "lakehouse_manifest_diff",
+    "lakehouse_manifest_diff", "scan_orc_roundtrip",
 ]
 
 ALL_DECLARED = (
@@ -205,6 +206,13 @@ def test_driver_window_covers_required_families():
         # (md5-deterministic sampling in-window via mixture rebalance)
         "orders_fulfillment_sla", "window_cumulative_distinct",
         "events_seasonality_profile",
+        # tenth continuation batch; displaced shards_write_roundtrip
+        # (write-digest gate in-window via scan_orc_roundtrip +
+        # test_layout_plans), dedup_exact_hash (sha256 convention in three
+        # fuzz families) and subquery_exists_correlated (left-semi
+        # machinery + CI parity)
+        "scan_orc_roundtrip", "events_burst_detection",
+        "agg_bitmap_distinct_days",
     }
     changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
     r6_era = {
@@ -213,11 +221,8 @@ def test_driver_window_covers_required_families():
     }
     guard_r9 = {"geo_knn_join"}
     r7_era = {
-        "dedup_exact_hash",
         "similarity_search_ivf", "agg_distinct", "stream_tumbling",
-        "stream_session",
-        "stream_dedup", "subquery_exists_correlated",
-        "shards_write_roundtrip", "stream_stream_left_outer",
+        "stream_session", "stream_dedup", "stream_stream_left_outer",
         "pipeline_geojson_e2e", "pipeline_nongeo_e2e",
     }
     stalest_r8 = {"agg_approx_distinct"}
