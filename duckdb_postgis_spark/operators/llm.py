@@ -3609,3 +3609,77 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_ppm").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Filtered vector search (metadata predicate + top-k) — round 10 cont.
+# --------------------------------------------------------------------------
+@query(
+    "similarity_search_filtered",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cand AS (
+        SELECT b.vec_id, d.lang, b.embedding, q.qe
+        FROM embeddings b
+        JOIN documents d ON d.doc_id = b.vec_id
+        CROSS JOIN q
+        WHERE b.vec_id != 0 AND d.lang = 'en' AND d.n_chars >= 200
+    )
+    SELECT vec_id, lang, ROUND(
+        list_dot_product(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+        / (sqrt(list_sum(list_transform(CAST(qe AS DOUBLE[]), x -> x * x)))
+           * sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x)))), 6
+    ) AS cosine
+    FROM cand
+    ORDER BY
+        list_dot_product(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+        / (sqrt(list_sum(list_transform(CAST(qe AS DOUBLE[]), x -> x * x)))
+           * sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x)))) DESC,
+        vec_id
+    LIMIT 10
+    """,
+)
+def similarity_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-10 cosine neighbors restricted by a
+    metadata predicate (lang = 'en' AND n_chars ≥ 200), the named hard
+    problem of every vector store: POST-filtering (search then filter)
+    silently under-fills k when the predicate is selective; this operator
+    pins the PRE-filter semantics (filter, then exact search over the
+    survivors) that a correct serving layer must match.  The predicate
+    attaches by an ids-keyed equi-join (doc_id = vec_id) — vectors never
+    ride a pair shuffle, metadata never rides the scan.
+
+    Scale: the filter + join prune the corpus BEFORE any distance math;
+    the search is then the L7 broadcast-query pattern over the reduced
+    set.  At billions of vectors compose the same pre-filter with the
+    IVF/LSH candidate path (`similarity_search_ivf` et al.) — cells are
+    scanned post-filter, so selectivity compounds with nprobe pruning
+    rather than eroding recall the way post-filtering does."""
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(docs, emb.vec_id == docs.doc_id)
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+    )
+    sumsq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.sqrt(sumsq("qe")) * F.sqrt(sumsq("embedding")))
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .withColumn("cosine_raw", cos)
+        .orderBy(F.col("cosine_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", "lang", F.round("cosine_raw", 6).alias("cosine"))
+    )

@@ -316,6 +316,13 @@ PRIORITY: tuple[str, ...] = (
     "scan_orc_roundtrip",
     "events_burst_detection",
     "agg_bitmap_distinct_days",
+    # -- (a0l) eleventh continuation batch, first driver verdict.  One
+    #    displacee: similarity_search_ivf (r7; its recall oracle is
+    #    pinned TRUE in every CI parity run, the IVF machinery is
+    #    plan-asserted for the pruned variant in test_layout_plans, and
+    #    the ANN family gains the fresh similarity_search_filtered
+    #    in-window); joins the r11 refresh lead --------------------------
+    "similarity_search_filtered",
     # -- (a) r10 in-round changed code (changed code outranks refreshes):
     #    dedup_semdedup_cells — the r10 two-level seed assignment rework
     #    (judge order #2: driver-side K seed collect/broadcast bounded);
@@ -331,10 +338,9 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_scene_cut",
     # -- (c) the remaining r9 guard-level change holding an r8 verdict -----
     "geo_knn_join",
-    # -- (d) 8 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
+    # -- (d) 7 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
     #    by (a0c), 2 by (a0d), 3 each by (a0e)/(a0f)/(a0g)/(a0h)/(a0i)/
-    #    (a0j)/(a0k); exhausts the window at 49) -------------------------------
-    "similarity_search_ivf",
+    #    (a0j)/(a0k), 1 by (a0l); exhausts the window at 49) -------------------
     "agg_distinct",
     "stream_tumbling",
     "stream_session",

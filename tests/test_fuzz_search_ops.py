@@ -202,3 +202,56 @@ def test_pipeline_embedding_e2e_matches_oracle(spark, tmp_path, seed):
         tmp_path / "documents.parquet",
     )
     _compare(spark, tmp_path, "pipeline_embedding_e2e", seed)
+
+
+# -- family-38 rider: filtered vector search (round-10 continuation) -------
+def _write_filtered_corpus(seed: int, path) -> None:
+    """Docs + id-aligned embeddings with a lang/n_chars predicate surface:
+    seeds where the filter leaves fewer than k survivors (under-filled
+    top-k must agree), exactly zero survivors (empty output), and
+    boundary n_chars == 200 hits (>= is inclusive on both engines)."""
+    rng = random.Random(38900 + seed)
+    n = rng.randint(1, 60)
+    sel = rng.choice(["normal", "starved", "empty_after_filter", "boundary"])
+    drows, erows = [], []
+    erows.append((0, [rng.uniform(-1, 1) for _ in range(8)], 0))  # query vec
+    for d in range(1, n + 1):
+        if sel == "empty_after_filter":
+            lang = "de"
+        elif sel == "starved":
+            lang = "en" if d <= 3 else "de"
+        else:
+            lang = rng.choice(["en", "de"])
+        n_chars = 200 if sel == "boundary" else rng.randint(0, 600)
+        drows.append((d, "t " * 5, lang, "fuzz", n_chars))
+        erows.append((d, [rng.uniform(-1, 1) for _ in range(8)], 0))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in drows], pa.int64()),
+                "text": pa.array([r[1] for r in drows], pa.string()),
+                "lang": pa.array([r[2] for r in drows], pa.string()),
+                "source": pa.array([r[3] for r in drows], pa.string()),
+                "n_chars": pa.array([r[4] for r in drows], pa.int64()),
+            }
+        ),
+        path / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in erows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in erows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in erows], pa.int32()),
+            }
+        ),
+        path / "embeddings.parquet",
+    )
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_filtered_search_matches_oracle(spark, tmp_path, seed):
+    _write_filtered_corpus(seed, tmp_path)
+    _compare(spark, tmp_path, "similarity_search_filtered", seed)

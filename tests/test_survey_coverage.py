@@ -73,7 +73,7 @@ SCALE = [
     "agg_heavy_hitters_twophase", "agg_hll_sketch_merge",
     "similarity_search_pq", "agg_quantile_histogram_merge",
     "agg_cms_topk_merge", "agg_hll_intersection",
-    "graph_pagerank_bipartite",
+    "graph_pagerank_bipartite", "similarity_search_filtered",
 ]
 # §2.12d text/dedup extensions
 TEXT_EXT = [
@@ -213,6 +213,9 @@ def test_driver_window_covers_required_families():
         # machinery + CI parity)
         "scan_orc_roundtrip", "events_burst_detection",
         "agg_bitmap_distinct_days",
+        # eleventh continuation batch; displaced similarity_search_ivf
+        # (recall pin every CI run; fresh filtered ANN member in-window)
+        "similarity_search_filtered",
     }
     changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
     r6_era = {
@@ -221,7 +224,7 @@ def test_driver_window_covers_required_families():
     }
     guard_r9 = {"geo_knn_join"}
     r7_era = {
-        "similarity_search_ivf", "agg_distinct", "stream_tumbling",
+        "agg_distinct", "stream_tumbling",
         "stream_session", "stream_dedup", "stream_stream_left_outer",
         "pipeline_geojson_e2e", "pipeline_nongeo_e2e",
     }
