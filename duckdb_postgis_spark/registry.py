@@ -150,17 +150,26 @@ ORACLES: dict[str, str] = {}
 # IF its r10 verdict predates the continuation-session lexsort tie fix +
 # NULL-label filter (both hash-preserving at driver scale, replica-
 # verified — changed-code rule applies only if the driver snapshotted the
-# pre-fix tree); (b) the ELEVEN r7 verdicts the r10 windows displaced, in
-# displacement order: stream_tumbling_live, stream_sliding_live,
-# stream_upsert_live, stream_watermark_late_live, stream_dedup_live,
-# similarity_search_ivf_pruned, similarity_search_quantized,
-# embed_pca_power_iteration, events_zorder_pruned, events_directory_table,
-# maintenance_scan_layout, agg_heavy_hitters_twophase,
-# stream_chained_dedup_agg (THIRTEEN total); (c) the remaining 47 r8-era
-# verdicts
-# (50 r8 slots minus agg_quantile_histogram_merge, geo_knn_join,
-# agg_approx_distinct which refresh in r10); (d) spare slots to the
-# stalest r9 verdicts.
+# pre-fix tree); (b) the THIRTY-FIVE r7 verdicts the r10 windows
+# displaced, in displacement order: stream_tumbling_live,
+# stream_sliding_live, stream_upsert_live, stream_watermark_late_live,
+# stream_dedup_live, similarity_search_ivf_pruned,
+# similarity_search_quantized, embed_pca_power_iteration,
+# events_zorder_pruned, events_directory_table, maintenance_scan_layout,
+# agg_heavy_hitters_twophase, stream_chained_dedup_agg,
+# sample_reservoir_topk, udaf_char_variance, seq_pack_greedy,
+# stream_user_state, stream_static_join, stream_stream_join,
+# upsert_latest_wins, scd2_history, maintenance_compact_roundtrip,
+# text_stats, text_normalize_tokenize, source_quality_report,
+# embed_normalize, similarity_search_query, multimodal_join,
+# stream_sliding, stream_watermark_late, sample_stratified_hash,
+# shards_write_roundtrip, dedup_exact_hash, subquery_exists_correlated,
+# similarity_search_ivf — these CANNOT all fit one window next to (a);
+# fill every remaining r11 slot from this list in order and carry the
+# tail to r12's (b), ahead of any r8 refresh (oldest-verdict-first is
+# the invariant; the 7 r7 verdicts still IN the r10 window refresh to
+# r10 and do not re-enter); (c) any remaining slots to the stalest r8
+# verdicts in registration order.
 #
 # (a4) IN-ROUND r9 CHANGED CODE (changed code outranks refreshes, the
 # knn_cosine_topk precedent): join_theta_range gained the auto-dispatch
