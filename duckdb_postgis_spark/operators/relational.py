@@ -4096,3 +4096,93 @@ def agg_bitmap_distinct_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# R51 composed product-analytics pipeline (round 10 continuation)
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_events_e2e",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM o
+    ),
+    sess AS (
+        SELECT user_id, sid,
+               CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2)) END) AS rev
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_buying_sessions,
+           CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS conversion_ppm,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM sess GROUP BY day ORDER BY day
+    """,
+)
+def pipeline_events_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed PRODUCT-ANALYTICS pipeline in ONE plan — the daily
+    engagement/conversion job every event warehouse runs nightly:
+    sessionize (30-min gaps) → per-session stats (purchase count, exact
+    DECIMAL revenue) → daily rollup with a fixed-point conversion rate.
+    Every stage rides the previous one's layout: the sessionize windows
+    AND the per-session aggregate share one user_id hash partition, so
+    the whole chain plans TWO exchanges total (user, then day) — the
+    session day is assigned from the session's FIRST event, pinning the
+    midnight-straddling case identically on both engines.
+
+    Scale: linear; shuffle 1 carries events once, shuffle 2 carries
+    |sessions| rows; revenue stays DECIMAL until one final double
+    conversion (the incremental_agg_merge convention); conversion is
+    integer ppm floor division.  This composes the R-series primitives
+    (sessionize, funnel, money sums) into the deployable artifact — the
+    events-side sibling of `pipeline_training_e2e`."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = ev.withColumn("new_session", new_session).withColumn(
+        "sid", F.sum("new_session").over(wrun)
+    )
+    is_p = F.col("event_type") == "purchase"
+    sess = s.groupBy("user_id", "sid").agg(
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.count("*").alias("n_events"),
+        F.sum(F.when(is_p, 1).otherwise(0)).alias("n_purchases"),
+        F.sum(F.when(is_p, dec("value"))).alias("rev"),
+    )
+    return (
+        sess.groupBy("day")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.when(F.col("n_purchases") > 0, 1).otherwise(0)).alias(
+                "n_buying_sessions"
+            ),
+            F.expr(
+                "CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END)"
+                " * 1000000L DIV COUNT(*) AS BIGINT)"
+            ).alias("conversion_ppm"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .transform(sorted_small, "day")
+    )

@@ -332,6 +332,12 @@ PRIORITY: tuple[str, ...] = (
     #    the ANN family gains the fresh similarity_search_filtered
     #    in-window); joins the r11 refresh lead --------------------------
     "similarity_search_filtered",
+    # -- (a0m) twelfth continuation batch, first driver verdict.  One
+    #    displacee: stream_session (r7; the session_window machinery is
+    #    replayed by the live fuzz family every CI run and the
+    #    gaps-and-islands sessionize rewrite is now in-window via
+    #    pipeline_events_e2e, + CI parity); joins the r11 refresh lead ----
+    "pipeline_events_e2e",
     # -- (a) r10 in-round changed code (changed code outranks refreshes):
     #    dedup_semdedup_cells — the r10 two-level seed assignment rework
     #    (judge order #2: driver-side K seed collect/broadcast bounded);
@@ -347,12 +353,11 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_scene_cut",
     # -- (c) the remaining r9 guard-level change holding an r8 verdict -----
     "geo_knn_join",
-    # -- (d) 7 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
+    # -- (d) 6 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
     #    by (a0c), 2 by (a0d), 3 each by (a0e)/(a0f)/(a0g)/(a0h)/(a0i)/
-    #    (a0j)/(a0k), 1 by (a0l); exhausts the window at 49) -------------------
+    #    (a0j)/(a0k), 1 by (a0l), 1 by (a0m); exhausts the window at 49) -------
     "agg_distinct",
     "stream_tumbling",
-    "stream_session",
     "stream_dedup",
     "stream_stream_left_outer",
     "pipeline_geojson_e2e",

@@ -197,3 +197,13 @@ def test_cumulative_distinct_monotone_and_capped(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()
     assert [r["distinct_types_so_far"] for r in out] == [1, 2, 2, 2, 3, 3]
+
+
+# -- family-45 rider: the composed events pipeline (round-10 cont.) ---------
+@pytest.mark.parametrize("seed", range(40))
+def test_pipeline_events_e2e_matches_oracle(spark, tmp_path, seed):
+    """The composed sessionize→session-stats→daily-rollup chain over the
+    same adversarial corpora (NULL ts, duplicate-instant ties, session
+    boundaries): every stage's agreement surface compounds here."""
+    _write_events(seed, tmp_path)
+    _compare(spark, tmp_path, "pipeline_events_e2e", seed, ["events"])

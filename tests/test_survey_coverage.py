@@ -27,7 +27,7 @@ RELATIONAL = [
     "events_value_concentration", "orders_market_basket",
     "orders_fulfillment_sla", "window_cumulative_distinct",
     "events_seasonality_profile", "events_burst_detection",
-    "agg_bitmap_distinct_days",
+    "agg_bitmap_distinct_days", "pipeline_events_e2e",
 ]
 # §2.9 streaming batch twins + §2.12c live streams
 STREAMING = [
@@ -216,6 +216,9 @@ def test_driver_window_covers_required_families():
         # eleventh continuation batch; displaced similarity_search_ivf
         # (recall pin every CI run; fresh filtered ANN member in-window)
         "similarity_search_filtered",
+        # twelfth continuation batch; displaced stream_session (live fuzz
+        # family + in-window sessionize rewrite via pipeline_events_e2e)
+        "pipeline_events_e2e",
     }
     changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
     r6_era = {
@@ -225,7 +228,7 @@ def test_driver_window_covers_required_families():
     guard_r9 = {"geo_knn_join"}
     r7_era = {
         "agg_distinct", "stream_tumbling",
-        "stream_session", "stream_dedup", "stream_stream_left_outer",
+        "stream_dedup", "stream_stream_left_outer",
         "pipeline_geojson_e2e", "pipeline_nongeo_e2e",
     }
     stalest_r8 = {"agg_approx_distinct"}
