@@ -3683,3 +3683,82 @@ def similarity_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "lang", F.round("cosine_raw", 6).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Binary (sign-bit) embedding search — round 10 continuation
+# --------------------------------------------------------------------------
+_BIN_LO = (
+    "aggregate(sequence(0, size(embedding) - 1), 0L, (acc, i) -> acc +"
+    " IF(i < 32 AND element_at(embedding, i + 1) >= 0F,"
+    " shiftleft(CAST(1 AS BIGINT), i), 0L))"
+)
+_BIN_HI = (
+    "aggregate(sequence(0, size(embedding) - 1), 0L, (acc, i) -> acc +"
+    " IF(i >= 32 AND i < 64 AND element_at(embedding, i + 1) >= 0F,"
+    " shiftleft(CAST(1 AS BIGINT), i - 32), 0L))"
+)
+
+
+def _sql_bin(word: str) -> str:
+    lo = "i <= 32" if word == "lo" else "i > 32 AND i <= 64"
+    off = "i - 1" if word == "lo" else "i - 33"
+    return (
+        "CAST(list_sum(list_transform(range(1, len(embedding) + 1),"
+        f" i -> CASE WHEN {lo} AND embedding[i] >= 0"
+        f" THEN (CAST(1 AS BIGINT) << ({off})) ELSE 0 END)) AS BIGINT)"
+    )
+
+
+@query(
+    "similarity_search_binary",
+    oracle=f"""
+    WITH packed AS (
+        SELECT vec_id, {_sql_bin('lo')} AS lo, {_sql_bin('hi')} AS hi
+        FROM embeddings
+    ),
+    q AS (SELECT lo AS qlo, hi AS qhi FROM packed WHERE vec_id = 0)
+    SELECT p.vec_id,
+           CAST(bit_count(xor(p.lo, q.qlo)) + bit_count(xor(p.hi, q.qhi))
+                AS INT) AS hamming
+    FROM packed p CROSS JOIN q
+    WHERE p.vec_id != 0
+    ORDER BY hamming, p.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_search_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY embedding search: each vector binarizes to its sign bits
+    (component ≥ 0 → 1), packed into two 32-bit words per vector, and
+    nearest neighbors rank by HAMMING distance — the 32×-compression
+    retrieval path (binary passage retrieval / BinaryVectorDB shape)
+    that turns a float scan into two longs + popcount per candidate.
+    Bits pack into 32-bit halves deliberately: a 64th sign bit would need
+    signed 1<<63, the cross-engine overflow trap `agg_bitmap_distinct_days`
+    pins.  All-integer ranking — bit-exact cross-engine, total order
+    (hamming, vec_id).
+
+    Scale: packing is one in-row pass (at 100 TB it runs at ingest and the
+    packed words persist as columns — the scan then reads 8 bytes/vector
+    instead of 256); search is a broadcast 2-long query + codegen popcount
+    + distributed TakeOrdered.  The standard funnel re-ranks the binary
+    top-k·oversample with exact cosine (`similarity_search_query`)."""
+    emb = table(spark, sf_dir, "embeddings")
+    packed = emb.select(
+        "vec_id",
+        F.expr(_BIN_LO).alias("lo"),
+        F.expr(_BIN_HI).alias("hi"),
+    )
+    q = packed.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    ham = (
+        F.bit_count(F.expr("lo ^ qlo")) + F.bit_count(F.expr("hi ^ qhi"))
+    ).cast("int")
+    return (
+        packed.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", ham.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(10)
+    )

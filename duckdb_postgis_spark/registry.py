@@ -338,6 +338,12 @@ PRIORITY: tuple[str, ...] = (
     #    gaps-and-islands sessionize rewrite is now in-window via
     #    pipeline_events_e2e, + CI parity); joins the r11 refresh lead ----
     "pipeline_events_e2e",
+    # -- (a0n) thirteenth continuation batch, first driver verdict.  One
+    #    displacee: stream_dedup (r7; the dropDuplicates machinery is
+    #    replayed by the live dedup fuzz family every CI run and its live
+    #    twin's key-set oracle covers the same semantics, + CI parity);
+    #    joins the r11 refresh lead --------------------------------------
+    "similarity_search_binary",
     # -- (a) r10 in-round changed code (changed code outranks refreshes):
     #    dedup_semdedup_cells — the r10 two-level seed assignment rework
     #    (judge order #2: driver-side K seed collect/broadcast bounded);
@@ -353,12 +359,12 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_scene_cut",
     # -- (c) the remaining r9 guard-level change holding an r8 verdict -----
     "geo_knn_join",
-    # -- (d) 6 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
+    # -- (d) 5 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
     #    by (a0c), 2 by (a0d), 3 each by (a0e)/(a0f)/(a0g)/(a0h)/(a0i)/
-    #    (a0j)/(a0k), 1 by (a0l), 1 by (a0m); exhausts the window at 49) -------
+    #    (a0j)/(a0k), 1 each by (a0l)/(a0m)/(a0n); exhausts the window
+    #    at 49) ----------------------------------------------------------------
     "agg_distinct",
     "stream_tumbling",
-    "stream_dedup",
     "stream_stream_left_outer",
     "pipeline_geojson_e2e",
     "pipeline_nongeo_e2e",

@@ -255,3 +255,12 @@ def _write_filtered_corpus(seed: int, path) -> None:
 def test_filtered_search_matches_oracle(spark, tmp_path, seed):
     _write_filtered_corpus(seed, tmp_path)
     _compare(spark, tmp_path, "similarity_search_filtered", seed)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_binary_search_matches_oracle(spark, tmp_path, seed):
+    """Sign-bit packing + Hamming ranking over the filtered-corpus seeds
+    (variable dims never exceed 8 here — the sub-32-bit word path; exact
+    zeros hit the >= 0 sign rule on both engines)."""
+    _write_filtered_corpus(seed, tmp_path)
+    _compare(spark, tmp_path, "similarity_search_binary", seed)

@@ -77,6 +77,26 @@ ALLOWED_BNLJ = {
     # seed table (K = max(16, n/1024)) — the paper's own scoring cost; at
     # 100 TB it runs as the IVF cell_of Arrow matmul, same contract
     "dedup_semdedup_cells",
+    # r10 continuation: broadcast 1-row constant-attaches — PMI's corpus
+    # bigram total, the mixture sampler's (n_total, n_src) quota row, and
+    # RFM's 1-row anchor + 9-value quartile-boundary row (two stacked
+    # 1-row crosses); every other join in these plans is an equi-join
+    "text_collocation_pmi",
+    "sample_mixture_rebalance",
+    "events_rfm_segments",
+    # r10 continuation: the filtered/binary search twins of
+    # similarity_search_query — same 1-row broadcast-query cross
+    "similarity_search_filtered",
+    "similarity_search_binary",
+    # r10 continuation: basket lift attaches the broadcast 1-row basket
+    # total; seasonality attaches the broadcast 1-row corpus total
+    "orders_market_basket",
+    "events_seasonality_profile",
+    # r10 continuation: hotspot neighbor probe crosses the |cells| frame
+    # with a broadcast NINE-row offset table (resolution-bounded constant,
+    # never corpus-sized); the neighbor attach itself is an equi-join on
+    # integer cell keys
+    "geo_hotspot_cells",
 }
 ALLOWED_ROW_PY = {"text_shingle_udtf"}
 

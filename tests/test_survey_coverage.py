@@ -74,6 +74,7 @@ SCALE = [
     "similarity_search_pq", "agg_quantile_histogram_merge",
     "agg_cms_topk_merge", "agg_hll_intersection",
     "graph_pagerank_bipartite", "similarity_search_filtered",
+    "similarity_search_binary",
 ]
 # §2.12d text/dedup extensions
 TEXT_EXT = [
@@ -219,6 +220,9 @@ def test_driver_window_covers_required_families():
         # twelfth continuation batch; displaced stream_session (live fuzz
         # family + in-window sessionize rewrite via pipeline_events_e2e)
         "pipeline_events_e2e",
+        # thirteenth continuation batch; displaced stream_dedup (live
+        # dedup fuzz family + its live twin's key-set oracle)
+        "similarity_search_binary",
     }
     changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
     r6_era = {
@@ -228,7 +232,7 @@ def test_driver_window_covers_required_families():
     guard_r9 = {"geo_knn_join"}
     r7_era = {
         "agg_distinct", "stream_tumbling",
-        "stream_dedup", "stream_stream_left_outer",
+        "stream_stream_left_outer",
         "pipeline_geojson_e2e", "pipeline_nongeo_e2e",
     }
     stalest_r8 = {"agg_approx_distinct"}
