@@ -1003,3 +1003,92 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# VACUUM dry-run: orphan-file audit (round 10 continuation)
+# --------------------------------------------------------------------------
+def ensure_vacuum_layout(spark: SparkSession, sf_dir: str) -> str:
+    """A table directory holding BOTH live and orphaned data files: the
+    even-doc_id file is referenced by the current manifest; the odd-doc_id
+    file was written (a failed/replaced commit) but never committed — the
+    state VACUUM exists to clean up."""
+    import json
+
+    path = f"{_LAYOUT_ROOT}/docs_vacuum_{_token(sf_dir, 'documents')}"
+    if not os.path.exists(f"{path}/manifest-current.json"):
+        docs = table(spark, sf_dir, "documents")
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/data/committed")
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/data/orphaned")
+        live = sorted(
+            f"{path}/data/committed/{f}"
+            for f in os.listdir(f"{path}/data/committed")
+            if f.endswith(".parquet")
+        )
+        with open(f"{path}/manifest-current.json", "w") as fh:
+            json.dump({"files": live}, fh)
+    return path
+
+
+@query(
+    "maintenance_vacuum_orphans",
+    oracle="""
+    SELECT 'live' AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'orphan',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    ORDER BY status
+    """,
+)
+def maintenance_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM dry-run — the orphan-file audit every lakehouse table needs:
+    list the table directory, subtract the current manifest's file set,
+    and account for what the uncommitted leftovers hold (rows/bytes that
+    a VACUUM would reclaim and that must NEVER appear in query results).
+    The audit digests BOTH populations — live rows through the manifest
+    read, orphan rows through the set-difference read — and the oracle
+    recomputes each membership from the base table, so a manifest leak in
+    EITHER direction (orphan rows served, or live rows flagged
+    reclaimable) is a driver hash failure.
+
+    Scale: the listing/set-difference is driver-side metadata (the
+    manifest pattern of `snapshot_time_travel`); each digest scans only
+    its own files.  At 100 TB this runs as the nightly retention job;
+    the audit-before-delete split keeps it idempotent and safe."""
+    import json
+
+    root = ensure_vacuum_layout(spark, sf_dir)
+    with open(f"{root}/manifest-current.json") as fh:
+        live = set(json.load(fh)["files"])
+    all_files = sorted(
+        f"{root}/data/{sub}/{f}"
+        for sub in os.listdir(f"{root}/data")
+        for f in os.listdir(f"{root}/data/{sub}")
+        if f.endswith(".parquet")
+    )
+    orphans = sorted(set(all_files) - live)
+
+    def digest(files: list[str], status: str) -> DataFrame:
+        return (
+            spark.read.parquet(*files)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .select(F.lit(status).alias("status"), "n_rows", "total_chars")
+        )
+
+    return (
+        digest(sorted(live), "live")
+        .unionByName(digest(orphans, "orphan"))
+        .orderBy("status")
+    )

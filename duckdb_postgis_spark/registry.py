@@ -344,6 +344,12 @@ PRIORITY: tuple[str, ...] = (
     #    twin's key-set oracle covers the same semantics, + CI parity);
     #    joins the r11 refresh lead --------------------------------------
     "similarity_search_binary",
+    # -- (a0o) fourteenth continuation batch, first driver verdict.  One
+    #    displacee: pipeline_nongeo_e2e (r7; the NonGeoStrategy dispatch
+    #    branch is unit-pinned in tests/test_pipeline.py every CI run and
+    #    in-window pipeline_geojson_e2e exercises the same process_file
+    #    lifecycle, + CI parity); joins the r11 refresh lead --------------
+    "maintenance_vacuum_orphans",
     # -- (a) r10 in-round changed code (changed code outranks refreshes):
     #    dedup_semdedup_cells — the r10 two-level seed assignment rework
     #    (judge order #2: driver-side K seed collect/broadcast bounded);
@@ -359,15 +365,14 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_scene_cut",
     # -- (c) the remaining r9 guard-level change holding an r8 verdict -----
     "geo_knn_join",
-    # -- (d) 5 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
+    # -- (d) 4 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
     #    by (a0c), 2 by (a0d), 3 each by (a0e)/(a0f)/(a0g)/(a0h)/(a0i)/
-    #    (a0j)/(a0k), 1 each by (a0l)/(a0m)/(a0n); exhausts the window
-    #    at 49) ----------------------------------------------------------------
+    #    (a0j)/(a0k), 1 each by (a0l)/(a0m)/(a0n)/(a0o); exhausts the
+    #    window at 49) ---------------------------------------------------------
     "agg_distinct",
     "stream_tumbling",
     "stream_stream_left_outer",
     "pipeline_geojson_e2e",
-    "pipeline_nongeo_e2e",
     # -- (e) last slot: stalest r8 verdict by registration order ----------
     "agg_approx_distinct",
 )

@@ -204,3 +204,13 @@ def test_pmi_below_min_count_is_empty(spark, tmp_path):
     out = registry.QUERIES["text_collocation_pmi"](spark, str(tmp_path)).collect()
     assert out == []
     _compare(spark, tmp_path, "text_collocation_pmi", "min-count")
+
+
+# -- family-41 rider: VACUUM orphan audit (round-10 continuation) -----------
+@pytest.mark.parametrize("seed", range(20))
+def test_vacuum_orphans_matches_oracle(spark, tmp_path, seed):
+    """The live/orphan split over adversarial docs corpora — all-even and
+    all-odd doc_id seeds make one population empty; the digest must still
+    emit both rows (NULL total_chars for the empty side) on both engines."""
+    _write_docs(seed, tmp_path)
+    _compare(spark, tmp_path, "maintenance_vacuum_orphans", seed)
