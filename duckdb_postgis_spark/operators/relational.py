@@ -4186,3 +4186,129 @@ def pipeline_events_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sorted_small, "day")
     )
+
+
+# --------------------------------------------------------------------------
+# R52 purchase-cycle (reorder interval) distribution (round 10 continuation)
+# --------------------------------------------------------------------------
+@query(
+    "orders_reorder_interval",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey,
+               CAST(FLOOR((epoch_us(o_orderdate)
+                           - epoch_us(LAG(o_orderdate) OVER w))
+                          / 86400000000.0) AS BIGINT) AS gap_days
+        FROM orders WHERE o_orderdate IS NOT NULL
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(g.gap_days) AS BIGINT) AS n_gaps,
+           quantile_cont(g.gap_days, 0.5) AS p50_gap,
+           quantile_cont(g.gap_days, 0.9) AS p90_gap,
+           CAST(SUM(g.gap_days) AS DOUBLE) / COUNT(g.gap_days) AS mean_gap
+    FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+    WHERE g.gap_days IS NOT NULL
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def orders_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cycle analysis: the distribution of DAYS BETWEEN
+    CONSECUTIVE ORDERS per customer, rolled up by market segment — the
+    repurchase-rhythm metric behind churn prediction and inventory
+    planning.  Gaps are integer epoch floor-days (the R46 convention, no
+    calendar function), percentiles are exact over integers, the mean is
+    one exact-integer-sum / count double division.
+
+    Scale: one lag window on the customer hash partition (orders are
+    bounded per customer), an ids-keyed dimension join for the segment
+    (broadcast at any realistic |customer| relative to |orders|), and a
+    ≤|segments| rollup.  Exact percentiles hand to approx_percentile at
+    extreme cardinality — the R42 trade."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    g = o.select(
+        "o_custkey",
+        F.floor((us - F.lag(us).over(w)) / 86400000000.0)
+        .cast("long")
+        .alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        g.join(c, g.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            F.expr("percentile(gap_days, 0.5)").alias("p50_gap"),
+            F.expr("percentile(gap_days, 0.9)").alias("p90_gap"),
+            (F.sum("gap_days").cast("double") / F.count("gap_days")).alias(
+                "mean_gap"
+            ),
+        )
+        .transform(sorted_small, "c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# R53 supplier concentration (Herfindahl index) per part type — round 10
+# --------------------------------------------------------------------------
+@query(
+    "orders_supplier_hhi",
+    oracle=f"""
+    WITH rev AS (
+        SELECT p.p_type, l.l_suppkey,
+               SUM({sql_cents('l.l_extendedprice')}) AS cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_extendedprice > 0
+        GROUP BY p.p_type, l.l_suppkey
+    ),
+    shares AS (
+        SELECT p_type, l_suppkey,
+               CAST(cents * 1000000 // SUM(cents) OVER (PARTITION BY p_type)
+                    AS BIGINT) AS share_ppm
+        FROM rev
+    )
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm,
+           CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+    FROM shares GROUP BY p_type ORDER BY p_type
+    """,
+)
+def orders_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier CONCENTRATION per part type via the Herfindahl-Hirschman
+    index (sum of squared revenue shares) — the procurement-risk /
+    antitrust screen: hhi_ppm = 1e6 means a monopoly supplier, ≤ 1e6/n a
+    balanced market.  Shares are fixed-point ppm over POSITIVE revenue
+    (floor DIV ≡ // on positives, the R44 rule) and the index is a pure
+    integer sum of squares — share_ppm² ≤ 1e12 and the per-type sum is
+    bounded by (Σshare)² = 1e12, comfortably inside a signed 64-bit —
+    so the whole index is bit-exact cross-engine.
+
+    Scale: one fact-dimension equi-join (part broadcasts), a partial agg
+    to |types × suppliers| rows, a window over that bounded frame sharing
+    the type partition, and a ≤|types| rollup."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("cents"))
+    )
+    shares = rev.withColumn(
+        "share_ppm",
+        F.expr("CAST(cents * 1000000L DIV SUM(cents) OVER "
+               "(PARTITION BY p_type) AS BIGINT)"),
+    )
+    return (
+        shares.groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.max("share_ppm").alias("top_share_ppm"),
+            F.expr(
+                "CAST(SUM(share_ppm * share_ppm) DIV 1000000 AS BIGINT)"
+            ).alias("hhi_ppm"),
+        )
+        .transform(sorted_small, "p_type")
+    )

@@ -350,6 +350,18 @@ PRIORITY: tuple[str, ...] = (
     #    in-window pipeline_geojson_e2e exercises the same process_file
     #    lifecycle, + CI parity); joins the r11 refresh lead --------------
     "maintenance_vacuum_orphans",
+    # -- (a0p) fifteenth continuation batch, first driver verdicts.  Two
+    #    displacees: stream_stream_left_outer (r7; the stream-stream join
+    #    machinery is replayed by tests/test_streaming_live.py every CI
+    #    run and the inner-join twin leads the r11 refresh list, + CI
+    #    parity) and pipeline_geojson_e2e (r7; the GeoJSON lifecycle is
+    #    unit-pinned in tests/test_pipeline.py and the G12 sibling
+    #    pipeline_geo_file_e2e holds a fresher r9 verdict, + CI parity);
+    #    both join the r11 refresh lead.  agg_distinct and stream_tumbling
+    #    (core-8 headliners) deliberately KEEP their slots so their
+    #    verdicts refresh to r10 ------------------------------------------
+    "orders_reorder_interval",
+    "orders_supplier_hhi",
     # -- (a) r10 in-round changed code (changed code outranks refreshes):
     #    dedup_semdedup_cells — the r10 two-level seed assignment rework
     #    (judge order #2: driver-side K seed collect/broadcast bounded);
@@ -365,14 +377,12 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_scene_cut",
     # -- (c) the remaining r9 guard-level change holding an r8 verdict -----
     "geo_knn_join",
-    # -- (d) 4 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
+    # -- (d) 2 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
     #    by (a0c), 2 by (a0d), 3 each by (a0e)/(a0f)/(a0g)/(a0h)/(a0i)/
-    #    (a0j)/(a0k), 1 each by (a0l)/(a0m)/(a0n)/(a0o); exhausts the
-    #    window at 49) ---------------------------------------------------------
+    #    (a0j)/(a0k), 1 each by (a0l)/(a0m)/(a0n)/(a0o), 2 by (a0p);
+    #    exhausts the window at 49) ---------------------------------------------
     "agg_distinct",
     "stream_tumbling",
-    "stream_stream_left_outer",
-    "pipeline_geojson_e2e",
     # -- (e) last slot: stalest r8 verdict by registration order ----------
     "agg_approx_distinct",
 )

@@ -28,6 +28,7 @@ RELATIONAL = [
     "orders_fulfillment_sla", "window_cumulative_distinct",
     "events_seasonality_profile", "events_burst_detection",
     "agg_bitmap_distinct_days", "pipeline_events_e2e",
+    "orders_reorder_interval", "orders_supplier_hhi",
 ]
 # §2.9 streaming batch twins + §2.12c live streams
 STREAMING = [
@@ -228,6 +229,10 @@ def test_driver_window_covers_required_families():
         # (NonGeoStrategy branch unit-pinned in test_pipeline every CI
         # run; pipeline_geojson_e2e keeps the lifecycle in-window)
         "maintenance_vacuum_orphans",
+        # fifteenth continuation batch; displaced stream_stream_left_outer
+        # (live streaming tests every CI run) and pipeline_geojson_e2e
+        # (test_pipeline unit pins + fresher G12 sibling verdict)
+        "orders_reorder_interval", "orders_supplier_hhi",
     }
     changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
     r6_era = {
@@ -237,8 +242,6 @@ def test_driver_window_covers_required_families():
     guard_r9 = {"geo_knn_join"}
     r7_era = {
         "agg_distinct", "stream_tumbling",
-        "stream_stream_left_outer",
-        "pipeline_geojson_e2e",
     }
     stalest_r8 = {"agg_approx_distinct"}
     required = (added_r10 | changed_r10 | r6_era | guard_r9 | r7_era
