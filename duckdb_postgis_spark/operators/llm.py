@@ -3762,3 +3762,59 @@ def similarity_search_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "vec_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Normalized exact dedup (round 10 continuation)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, n_chars,
+               sha256(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+                   AS h
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_chars, h,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY h) AS dup_count
+        FROM norm
+    )
+    SELECT doc_id, dup_count
+    FROM ranked WHERE rn = 1 AND dup_count > 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER TEXT NORMALIZATION (lowercase, whitespace
+    collapse, trim) — the CCNet-style first pass that catches the
+    near-identical pairs raw-byte hashing (`dedup_exact_hash`) misses:
+    the same article re-scraped with different casing or spacing.  Docs
+    sharing a normalized sha256 collapse to their lowest-id survivor;
+    output is the survivors of multi-member groups with their group
+    sizes.  The normalization chain (lower → collapse ' +' runs → trim)
+    is lookaround-free and byte-identical in Java regex and RE2-style
+    DuckDB regex — the text_pii_scrub convention.
+
+    Scale: one in-row normalization + digest, one hash shuffle carrying
+    (doc_id, 32-byte digest) — text bodies never shuffle (the
+    pipeline_training_e2e digest-exchange rule); WindowGroupLimit keeps
+    per-partition state at the survivor row."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " ")), 256
+    )
+    norm = docs.select("doc_id", h.alias("h"))
+    wk = Window.partitionBy("h")
+    ranked = norm.select(
+        "doc_id",
+        F.row_number().over(wk.orderBy("doc_id")).alias("rn"),
+        F.count("*").over(wk).alias("dup_count"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("dup_count") > 1))
+        .select("doc_id", "dup_count")
+        .orderBy("doc_id")
+    )

@@ -1077,3 +1077,55 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sorted_small, "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic k-fold assignment — round 10 continuation
+# --------------------------------------------------------------------------
+@query(
+    "sample_kfold_assign",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, source, n_chars,
+               CAST(strpos('0123456789abcdef',
+                           substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 1))
+                    - 1 AS INT) % 5 AS fold
+        FROM documents
+    )
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM f GROUP BY fold ORDER BY fold
+    """,
+)
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-FOLD split assignment (k=5) — the cross-validation
+    / held-out-eval partitioner a training pipeline needs to be
+    REPRODUCIBLE: fold = (first md5 nibble of 'fold:'||doc_id) mod 5, so
+    re-runs at any scale assign identical folds (no RNG, the
+    sample_stratified_hash convention), folds are disjoint and exhaustive
+    by construction, and the per-fold summary (counts, source spread,
+    exact char totals, id range) hash-verifies the assignment itself.
+
+    Scale: a stateless in-row hash — no shuffle until the 5-group
+    rollup; as a persisted column it also serves as the bucket key for
+    fold-local joins (train/eval splits read as partition prunes)."""
+    docs = table(spark, sf_dir, "documents")
+    nibble = F.expr(
+        "CAST(conv(substr(md5(concat('fold:', CAST(doc_id AS STRING))), 1, 1),"
+        " 16, 10) AS INT) % 5"
+    )
+    f = docs.select("doc_id", "source", "n_chars", nibble.alias("fold"))
+    return (
+        f.groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .transform(sorted_small, "fold")
+    )

@@ -362,6 +362,17 @@ PRIORITY: tuple[str, ...] = (
     #    verdicts refresh to r10 ------------------------------------------
     "orders_reorder_interval",
     "orders_supplier_hhi",
+    # -- (a0q) sixteenth continuation batch, first driver verdicts.  Two
+    #    displacees — with every r7 slot now either in-window or already
+    #    on the r11 refresh lead, the lowest-marginal-value slots are the
+    #    two r8-verdict REFRESHES: geo_knn_join (its r9 guard change was
+    #    replica-verified hash-preserving twice and the dispatch equality
+    #    is pinned in tests every CI run) and agg_approx_distinct (the
+    #    (e) stalest-r8 slot; its rsd property is oracle-pinned every CI
+    #    parity run) — both keep their standing r8 verdicts and lead the
+    #    r11 (c) list --------------------------------------------------------
+    "dedup_exact_normalized",
+    "sample_kfold_assign",
     # -- (a) r10 in-round changed code (changed code outranks refreshes):
     #    dedup_semdedup_cells — the r10 two-level seed assignment rework
     #    (judge order #2: driver-side K seed collect/broadcast bounded);
@@ -375,16 +386,15 @@ PRIORITY: tuple[str, ...] = (
     "geo_cell_rollup",
     "geo_bbox_join_grid",
     "multimodal_scene_cut",
-    # -- (c) the remaining r9 guard-level change holding an r8 verdict -----
-    "geo_knn_join",
+    # -- (c) DISPLACED by (a0q): geo_knn_join (r9 guard change, r8
+    #    verdict standing, dispatch equality CI-pinned) and the former (e)
+    #    stalest-r8 slot agg_approx_distinct — both lead the r11 (c) list
     # -- (d) 2 of the 40 r7-era verdicts (6 displaced to r11 by (a0b), 3
     #    by (a0c), 2 by (a0d), 3 each by (a0e)/(a0f)/(a0g)/(a0h)/(a0i)/
     #    (a0j)/(a0k), 1 each by (a0l)/(a0m)/(a0n)/(a0o), 2 by (a0p);
-    #    exhausts the window at 49) ---------------------------------------------
+    #    exhausts the window at 50) ---------------------------------------------
     "agg_distinct",
     "stream_tumbling",
-    # -- (e) last slot: stalest r8 verdict by registration order ----------
-    "agg_approx_distinct",
 )
 
 DRIVER_WINDOW = 50

@@ -214,3 +214,49 @@ def test_vacuum_orphans_matches_oracle(spark, tmp_path, seed):
     emit both rows (NULL total_chars for the empty side) on both engines."""
     _write_docs(seed, tmp_path)
     _compare(spark, tmp_path, "maintenance_vacuum_orphans", seed)
+
+
+# -- family-41 riders: normalized dedup + k-fold assign (round-10 cont.) ----
+@pytest.mark.parametrize("seed", range(40))
+def test_exact_normalized_matches_oracle(spark, tmp_path, seed):
+    """Case/whitespace-variant corpora: the double_space shape produces
+    raw-byte-distinct but normalization-equal docs — exactly the pairs
+    this pass exists to catch; spam/tiny shapes exercise empty and
+    single-member groups (filtered out on both engines)."""
+    _write_docs(seed, tmp_path)
+    _compare(spark, tmp_path, "dedup_exact_normalized", seed)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_kfold_assign_matches_oracle(spark, tmp_path, seed):
+    _write_docs(seed, tmp_path)
+    _compare(spark, tmp_path, "sample_kfold_assign", seed)
+
+
+def test_normalized_dedup_catches_case_and_spacing(spark, tmp_path):
+    """'Hello  World' and 'hello world' share a normalized digest (group
+    of 2, survivor = lowest doc_id); a raw-byte-identical pair and a
+    genuinely distinct doc round out the taxonomy."""
+    rows = [
+        (1, "Hello  World", "en", "s", 12),
+        (2, "hello world", "en", "s", 11),
+        (3, "hello world", "en", "s", 11),  # raw-identical to 2
+        (4, "different entirely", "en", "s", 18),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = registry.QUERIES["dedup_exact_normalized"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["doc_id"] == 1 and out[0]["dup_count"] == 3

@@ -86,7 +86,7 @@ TEXT_EXT = [
     "join_null_safe", "subquery_exists_correlated", "dedup_verify_levenshtein",
     "dedup_survivorship_merge", "dedup_exact_prefix", "embed_quantize_int8",
     "dedup_semdedup_cells", "text_bm25_search", "dedup_ngram_containment",
-    "text_collocation_pmi",
+    "text_collocation_pmi", "dedup_exact_normalized",
 ]
 
 # §2.12e training-data-pipeline extensions
@@ -98,6 +98,7 @@ TRAINING = [
     "text_unigram_likelihood", "text_pii_scrub", "dedup_substring_spans",
     "sample_hard_negative_mining", "pipeline_embedding_e2e",
     "sample_mixture_rebalance", "pipeline_quality_gate",
+    "sample_kfold_assign",
 ]
 
 # §2.13 incremental-maintenance (lakehouse) surface
@@ -233,17 +234,23 @@ def test_driver_window_covers_required_families():
         # (live streaming tests every CI run) and pipeline_geojson_e2e
         # (test_pipeline unit pins + fresher G12 sibling verdict)
         "orders_reorder_interval", "orders_supplier_hhi",
+        # sixteenth continuation batch; displaced the two r8-verdict
+        # refresh slots (geo_knn_join, agg_approx_distinct)
+        "dedup_exact_normalized", "sample_kfold_assign",
     }
     changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
     r6_era = {
         "geo_haversine_radius", "geo_cell_rollup", "geo_bbox_join_grid",
         "multimodal_scene_cut",
     }
-    guard_r9 = {"geo_knn_join"}
+    # (a0q) displaced geo_knn_join (r8 verdict standing; dispatch equality
+    # CI-pinned) and agg_approx_distinct (rsd property oracle-pinned every
+    # CI parity run) in favor of two first verdicts
+    guard_r9 = set()
     r7_era = {
         "agg_distinct", "stream_tumbling",
     }
-    stalest_r8 = {"agg_approx_distinct"}
+    stalest_r8 = set()
     required = (added_r10 | changed_r10 | r6_era | guard_r9 | r7_era
                 | stalest_r8)
     missing = sorted(required - window)
