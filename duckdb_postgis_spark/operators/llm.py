@@ -3782,8 +3782,8 @@ def similarity_search_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) OVER (PARTITION BY h) AS dup_count
         FROM norm
     )
-    SELECT doc_id, dup_count
-    FROM ranked WHERE rn = 1 AND dup_count > 1
+    SELECT doc_id, CAST(dup_count AS BIGINT) AS dup_count
+    FROM ranked WHERE rn = 1
     ORDER BY doc_id
     """,
 )
@@ -3793,8 +3793,10 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-identical pairs raw-byte hashing (`dedup_exact_hash`) misses:
     the same article re-scraped with different casing or spacing.  Docs
     sharing a normalized sha256 collapse to their lowest-id survivor;
-    output is the survivors of multi-member groups with their group
-    sizes.  The normalization chain (lower → collapse ' +' runs → trim)
+    output is EVERY group's survivor with its group size (singletons
+    carry dup_count 1 — the kept-corpus manifest a dedup stage hands
+    downstream), so the result hash-verifies the full group structure.
+    The normalization chain (lower → collapse ' +' runs → trim)
     is lookaround-free and byte-identical in Java regex and RE2-style
     DuckDB regex — the text_pii_scrub convention.
 
@@ -3814,7 +3816,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wk).alias("dup_count"),
     )
     return (
-        ranked.filter((F.col("rn") == 1) & (F.col("dup_count") > 1))
+        ranked.filter(F.col("rn") == 1)
         .select("doc_id", "dup_count")
         .orderBy("doc_id")
     )

@@ -255,8 +255,12 @@ def test_normalized_dedup_catches_case_and_spacing(spark, tmp_path):
         ),
         tmp_path / "documents.parquet",
     )
-    out = registry.QUERIES["dedup_exact_normalized"](
-        spark, str(tmp_path)
-    ).collect()
-    assert len(out) == 1
-    assert out[0]["doc_id"] == 1 and out[0]["dup_count"] == 3
+    out = {
+        r["doc_id"]: r["dup_count"]
+        for r in registry.QUERIES["dedup_exact_normalized"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # survivors: doc 1 owns the 3-member normalized group; doc 4 is a
+    # singleton; docs 2 and 3 collapsed away
+    assert out == {1: 3, 4: 1}
