@@ -710,10 +710,11 @@ def multimodal_bitrate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupt or mislabeled assets (a 'video' with 50 bytes/frame, an
     'image' 10x denser than its peers) before they poison a training mix.
     Each row's ratio is fixed-point ppm (bytes*1e6 DIV pixels, exact
-    integers); a row is an outlier when it exceeds 1.5x or falls under
-    1/3 of its OWN media type's median — both comparisons cross-multiplied
-    against the doubled median so the odd/even-median fraction never
-    materializes as a rounded float.
+    integers); a row is an outlier when it exceeds 3x or falls under
+    1/3 of its OWN media type's median (ratio*2 > 3*med_x2 with
+    med_x2 = 2*median, i.e. ratio > 3*median) — both comparisons
+    cross-multiplied against the doubled median so the odd/even-median
+    fraction never materializes as a rounded float.
 
     Scale: one in-row ratio projection, one exact-percentile partial agg
     to a |media_types|-row broadcast, one broadcast join + codegen flag —

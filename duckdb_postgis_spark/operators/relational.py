@@ -3463,7 +3463,10 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.withColumn("from_total", F.sum("n_trans").over(wt))
         .withColumn(
             "prob_ppm",
-            F.expr("CAST(n_trans * 1000000L DIV from_total AS BIGINT)"),
+            F.expr(
+                "CAST(CAST(n_trans AS DECIMAL(38,0)) * 1000000"
+                " DIV from_total AS BIGINT)"
+            ),
         )
         .transform(sorted_small, "from_type", "to_type")
     )
@@ -3704,7 +3707,8 @@ def events_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("ucents").cast("double") / 100).alias("total_value"),
             (top.cast("double") / 100).alias("top100_value"),
             F.expr(
-                "CAST(SUM(CASE WHEN rn <= 100 THEN ucents ELSE 0 END) * 1000000L"
+                "CAST(CAST(SUM(CASE WHEN rn <= 100 THEN ucents ELSE 0 END)"
+                " AS DECIMAL(38,0)) * 1000000"
                 " DIV SUM(ucents) AS BIGINT)"
             ).alias("share_ppm"),
         )
@@ -4051,8 +4055,13 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_bitmap_distinct_days",
     oracle="""
     WITH d AS (
+        -- wheel-mod the MICROSECONDS first (63 days = 5443200000000 us)
+        -- so the division runs on a non-negative value: DuckDB's // is
+        -- truncating and Spark's floor is flooring -- they only agree on
+        -- non-negatives, and a pre-1970 ts is negative
         SELECT user_id,
-               CAST((epoch_us(ts) // 86400000000) % 63 AS INT) AS day_slot
+               CAST((epoch_us(ts) % 5443200000000 + 5443200000000)
+                    % 5443200000000 // 86400000000 AS INT) AS day_slot
         FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id,
@@ -4081,9 +4090,13 @@ def agg_bitmap_distinct_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     different shards/engines merge losslessly by OR (the HLL-union
     property, but exact)."""
     ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # pmod (not %): a pre-1970 ts floors to a NEGATIVE epoch-day, and a
+    # negative slot is a cross-engine trap — DuckDB raises on negative
+    # shifts while Spark's shiftleft masks the amount and silently sets
+    # a wrong bit.  pmod keeps the wheel in [0, 63) for any epoch.
     d = ev.select(
         "user_id",
-        (F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long") % 63)
+        F.pmod(F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long"), F.lit(63))
         .cast("int")
         .alias("day_slot"),
     )
@@ -4298,8 +4311,8 @@ def orders_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shares = rev.withColumn(
         "share_ppm",
-        F.expr("CAST(cents * 1000000L DIV SUM(cents) OVER "
-               "(PARTITION BY p_type) AS BIGINT)"),
+        F.expr("CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 DIV SUM(cents) "
+               "OVER (PARTITION BY p_type) AS BIGINT)"),
     )
     return (
         shares.groupBy("p_type")

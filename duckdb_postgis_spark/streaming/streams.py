@@ -1149,7 +1149,13 @@ def stream_rate_limit_live(events: DataFrame) -> DataFrame:
         import numpy as np
 
         cur_minute, used = state.get if state.exists else (-1, 0)
-        for pdf in pdfs:
+        # A micro-batch may deliver one key's rows as SEVERAL Arrow chunks
+        # whose (ts, event_id) ranges interleave; sorting each chunk
+        # independently would reset the carry-in mid-minute and over-grant
+        # (ADVICE r10).  Concatenate and sort ONCE per key per batch.
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"])
             # unit-proof: Arrow may hand datetime64[ns] or [us] depending on
             # the pandas/pyarrow pairing — normalize to ns before bucketing
@@ -1160,13 +1166,12 @@ def stream_rate_limit_live(events: DataFrame) -> DataFrame:
             within = pd.Series(minutes).groupby(minutes).cumcount().to_numpy()
             carry = np.where(minutes == cur_minute, used, 0)
             allowed = (within + carry) < _RATE_K
-            if len(pdf):
-                last_m = int(minutes[-1])
-                in_last = minutes == last_m
-                last_used = int(allowed[in_last].sum()) + (
-                    used if last_m == cur_minute else 0
-                )
-                cur_minute, used = last_m, last_used
+            last_m = int(minutes[-1])
+            in_last = minutes == last_m
+            last_used = int(allowed[in_last].sum()) + (
+                used if last_m == cur_minute else 0
+            )
+            cur_minute, used = last_m, last_used
             yield pd.DataFrame(
                 {
                     "event_id": pdf["event_id"].to_numpy(),

@@ -199,3 +199,47 @@ def test_exact_threshold_does_not_fire(spark, tmp_path):
     assert all(r["minute_idx"] != (_T0 + dt.timedelta(minutes=60)).timestamp() // 60
                or r["n"] != 4 for r in out)
     _compare(spark, tmp_path, "events_burst_detection", "threshold", "events")
+
+
+def test_bitmap_pre1970_slot_stays_in_wheel(spark):
+    """ADVICE r10: a pre-1970 ts floors to a NEGATIVE epoch-day; plain %
+    kept the sign, DuckDB raised on the negative shift and Spark silently
+    set a wrong bit.  The registered query can't actually SEE such rows —
+    catalog.py's encoding-drift gate refuses events.ts outside
+    [2000, 2100] — so this pins the slot EXPRESSIONS both engines now use
+    (Spark pmod / oracle +63 re-mod) at the expression level: equal,
+    non-negative, shift-safe slots for any epoch sign."""
+    stamps = [
+        "1969-12-30 12:00:00",  # epoch day -2 -> slot 61
+        "1969-12-31 23:59:59",  # epoch day -1 -> slot 62
+        "1970-01-01 00:00:01",  # epoch day 0  -> slot 0
+        "2024-09-01 08:00:00",  # modern day   -> same slot both engines
+    ]
+    got = (
+        spark.createDataFrame([(s,) for s in stamps], "ts_s string")
+        .selectExpr(
+            "pmod(CAST(floor(unix_micros(CAST(ts_s AS TIMESTAMP)) "
+            "/ 86400000000) AS BIGINT), 63) AS day_slot"
+        )
+        .collect()
+    )
+    spark_slots = [r["day_slot"] for r in got]
+    con = duckdb.connect()
+    # the oracle's wheel-mod form: 63 days of microseconds, mod FIRST so
+    # the truncating // runs on a non-negative value (DuckDB // truncates
+    # toward zero on negatives; Spark floor floors -- they diverge there)
+    want = [
+        con.execute(
+            "SELECT CAST((epoch_us(CAST(? AS TIMESTAMP)) % 5443200000000"
+            " + 5443200000000) % 5443200000000 // 86400000000 AS INT)",
+            [s],
+        ).fetchone()[0]
+        for s in stamps
+    ]
+    assert spark_slots == want
+    assert spark_slots[:3] == [61, 62, 0]
+    assert all(0 <= s < 63 for s in spark_slots)
+    # and DuckDB can actually shift by every produced slot (the old
+    # negative-slot expression raised here)
+    for s in want:
+        con.execute("SELECT CAST(1 AS BIGINT) << ?", [s]).fetchone()
