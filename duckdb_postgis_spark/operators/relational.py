@@ -3220,17 +3220,23 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: nodes travel as INTEGERS (2·custkey / 2·suppkey+1 — string
     labels materialize only on the final top-k rows, so every shuffle
-    ships two longs, not strings); the degree-annotated edge list is
-    built once and PERSISTED (the GraphX/Pregel convention — without it
-    Spark's lineage recomputes the 2·|pairs| distinct per iteration, the
-    dominant cost; measured 116 s → 41 s at the sf1 shape, the residual
-    being the one unavoidable 6 M-row join+distinct that builds the pair
-    set).  Each
-    iteration is then one edges⋈ranks equi-join + one partial-agg sum by
-    dst over ids+ints only, the textbook distributed PageRank shape; the
-    top-k is a distributed TakeOrdered.  Persist ledger: one-deep,
-    single-threaded-sequential contract (the _SEMDEDUP_PERSISTED
-    precedent)."""
+    ships two longs, not strings).  The edge list is built once,
+    REPARTITIONED BY src, and PERSISTED — the cached scan then reports
+    HashPartitioning(src, P), so the per-iteration join needs NO exchange
+    on the edge side, ever (the GraphX/Pregel co-partitioning
+    convention).  The tiny |nodes|-row degree frame persists too: the r10
+    plan left it on the raw lineage, and the initial-ranks branch
+    silently re-ran the whole 6 M-row join+distinct a SECOND time (no
+    ReusedExchange across the differently-hinted subtrees; measured 13.3 s
+    → 5.1 s at the sf1 shape from this rewrite).  Each iteration computes
+    the per-SOURCE share (r·85) div (100·outdeg) on the |nodes|-row frame
+    first — a co-partitioned ranks⋈deg join, zero exchange — then joins
+    shares to the cached edges (share side conforms to the edge
+    partitioning, |nodes| rows moved) and partial-agg sums by dst, whose
+    map-side combine ships ≤ P·|nodes| rows.  Total per-iteration
+    movement is O(|nodes|), never O(|edges|); the top-k is a distributed
+    TakeOrdered.  Persist ledger: single-threaded-sequential contract
+    (the _SEMDEDUP_PERSISTED precedent)."""
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
@@ -3240,12 +3246,7 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
-        .distinct()
     )
-    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     while _PAGERANK_PERSISTED:
         try:
             _PAGERANK_PERSISTED.pop().unpersist(blocking=False)
@@ -3257,24 +3258,66 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             # nothing to release; found by the r10 bench run (NPE from
             # BlockManagerMaster on the dead driverEndpoint)
             pass
-    # SHUFFLE_HASH hints throughout: edges and ranks are both hash-keyed
-    # by the same src/node key, so the shuffle-hash join is the co-located
-    # textbook plan — and a broadcast of the |nodes|-row rank/degree
-    # tables is exactly what a memory-tight driver cannot afford next to
-    # the cached edge list (observed: plain-session 1g driver OOMs the
-    # broadcast build at the sf1 shape; the hinted plan runs in the same
-    # session comfortably)
-    ew = edges.join(deg.hint("shuffle_hash"), "src").persist()
-    _PAGERANK_PERSISTED.append(ew)
-    ranks = deg.select(F.col("src").alias("node"), F.lit(_PR_BASE).cast("long").alias("r"))
+    # explicit partition count = the session's shuffle width, so every
+    # iteration frame lands on the SAME HashPartitioning and
+    # EnsureRequirements never re-exchanges the cached edge list (an
+    # explicit repartition count is also exempt from AQE coalescing,
+    # which would otherwise erase the cached partitioning guarantee)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
+    # explode both directions BEFORE the dedup, then dedupe AFTER the
+    # src-repartition: HashPartitioning(src) satisfies
+    # ClusteredDistribution(src, dst), so dropDuplicates runs
+    # partition-local with no exchange of its own — the whole edge build
+    # pays exactly ONE shuffle of the exploded pair stream (plus the
+    # unavoidable orderkey exchanges feeding the join)
+    edges = (
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                    F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .repartition(n_part, "src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    _PAGERANK_PERSISTED.append(edges)
+    # |nodes|-row degree frame (150 k/sf — per-NODE state, not per-edge);
+    # persisting it pins the initial-ranks branch to the cache instead of
+    # the raw parquet lineage.  No broadcast anywhere: a broadcast of the
+    # node-state tables is what a memory-tight 1g driver cannot afford
+    # next to the cached edge list (observed OOM at the sf1 shape) —
+    # SHUFFLE_HASH keeps every join partition-local.
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        # rename away from 'src' immediately: deg derives from edges, and
+        # the later edges⋈shares join would otherwise be an ambiguous
+        # self-join on src
+        .select(F.col("src").alias("dnode"), "outdeg")
+        .persist()
+    )
+    _PAGERANK_PERSISTED.append(deg)
+    ranks = deg.select(F.col("dnode").alias("node"), F.lit(_PR_BASE).cast("long").alias("r"))
     base = int(0.15 * _PR_BASE)
     for _ in range(_PR_ITERS):
-        contrib = ew.join(
-            ranks.hint("shuffle_hash"), ew.src == ranks.node
-        ).select("dst", F.expr("(r * 85) div (100 * outdeg)").alias("contrib"))
+        # per-source share on the small frame first: every out-edge of a
+        # node carries the SAME contribution, so compute it once per node
+        shares = ranks.hint("shuffle_hash").join(
+            deg, ranks.node == deg.dnode
+        ).select(
+            F.col("dnode").alias("snode"),
+            F.expr("(r * 85) div (100 * outdeg)").alias("share"),
+        )
+        contrib = edges.join(
+            shares.hint("shuffle_hash"), edges.src == shares.snode
+        ).select("dst", "share")
         ranks = (
             contrib.groupBy("dst")
-            .agg((F.lit(base) + F.sum("contrib")).cast("long").alias("r"))
+            .agg((F.lit(base) + F.sum("share")).cast("long").alias("r"))
             .withColumnRenamed("dst", "node")
         )
     label = F.when(
