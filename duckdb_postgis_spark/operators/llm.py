@@ -3935,3 +3935,205 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_id", "idx_id")
     )
+
+
+# --------------------------------------------------------------------------
+# R11 intra-doc line dedup (Rae et al. Gopher dup-line-fraction) +
+# cross-doc duplicated-line localization
+# --------------------------------------------------------------------------
+_LINE_WORDS = 8  # fixed line width in words: the corpus ships newline-free
+
+
+@query(
+    "dedup_lines_intradoc",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    lines AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, (len(w) + {_LINE_WORDS - 1}) // {_LINE_WORDS} + 1),
+                   i -> md5(array_to_string(
+                            w[(i-1)*{_LINE_WORDS}+1 : i*{_LINE_WORDS}], ' '))
+               )) AS lh
+        FROM words WHERE len(w) >= 1
+    ),
+    intra AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST((COUNT(*) - COUNT(DISTINCT lh)) * 1000000
+                    // COUNT(*) AS BIGINT) AS dup_line_frac_ppm
+        FROM lines GROUP BY doc_id
+    ),
+    dl AS (SELECT DISTINCT doc_id, lh FROM lines),
+    shared AS (
+        SELECT lh FROM dl GROUP BY lh HAVING COUNT(*) >= 2
+    ),
+    cross_doc AS (
+        SELECT dl.doc_id, CAST(COUNT(*) AS BIGINT) AS crossdoc_dup_lines
+        FROM dl JOIN shared USING (lh)
+        GROUP BY dl.doc_id
+    )
+    SELECT i.doc_id, i.n_lines, i.dup_line_frac_ppm,
+           COALESCE(c.crossdoc_dup_lines, 0) AS crossdoc_dup_lines
+    FROM intra i LEFT JOIN cross_doc c ON c.doc_id = i.doc_id
+    ORDER BY i.doc_id
+    """,
+)
+def dedup_lines_intradoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-grain dedup metrics — the last member of the text-dedup
+    taxonomy (exact/normalized/prefix/minhash/simhash/jaccard/
+    containment/span dedup all operate at doc grain; repetition killers
+    operate at LINE grain): per document, the Rae et al. (Gopher)
+    duplicate-line fraction (excess occurrences over distinct lines, as
+    fixed-point ppm) plus CROSS-DOC localization — how many of this
+    doc's distinct lines also appear in at least one other document
+    (boilerplate headers/footers, license blocks, navigation chrome).
+
+    A "line" is a fixed {_LINE_WORDS}-word chunk: the synthetic corpus
+    ships newline-free, so the chunk boundary stands in for the newline
+    split a real corpus would use — swap the splitter, keep the plan.
+
+    Scale: lines travel ONLY as md5 digests (the digest-exchange rule —
+    text bodies never shuffle); the intra metric is one partial-agg
+    groupBy(doc); the cross-doc pass is a distinct + digest-keyed
+    groupBy + one ids⋈digests join — all linear, no self-join on text.
+    The skew knob is a boilerplate line shared by millions of docs: its
+    digest group is a count, never a pair explosion."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 1
+    )
+    lines = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, (size(w) + {_LINE_WORDS - 1})"
+                f" div {_LINE_WORDS}),"
+                f" i -> md5(concat_ws(' ', slice(w, (i-1)*{_LINE_WORDS}+1,"
+                f" {_LINE_WORDS}))))"
+            )
+        ).alias("lh"),
+    )
+    intra = lines.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.expr(
+            "CAST((COUNT(*) - COUNT(DISTINCT lh)) * 1000000L"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("dup_line_frac_ppm"),
+    )
+    dl = lines.distinct()
+    shared = dl.groupBy("lh").count().filter(F.col("count") >= 2).select("lh")
+    cross = (
+        dl.join(shared, "lh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("crossdoc_dup_lines"))
+    )
+    return (
+        intra.join(cross, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac_ppm",
+            F.coalesce("crossdoc_dup_lines", F.lit(0)).alias("crossdoc_dup_lines"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# R11 deterministic subword tokenizer — greedy longest-match over a fixed
+# broadcast vocab (the BM25/PMI log-free discipline applied to tokenization)
+# --------------------------------------------------------------------------
+#: fixed merge vocabulary (stands in for a trained BPE merge table; any
+#: fixed list yields a well-defined greedy longest-match segmentation).
+#: Single unknown characters fall back to one token each — the byte-
+#: fallback convention every production tokenizer ships.
+_BPE_VOCAB: tuple[str, ...] = (
+    "table", "tab", "scan", "value", "val", "query", "qu", "order",
+    "stream", "window", "win", "line", "row", "the", "th", "er", "an",
+    "in", "ow", "ue", "ne", "a", "e", "t", "s", "o",
+)
+_BPE_VOCAB_SQL = ", ".join(f"('{v}')" for v in _BPE_VOCAB)
+_BPE_VOCAB_SPARK = "array(" + ", ".join(f"'{v}'" for v in _BPE_VOCAB) + ")"
+
+
+@query(
+    "text_bpe_tokenize",
+    oracle=f"""
+    WITH RECURSIVE words AS (
+        SELECT doc_id, str_split(text, ' ') AS w FROM documents
+    ),
+    wx AS (SELECT doc_id, unnest(w) AS word FROM words),
+    wd AS (SELECT DISTINCT word FROM wx WHERE length(word) >= 1),
+    walk(word, pos, cnt) AS (
+        SELECT word, 1, 0 FROM wd
+        UNION ALL
+        SELECT word,
+               pos + COALESCE((SELECT MAX(length(v))
+                               FROM (VALUES {_BPE_VOCAB_SQL}) t(v)
+                               WHERE substr(word, pos, length(v)) = v), 1),
+               cnt + 1
+        FROM walk WHERE pos <= length(word)
+    ),
+    toks AS (SELECT word, cnt FROM walk WHERE pos > length(word))
+    SELECT wx.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(t.cnt) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(length(wx.word)) * 1000000
+                // SUM(t.cnt) AS BIGINT) AS chars_per_token_ppm
+    FROM wx JOIN toks t USING (word)
+    GROUP BY wx.doc_id
+    ORDER BY wx.doc_id
+    """,
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SUBWORD tokenization — greedy longest-match against
+    a fixed vocabulary (the runtime of a trained BPE/WordPiece merge
+    table; the table here is a pinned constant, so the segmentation is a
+    pure function of the text).  Emits per-doc tokenizer-TRUE counts:
+    words, subword tokens, and fixed-point chars-per-token — the budget
+    numbers a training pipeline actually packs sequences by, where the
+    whitespace proxy text_token_count over- or under-shoots.
+
+    The segmentation loop runs INSIDE Catalyst as a higher-order
+    aggregate: fold over the word's character positions, each step
+    advancing by the longest vocab match (single-char fallback for
+    unknowns) — no UDF, whole-stage-codegen, and bit-replayable: the
+    DuckDB oracle walks the SAME greedy positions via a recursive CTE
+    and the counts hash-match.
+
+    Scale: tokenization is embarrassingly in-row (zero shuffle until the
+    per-doc rollup's digest-size partial agg); the vocab is a literal in
+    the expression tree — the 32k-entry production variant broadcasts a
+    map and swaps array-max for a length-descending first-match probe,
+    same plan shape.  Cost is linear in corpus bytes x max token length."""
+    docs = table(spark, sf_dir, "documents")
+    wx = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") >= 1)
+    # fold over character positions: state (p = cursor, c = tokens so far);
+    # each step consumes the longest vocab match at p (fallback 1 char)
+    cnt = F.expr(
+        f"""aggregate(
+              sequence(1, length(word)),
+              named_struct('p', 1, 'c', 0),
+              (acc, i) -> IF(acc.p > length(word), acc,
+                  named_struct(
+                    'p', acc.p + GREATEST(1, aggregate({_BPE_VOCAB_SPARK}, 0,
+                           (m, v) -> IF(substr(word, acc.p, length(v)) = v
+                                        AND length(v) > m, length(v), m))),
+                    'c', acc.c + 1)),
+              acc -> acc.c)"""
+    )
+    per_word = wx.select("doc_id", F.length("word").alias("wlen"), cnt.alias("cnt"))
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("cnt").alias("n_bpe_tokens"),
+            F.expr(
+                "CAST(SUM(wlen) * 1000000L DIV SUM(cnt) AS BIGINT)"
+            ).alias("chars_per_token_ppm"),
+        )
+        .orderBy("doc_id")
+    )

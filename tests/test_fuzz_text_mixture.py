@@ -264,3 +264,50 @@ def test_normalized_dedup_catches_case_and_spacing(spark, tmp_path):
     # survivors: doc 1 owns the 3-member normalized group; doc 4 is a
     # singleton; docs 2 and 3 collapsed away
     assert out == {1: 3, 4: 1}
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_lines_intradoc_matches_oracle(spark, tmp_path, seed):
+    """r11 rider: the line-grain dedup metrics over the same corpora —
+    spam docs (one bigram repeated) make every full line identical, tiny
+    docs exercise the single-partial-line floor, contained docs plant
+    cross-doc shared lines."""
+    _write_docs(seed, tmp_path)
+    _compare(spark, tmp_path, "dedup_lines_intradoc", seed)
+
+
+def test_lines_intradoc_planted_duplicates(spark, tmp_path):
+    """Directed: a doc of one 8-word line repeated 4x must score
+    dup_line_frac_ppm = 750000 (3 excess of 4); an exact copy of that
+    doc shares its line cross-doc; an unrelated doc scores 0/0."""
+    line = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, " ".join([line] * 4), "en", "src1", 4 * len(line)),
+        (2, " ".join([line] * 4), "en", "src1", 4 * len(line)),
+        (3, "iota kappa new york machine learning the of", "en", "src1", 44),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["dedup_lines_intradoc"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[1]["n_lines"] == 4
+    assert out[1]["dup_line_frac_ppm"] == 750000
+    assert out[1]["crossdoc_dup_lines"] == 1  # its single distinct line
+    assert out[2]["crossdoc_dup_lines"] == 1
+    assert out[3]["dup_line_frac_ppm"] == 0
+    assert out[3]["crossdoc_dup_lines"] == 0
+    _compare(spark, tmp_path, "dedup_lines_intradoc", "directed")
