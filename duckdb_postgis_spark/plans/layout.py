@@ -1092,3 +1092,117 @@ def maintenance_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(digest(orphans, "orphan"))
         .orderBy("status")
     )
+
+
+# --------------------------------------------------------------------------
+# R11 merge-on-read DELETE VECTORS (Iceberg-v2 position deletes / Delta DV)
+# --------------------------------------------------------------------------
+def ensure_delete_vectors(spark: SparkSession, sf_dir: str) -> str:
+    """Extend the versioned-docs layout with VERSION 3: the same data
+    files as version 2 plus a position-delete sidecar — (file_path,
+    row_index) rows for every document matching the delete predicate
+    (doc_id % 7 == 3).  No data file is rewritten: a delete costs
+    O(|deleted rows|) sidecar bytes, the Iceberg-v2/Delta-DV trade that
+    makes deletes cheap at 100 TB (the rewrite path is
+    maintenance_compact_roundtrip's job, run lazily).
+
+    The DV is built by scanning v2 ONCE with parquet metadata columns
+    and materializing the matching positions; after that the predicate
+    is never re-evaluated — readers apply positions blindly, exactly
+    like a production DV (the oracle re-derives membership from the
+    predicate, so a mis-built or mis-applied DV is a hash failure)."""
+    import json
+
+    root = ensure_versioned_docs(spark, sf_dir)
+    if not os.path.exists(f"{root}/manifest-3.json"):
+        with open(f"{root}/manifest-2.json") as fh:
+            m2 = json.load(fh)
+        dv_dir = f"{root}/deletes/dv-3"
+        (
+            spark.read.parquet(*m2["files"])
+            .select(
+                F.col("doc_id"),
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
+            .filter(F.col("doc_id") % 7 == 3)
+            .select("file_path", "row_index")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dv_dir)
+        )
+        with open(f"{root}/manifest-3.json", "w") as fh:
+            json.dump(
+                {"version": 3, "files": m2["files"], "delete_vectors": dv_dir},
+                fh,
+            )
+    return root
+
+
+def read_snapshot_mor(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """MERGE-ON-READ snapshot read: scan the manifest's files and, when
+    the manifest carries delete vectors, anti-join the scan against them
+    on (file_path, row_index).  The DV side is O(|deletes|) and
+    broadcasts; versions WITHOUT a DV never touch the delete path — time
+    travel to version 2 cannot see version 3's deletes, because the old
+    manifest simply has no delete_vectors entry."""
+    import json
+
+    with open(f"{root}/manifest-{version}.json") as fh:
+        manifest = json.load(fh)
+    df = spark.read.parquet(*manifest["files"])
+    dv_dir = manifest.get("delete_vectors")
+    if not dv_dir:
+        return df
+    with_meta = df.select(
+        "*",
+        F.col("_metadata.file_path").alias("_fp"),
+        F.col("_metadata.row_index").alias("_ri"),
+    )
+    dv = spark.read.parquet(dv_dir).select(
+        F.col("file_path").alias("_fp"), F.col("row_index").alias("_ri")
+    )
+    return with_meta.join(F.broadcast(dv), ["_fp", "_ri"], "left_anti").drop(
+        "_fp", "_ri"
+    )
+
+
+@query(
+    "lakehouse_delete_vectors",
+    oracle="""
+    SELECT 2 AS version, lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 3 AS version, lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 7 <> 3 GROUP BY lang
+    ORDER BY version, lang
+    """,
+)
+def lakehouse_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE VECTOR correctness gate (§2.13 extension):
+    version 3 deletes doc_id % 7 == 3 via a position-delete sidecar ONLY
+    — same data files as version 2 — and this query aggregates BOTH
+    versions in one result: version 2 must still see every row (time
+    travel ignores younger delete vectors), version 3 must see exactly
+    the survivors.  The oracle re-derives both memberships from the base
+    table, so a DV leak into v2 OR a missed/extra position in v3 is a
+    driver hash failure.
+
+    Scale: the v3 read adds one broadcast anti-join on (file, position)
+    — O(|deletes|) extra bytes, zero extra shuffle of the data side;
+    the v2 read is byte-identical to plain time travel.  At compaction
+    time the DV folds into a rewrite and the sidecar drops."""
+    root = ensure_delete_vectors(spark, sf_dir)
+
+    def agg(df: DataFrame, v: int) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(F.count("*").alias("n"), F.sum("n_chars").alias("total_chars"))
+            .select(F.lit(v).alias("version"), "lang", "n", "total_chars")
+        )
+
+    v2 = agg(read_snapshot_mor(spark, root, 2), 2)
+    v3 = agg(read_snapshot_mor(spark, root, 3), 3)
+    return v2.unionByName(v3).orderBy("version", "lang")

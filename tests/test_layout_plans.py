@@ -273,3 +273,58 @@ def test_zorder_layout_skips_most_files(spark):
     # dimension layout overlaps either all user-matching or all
     # time-matching files.
     assert overlapping <= len(files) // 2, (overlapping, len(files))
+
+
+# --------------------------------------------------------------------------
+# R11 merge-on-read delete vectors
+# --------------------------------------------------------------------------
+def test_delete_vectors_sidecar_not_rewrite(spark, sf_dir):
+    """Version 3 must list the SAME data files as version 2 — a delete
+    vector is a sidecar, never a rewrite — and the DV dir must exist
+    outside the manifest's data-file list."""
+    import json
+
+    from duckdb_postgis_spark.plans.layout import ensure_delete_vectors
+
+    root = ensure_delete_vectors(spark, sf_dir)
+    with open(f"{root}/manifest-2.json") as fh:
+        m2 = json.load(fh)
+    with open(f"{root}/manifest-3.json") as fh:
+        m3 = json.load(fh)
+    assert m3["files"] == m2["files"]
+    assert m3["delete_vectors"].startswith(f"{root}/deletes/")
+    assert not any(f.startswith(f"{root}/deletes/") for f in m3["files"])
+
+
+def test_delete_vectors_time_travel_isolation(spark, sf_dir):
+    """v2 read must be byte-identical to the plain snapshot read (old
+    snapshots cannot see younger delete vectors); v3 must drop exactly
+    the doc_id % 7 == 3 rows and nothing else."""
+    from duckdb_postgis_spark.plans.layout import (
+        ensure_delete_vectors,
+        read_snapshot,
+        read_snapshot_mor,
+    )
+
+    root = ensure_delete_vectors(spark, sf_dir)
+    v2_plain = {r["doc_id"] for r in read_snapshot(spark, root, 2).select("doc_id").collect()}
+    v2_mor = {r["doc_id"] for r in read_snapshot_mor(spark, root, 2).select("doc_id").collect()}
+    v3 = {r["doc_id"] for r in read_snapshot_mor(spark, root, 3).select("doc_id").collect()}
+    assert v2_mor == v2_plain
+    assert v3 == {d for d in v2_plain if d % 7 != 3}
+    assert any(d % 7 == 3 for d in v2_plain)  # the deletes are non-trivial
+
+
+def test_delete_vectors_read_is_broadcast_anti(spark, sf_dir):
+    """The v3 merge-on-read plan must apply the DV as a BROADCAST
+    LeftAnti join — O(|deletes|) moved, no exchange of the data side."""
+    from duckdb_postgis_spark.plans.layout import (
+        ensure_delete_vectors,
+        read_snapshot_mor,
+    )
+
+    root = ensure_delete_vectors(spark, sf_dir)
+    p = plan_of(read_snapshot_mor(spark, root, 3))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    data_side = p[: p.index("BroadcastExchange")]
+    assert "hashpartitioning" not in data_side, p
