@@ -2995,8 +2995,10 @@ def agg_heavy_hitters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Like agg_approx_distinct, the approximation is ITSELF under driver
     test: the query also computes the exact top-k (the verification
-    harness — at 100 TB you would skip this pass; here it doubles as the
-    oracle alignment) and emits `candidate_superset_held`; the oracle
+    harness — at 100 TB you would skip this pass, and note its
+    unpartitioned row_number serializes on one task by design: the
+    TWO-PHASE columns are the production output, the exact columns exist
+    only to be verified against) and emits `candidate_superset_held`; the oracle
     pins it TRUE, so a partitioning under which the candidate cut ever
     drops a true heavy hitter is a driver hash failure, not a silent
     recall loss.  Deterministic tie-break (count desc, token asc) on

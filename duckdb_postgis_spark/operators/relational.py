@@ -3247,16 +3247,20 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
     )
+    from py4j.protocol import Py4JError
+
     while _PAGERANK_PERSISTED:
         try:
             _PAGERANK_PERSISTED.pop().unpersist(blocking=False)
-        except Exception:
+        except Py4JError:
             # the ledgered frame belongs to an already-stopped
             # SparkSession (bench runs the sf1 section in its own
             # session, stops it, then re-enters here under the sf0.1
             # session) — its cache died with the context, so there is
             # nothing to release; found by the r10 bench run (NPE from
-            # BlockManagerMaster on the dead driverEndpoint)
+            # BlockManagerMaster on the dead driverEndpoint).  Py4JError
+            # ONLY: anything else around session state should surface,
+            # not be swallowed (r10 judge note).
             pass
     # explicit partition count = the session's shuffle width, so every
     # iteration frame lands on the SAME HashPartitioning and
