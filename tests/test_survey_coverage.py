@@ -87,6 +87,7 @@ TEXT_EXT = [
     "dedup_survivorship_merge", "dedup_exact_prefix", "embed_quantize_int8",
     "dedup_semdedup_cells", "text_bm25_search", "dedup_ngram_containment",
     "text_collocation_pmi", "dedup_exact_normalized",
+    "dedup_incremental_minhash", "dedup_lines_intradoc", "text_bpe_tokenize",
 ]
 
 # §2.12e training-data-pipeline extensions
@@ -108,7 +109,7 @@ LAKEHOUSE = [
     "maintenance_scan_layout", "events_zorder_pruned", "events_directory_table",
     "schema_evolution_read", "lakehouse_cdc_apply", "maintenance_column_stats",
     "lakehouse_manifest_diff", "scan_orc_roundtrip",
-    "maintenance_vacuum_orphans",
+    "maintenance_vacuum_orphans", "lakehouse_delete_vectors",
 ]
 
 ALL_DECLARED = (
@@ -128,131 +129,54 @@ def test_every_survey_operator_is_registered():
 
 def test_driver_window_covers_required_families():
     """The driver verifies only the first DRIVER_WINDOW entries of
-    queries().  Round-10 rotation policy (CORRECTNESS_r09 was 50/50, so
-    all r9 slots rotate out with verdicts standing): the window holds
-    (a0) first driver verdicts for the eight r10 additions — the two
-    early-session ones (join_asof_nearest, stream_cms_topk_live —
-    displacing stream_tumbling_live/stream_sliding_live: live-fuzz
-    family + batch twins in-window) and the six continuation-session
-    ones (events_ewma_trailing, events_max_concurrency,
-    text_bm25_search, sample_hard_negative_mining,
-    stream_quantile_hist_live, agg_hll_intersection — displacing the
-    six r7 slots with the strongest indirect coverage, listed in the
-    added_r10 comment below), (a) the two r10 in-round code changes
-    (dedup_semdedup_cells two-level seed assignment;
-    agg_quantile_histogram_merge all-NULL guard fix — changed code
-    outranks refreshes), (b) the four r6-era refreshes the r9 swaps
-    displaced, (c) geo_knn_join (r9 guard change holding an r8 verdict),
-    (d) 29 of the 42 r7-era verdicts, and (e) one stalest-r8 slot
-    (agg_approx_distinct).  After this window lands no registered
-    query's verdict is older than r8 except the thirteen displaced r7
-    slots (leading the r11 refresh list)."""
+    queries().  Round-11 rotation (CORRECTNESS_r10 was 50/50, so all r10
+    slots rotate out with verdicts standing): the window holds (a) first
+    driver verdicts for the four r11 additions + the seven r11
+    changed-code re-entries + knn_cosine_topk (the pre-written r10
+    guard-change re-entry), (b) ALL thirty-five r7-era verdicts the r10
+    windows displaced, in displacement order, and (c) the three stalest
+    r8 refreshes (the two r10 (a0q) displacees + geo_point_wkt, first r8
+    in registration order).  After this window lands no registered
+    verdict is older than r8.  The per-batch displacement rationales for
+    r10 live in the r10 revision of this file (git)."""
     window = set(list(registry.all_queries())[: registry.DRIVER_WINDOW])
-    added_r10 = {
-        "join_asof_nearest", "stream_cms_topk_live",
-        # continuation-session additions (same first-verdict rule);
-        # displaced to the r11 refresh lead: stream_upsert_live,
-        # stream_watermark_late_live, stream_dedup_live (live fuzz family
-        # + in-window batch twins), similarity_search_ivf_pruned,
-        # similarity_search_quantized (recall pins + in-window sibling),
-        # embed_pca_power_iteration (property-tested, code unchanged)
-        "events_ewma_trailing", "events_max_concurrency",
-        "text_bm25_search", "sample_hard_negative_mining",
-        "stream_quantile_hist_live", "agg_hll_intersection",
-        # second continuation batch; displaced the r7 layout trio
-        # (events_zorder_pruned, events_directory_table,
-        # maintenance_scan_layout — plan-asserted + value-tested in
-        # test_layout_plans.py every CI run, family keeps
-        # maintenance_compact_roundtrip + shards_write_roundtrip
-        # in-window)
-        "events_attribution_last_touch", "events_top_paths",
+    added_r11 = {
+        "dedup_incremental_minhash", "dedup_lines_intradoc",
+        "text_bpe_tokenize", "lakehouse_delete_vectors",
+    }
+    changed_r11 = {
+        # perf rewrite (co-partitioned iterations)
         "graph_pagerank_bipartite",
-        # third continuation batch; displaced agg_heavy_hitters_twophase
-        # (superset property oracle-pinned every CI parity run) and
-        # stream_chained_dedup_agg (components stream_dedup +
-        # stream_tumbling in-window, live fuzz family replays the chain)
-        "join_asof_tolerance", "pipeline_embedding_e2e",
-        # fourth continuation batch; displaced sample_reservoir_topk
-        # (plan-asserted in test_plans + in-window sampling siblings),
-        # udaf_char_variance (num.py convention guarded by
-        # test_num_exact) and seq_pack_greedy (window/agg composition
-        # of in-window building blocks) — all three keep full
-        # differential parity every CI run via test_oracle_parity
-        "events_markov_transitions", "lakehouse_cdc_apply",
-        "maintenance_column_stats",
-        # fifth continuation batch; displaced stream_user_state,
-        # stream_static_join, stream_stream_join (readStream machinery
-        # replayed by test_streaming_live every CI run,
-        # stream_stream_left_outer keeps the family in-window)
-        "dedup_ngram_containment", "text_collocation_pmi",
-        "sample_mixture_rebalance",
-        # sixth continuation batch; displaced upsert_latest_wins (merge
-        # machinery in-window via lakehouse_cdc_apply), scd2_history
-        # (SCD2 build replayed by join_scd2_point_in_time CI parity) and
-        # maintenance_compact_roundtrip (test_layout_plans pins it)
-        "events_rfm_segments", "window_moving_median",
-        "events_value_concentration",
-        # seventh continuation batch; displaced text_stats +
-        # text_normalize_tokenize (tokenization substrate shared by every
-        # in-window shingle/text query) and source_quality_report
-        # (governance shape in-window via pipeline_quality_gate)
-        "stream_rate_limit_live", "pipeline_quality_gate",
-        "lakehouse_manifest_diff",
-        # eighth continuation batch; displaced embed_normalize,
-        # similarity_search_query (in-row array/cosine machinery in-window
-        # via the ANN family) and multimodal_join (media_table machinery
-        # in-window via multimodal_bitrate_outliers)
-        "geo_hotspot_cells", "multimodal_bitrate_outliers",
-        "orders_market_basket",
-        # ninth continuation batch; displaced stream_sliding,
-        # stream_watermark_late (live fuzz family + in-window
-        # stream_tumbling sibling) and sample_stratified_hash
-        # (md5-deterministic sampling in-window via mixture rebalance)
-        "orders_fulfillment_sla", "window_cumulative_distinct",
-        "events_seasonality_profile",
-        # tenth continuation batch; displaced shards_write_roundtrip
-        # (write-digest gate in-window via scan_orc_roundtrip +
-        # test_layout_plans), dedup_exact_hash (sha256 convention in three
-        # fuzz families) and subquery_exists_correlated (left-semi
-        # machinery + CI parity)
-        "scan_orc_roundtrip", "events_burst_detection",
+        # signature pass factored into shared helper (plan-identical)
+        "dedup_minhash_lsh",
+        # DECIMAL(38,0) ppm numerators (r10 ADVICE)
+        "events_value_concentration", "events_markov_transitions",
+        "orders_supplier_hhi",
+        # pmod day slot + wheel-mod oracle (r10 ADVICE)
         "agg_bitmap_distinct_days",
-        # eleventh continuation batch; displaced similarity_search_ivf
-        # (recall pin every CI run; fresh filtered ANN member in-window)
-        "similarity_search_filtered",
-        # twelfth continuation batch; displaced stream_session (live fuzz
-        # family + in-window sessionize rewrite via pipeline_events_e2e)
-        "pipeline_events_e2e",
-        # thirteenth continuation batch; displaced stream_dedup (live
-        # dedup fuzz family + its live twin's key-set oracle)
-        "similarity_search_binary",
-        # fourteenth continuation batch; displaced pipeline_nongeo_e2e
-        # (NonGeoStrategy branch unit-pinned in test_pipeline every CI
-        # run; pipeline_geojson_e2e keeps the lifecycle in-window)
-        "maintenance_vacuum_orphans",
-        # fifteenth continuation batch; displaced stream_stream_left_outer
-        # (live streaming tests every CI run) and pipeline_geojson_e2e
-        # (test_pipeline unit pins + fresher G12 sibling verdict)
-        "orders_reorder_interval", "orders_supplier_hhi",
-        # sixteenth continuation batch; displaced the two r8-verdict
-        # refresh slots (geo_knn_join, agg_approx_distinct)
-        "dedup_exact_normalized", "sample_kfold_assign",
+        # per-key chunk concat before sort (r10 ADVICE)
+        "stream_rate_limit_live",
+        # pre-written re-entry: r10 guard change held an r9 verdict
+        "knn_cosine_topk",
     }
-    changed_r10 = {"dedup_semdedup_cells", "agg_quantile_histogram_merge"}
-    r6_era = {
-        "geo_haversine_radius", "geo_cell_rollup", "geo_bbox_join_grid",
-        "multimodal_scene_cut",
+    r7_refresh = {
+        "stream_tumbling_live", "stream_sliding_live", "stream_upsert_live",
+        "stream_watermark_late_live", "stream_dedup_live",
+        "similarity_search_ivf_pruned", "similarity_search_quantized",
+        "embed_pca_power_iteration", "events_zorder_pruned",
+        "events_directory_table", "maintenance_scan_layout",
+        "agg_heavy_hitters_twophase", "stream_chained_dedup_agg",
+        "sample_reservoir_topk", "udaf_char_variance", "seq_pack_greedy",
+        "stream_user_state", "stream_static_join", "stream_stream_join",
+        "upsert_latest_wins", "scd2_history", "maintenance_compact_roundtrip",
+        "text_stats", "text_normalize_tokenize", "source_quality_report",
+        "embed_normalize", "similarity_search_query", "multimodal_join",
+        "stream_sliding", "stream_watermark_late", "sample_stratified_hash",
+        "shards_write_roundtrip", "dedup_exact_hash",
+        "subquery_exists_correlated", "similarity_search_ivf",
     }
-    # (a0q) displaced geo_knn_join (r8 verdict standing; dispatch equality
-    # CI-pinned) and agg_approx_distinct (rsd property oracle-pinned every
-    # CI parity run) in favor of two first verdicts
-    guard_r9 = set()
-    r7_era = {
-        "agg_distinct", "stream_tumbling",
-    }
-    stalest_r8 = set()
-    required = (added_r10 | changed_r10 | r6_era | guard_r9 | r7_era
-                | stalest_r8)
+    r8_refresh = {"geo_knn_join", "agg_approx_distinct", "geo_point_wkt"}
+    required = added_r11 | changed_r11 | r7_refresh | r8_refresh
     missing = sorted(required - window)
     assert not missing, f"outside driver window: {missing}"
     assert len(required) == registry.DRIVER_WINDOW
