@@ -1129,3 +1129,112 @@ def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sorted_small, "fold")
     )
+
+
+# --------------------------------------------------------------------------
+# R11 tokenizer-TRUE sequence packing (the BPE twin of seq_pack_greedy)
+# --------------------------------------------------------------------------
+@query(
+    "seq_pack_bpe",
+    oracle=None,  # assembled below after the llm import (shared vocab)
+)
+def seq_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by TOKENIZER-TRUE lengths: identical greedy fill
+    to `seq_pack_greedy` (same 2048-token windows, same deterministic
+    (source, doc_id) order) but budgeted in SUBWORD tokens from the
+    fixed-vocab greedy tokenizer (`text_bpe_tokenize`) instead of the
+    whitespace proxy — the number the training loader actually packs by.
+    A doc of long rare words costs MORE than its word count and a doc of
+    vocab-covered words costs LESS; the whitespace-budgeted packer
+    misplaces both across window boundaries.
+
+    Scale: the token count folds IN-ROW (triple-nested higher-order
+    aggregate — word fold inside the doc fold; zero extra shuffle vs the
+    whitespace packer), then the same per-source-shard window runs —
+    one shuffle on the shard key, never a global cumsum."""
+    from duckdb_postgis_spark.operators.llm import _BPE_VOCAB_SPARK
+
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.expr(
+        f"""aggregate(split(text, ' '), 0L, (tot, word) ->
+              tot + aggregate(
+                sequence(1, length(word)),
+                named_struct('p', 1, 'c', 0),
+                (acc, i) -> IF(acc.p > length(word), acc,
+                    named_struct(
+                      'p', acc.p + GREATEST(1, aggregate({_BPE_VOCAB_SPARK}, 0,
+                             (m, v) -> IF(substr(word, acc.p, length(v)) = v
+                                          AND length(v) > m, length(v), m))),
+                      'c', acc.c + 1)),
+                acc -> CAST(acc.c AS BIGINT)))"""
+    )
+    from pyspark.sql.window import Window
+
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(win), F.lit(0)).cast("long")
+    return (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("cum_before", cum_before)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(F.col("cum_before") / _CTX).alias("bin_id"),
+            (F.col("cum_before") % _CTX).alias("bin_offset"),
+        )
+    )
+
+
+def _install_seq_pack_bpe_oracle() -> None:
+    """The oracle shares the vocab constant with operators.llm (imported
+    lazily here to keep module init order free of cycles)."""
+    from duckdb_postgis_spark.operators.llm import _BPE_VOCAB_SQL
+    from duckdb_postgis_spark.registry import ORACLES
+
+    ORACLES["seq_pack_bpe"] = f"""
+    WITH RECURSIVE wtab AS (
+        SELECT doc_id, source, str_split(text, ' ') AS w FROM documents
+    ),
+    wx AS (SELECT doc_id, unnest(w) AS word FROM wtab),
+    wd AS (SELECT DISTINCT word FROM wx WHERE length(word) >= 1),
+    walk(word, pos, cnt) AS (
+        SELECT word, 1, 0 FROM wd
+        UNION ALL
+        SELECT word,
+               pos + COALESCE((SELECT MAX(length(v))
+                               FROM (VALUES {_BPE_VOCAB_SQL}) t(v)
+                               WHERE substr(word, pos, length(v)) = v), 1),
+               cnt + 1
+        FROM walk WHERE pos <= length(word)
+    ),
+    toks AS (SELECT word, cnt FROM walk WHERE pos > length(word)),
+    agg AS (
+        SELECT wx.doc_id, CAST(SUM(t.cnt) AS BIGINT) AS n_tokens
+        FROM wx JOIN toks t USING (word) GROUP BY wx.doc_id
+    ),
+    t2 AS (
+        SELECT d.doc_id, d.source,
+               CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM t2
+    )
+    SELECT doc_id, source, n_tokens,
+           cum_before // {_CTX} AS bin_id,
+           cum_before % {_CTX} AS bin_offset
+    FROM c
+    ORDER BY source, doc_id
+    """.strip()
+
+
+_install_seq_pack_bpe_oracle()

@@ -64,7 +64,7 @@ def _write_docs(seed: int, path) -> None:
             words.insert(rng.randrange(len(words)), rng.choice(words))  # repeats
         sep = "  " if rng.random() < 0.2 else " "  # empty tokens sometimes
         text = sep.join(words)
-        rows.append((d, text, "en", "src1", len(text)))
+        rows.append((d, text, "en", f"src{rng.randint(1, 3)}", len(text)))
     pq.write_table(
         pa.table(
             {
@@ -132,3 +132,26 @@ def test_bpe_greedy_walk_is_longest_match(spark, tmp_path):
     assert out[2]["n_words"] == 2
     assert out[2]["n_bpe_tokens"] == 5 + 1
     _compare(spark, tmp_path, "directed")
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_seq_pack_bpe_matches_oracle(spark, tmp_path, seed):
+    """r11 rider: tokenizer-true packing over the same vocab-adversarial
+    corpora — the per-source running fill must agree with the recursive
+    walk's counts, including docs whose whitespace and subword budgets
+    diverge hard (concat/unk shapes)."""
+    _write_docs(seed, tmp_path)
+    got = sorted(
+        tuple(map(str, r))
+        for r in registry.QUERIES["seq_pack_bpe"](spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(map(str, r))
+        for r in con.execute(registry.ORACLES["seq_pack_bpe"]).fetchall()
+    )
+    assert got == want, f"seed {seed}: seq_pack_bpe diverges"

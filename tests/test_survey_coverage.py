@@ -99,7 +99,7 @@ TRAINING = [
     "text_unigram_likelihood", "text_pii_scrub", "dedup_substring_spans",
     "sample_hard_negative_mining", "pipeline_embedding_e2e",
     "sample_mixture_rebalance", "pipeline_quality_gate",
-    "sample_kfold_assign",
+    "sample_kfold_assign", "seq_pack_bpe",
 ]
 
 # §2.13 incremental-maintenance (lakehouse) surface
@@ -134,15 +134,15 @@ def test_driver_window_covers_required_families():
     driver verdicts for the four r11 additions + the seven r11
     changed-code re-entries + knn_cosine_topk (the pre-written r10
     guard-change re-entry), (b) ALL thirty-five r7-era verdicts the r10
-    windows displaced, in displacement order, and (c) the three stalest
-    r8 refreshes (the two r10 (a0q) displacees + geo_point_wkt, first r8
-    in registration order).  After this window lands no registered
+    windows displaced, in displacement order, and (c) the two stalest
+    r8 refreshes (the r10 (a0q) displacees; geo_point_wkt was displaced
+    by the late seq_pack_bpe addition and leads the r12 (b) list).  After this window lands no registered
     verdict is older than r8.  The per-batch displacement rationales for
     r10 live in the r10 revision of this file (git)."""
     window = set(list(registry.all_queries())[: registry.DRIVER_WINDOW])
     added_r11 = {
         "dedup_incremental_minhash", "dedup_lines_intradoc",
-        "text_bpe_tokenize", "lakehouse_delete_vectors",
+        "text_bpe_tokenize", "seq_pack_bpe", "lakehouse_delete_vectors",
     }
     changed_r11 = {
         # perf rewrite (co-partitioned iterations)
@@ -175,7 +175,7 @@ def test_driver_window_covers_required_families():
         "shards_write_roundtrip", "dedup_exact_hash",
         "subquery_exists_correlated", "similarity_search_ivf",
     }
-    r8_refresh = {"geo_knn_join", "agg_approx_distinct", "geo_point_wkt"}
+    r8_refresh = {"geo_knn_join", "agg_approx_distinct"}
     required = added_r11 | changed_r11 | r7_refresh | r8_refresh
     missing = sorted(required - window)
     assert not missing, f"outside driver window: {missing}"
