@@ -1206,3 +1206,100 @@ def lakehouse_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = agg(read_snapshot_mor(spark, root, 2), 2)
     v3 = agg(read_snapshot_mor(spark, root, 3), 3)
     return v2.unionByName(v3).orderBy("version", "lang")
+
+
+# --------------------------------------------------------------------------
+# R11 equality deletes — the second Iceberg-v2 delete flavor
+# --------------------------------------------------------------------------
+def ensure_equality_deletes(spark: SparkSession, sf_dir: str) -> str:
+    """Extend the versioned-docs layout with VERSION 4: version 3's
+    position-delete state plus an EQUALITY-delete sidecar — a tiny
+    parquet of key VALUES (pinned predicate: source = 'src1') whose
+    rows are dead regardless of which file they sit in.  Equality
+    deletes are
+    what a streaming CDC writer emits when it cannot know row positions
+    (Iceberg-v2 equality_ids); readers apply them as a key anti-join.
+    The sidecar costs O(|distinct deleted keys|) — even cheaper than
+    positions — and compaction folds both flavors into a rewrite."""
+    import json
+
+    root = ensure_delete_vectors(spark, sf_dir)
+    if not os.path.exists(f"{root}/manifest-4.json"):
+        with open(f"{root}/manifest-3.json") as fh:
+            m3 = json.load(fh)
+        eq_dir = f"{root}/deletes/eq-4"
+        # the equality-delete key set: every doc from source 'src1'
+        # (a handful of key VALUES, not row positions)
+        spark.createDataFrame([("src1",)], "source string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(eq_dir)
+        with open(f"{root}/manifest-4.json", "w") as fh:
+            json.dump(
+                {
+                    "version": 4,
+                    "files": m3["files"],
+                    "delete_vectors": m3["delete_vectors"],
+                    "equality_deletes": {"keys": ["source"], "path": eq_dir},
+                },
+                fh,
+            )
+    return root
+
+
+def read_snapshot_mor_eq(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Merge-on-read with BOTH delete flavors: position deletes first
+    (file anti-join), then equality deletes (key anti-join) — the
+    Iceberg-v2 apply order.  Manifests without either entry skip that
+    path entirely, so old snapshots see neither."""
+    import json
+
+    with open(f"{root}/manifest-{version}.json") as fh:
+        manifest = json.load(fh)
+    df = read_snapshot_mor(spark, root, version)
+    eq = manifest.get("equality_deletes")
+    if not eq:
+        return df
+    keys = spark.read.parquet(eq["path"])
+    return df.join(F.broadcast(keys), eq["keys"], "left_anti")
+
+
+@query(
+    "lakehouse_equality_deletes",
+    oracle="""
+    SELECT 3 AS version, lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 7 <> 3 GROUP BY lang
+    UNION ALL
+    SELECT 4 AS version, lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 7 <> 3 AND source <> 'src1'
+    GROUP BY lang
+    ORDER BY version, lang
+    """,
+)
+def lakehouse_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUALITY-delete correctness gate: version 4 layers a key-valued
+    delete (source = 'src1' — what a CDC writer emits positionless) on
+    top of version 3's position deletes, and this query aggregates both
+    versions in one result: v3 must see position-survivors only, v4 must
+    additionally drop every src1 row REGARDLESS of file.  The oracle
+    re-derives both memberships from the predicates, so a flavor applied
+    at the wrong version, in the wrong order, or to the wrong rows is a
+    driver hash failure.
+
+    Scale: the equality pass is one broadcast anti-join on the key
+    columns — O(|distinct deleted keys|) moved; the data side's plan is
+    unchanged from the v3 read.  Apply order (positions, then equality)
+    matches the Iceberg-v2 reader contract."""
+    root = ensure_equality_deletes(spark, sf_dir)
+
+    def agg(df: DataFrame, v: int) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(F.count("*").alias("n"), F.sum("n_chars").alias("total_chars"))
+            .select(F.lit(v).alias("version"), "lang", "n", "total_chars")
+        )
+
+    v3 = agg(read_snapshot_mor_eq(spark, root, 3), 3)
+    v4 = agg(read_snapshot_mor_eq(spark, root, 4), 4)
+    return v3.unionByName(v4).orderBy("version", "lang")

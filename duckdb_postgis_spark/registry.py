@@ -33,13 +33,16 @@ ORACLES: dict[str, str] = {}
 # ROUND-11 ROTATION (this window; executes the plan pre-written in r10):
 # CORRECTNESS_r10 came back 50/50 green (rows+schema+hash, 0 err), so all
 # r10 slots rotate out with verdicts standing.  The arithmetic:
-#   (a) 13 slots — 5 r11 ADDITIONS needing first verdicts
+#   (a) 14 slots — 6 r11 ADDITIONS needing first verdicts
 #       (dedup_incremental_minhash, dedup_lines_intradoc,
 #       text_bpe_tokenize, seq_pack_bpe — the tokenizer-true packer,
 #       added after the first window cut; first verdicts outrank
 #       refreshes, so it displaces the third (c) slot geo_point_wkt,
 #       which keeps its r8 verdict and leads the r12 (b) list —
-#       lakehouse_delete_vectors), 7 r11 CHANGED-CODE
+#       lakehouse_delete_vectors + lakehouse_equality_deletes — the
+#       second Iceberg-v2 delete flavor, added after the window cut;
+#       it displaces the (c) slot agg_approx_distinct, which keeps its
+#       r8 verdict and joins the r12 (b) leads), 7 r11 CHANGED-CODE
 #       re-entries (graph_pagerank_bipartite: co-partitioned iteration
 #       rewrite, 13.3s -> 4.5s at the sf1 shape; dedup_minhash_lsh:
 #       signature pass factored into the shared _minhash_signatures
@@ -58,9 +61,8 @@ ORACLES: dict[str, str] = {}
 #   (b) 35 slots — ALL thirty-five r7-era verdicts the r10 windows
 #       displaced, in the displacement order pre-written in r10 (the
 #       list below, stream_tumbling_live .. similarity_search_ivf).
-#   (c) 2 slots — the r8-verdict leads the r10 (a0q) displaced
-#       (geo_knn_join, agg_approx_distinct).
-# 13 + 35 + 2 = 50 = DRIVER_WINDOW.  After this window lands, NO
+#   (c) 1 slot — geo_knn_join (the r10 (a0q) geo displacee).
+# 14 + 35 + 1 = 50 = DRIVER_WINDOW.  After this window lands, NO
 # registered verdict is older than r8, and the r8 tail is three queries
 # shorter — the r10 judge's order #1 "Done" bar.
 #
@@ -70,8 +72,8 @@ ORACLES: dict[str, str] = {}
 #   (a) any r12 additions needing a first driver verdict and any query
 #       whose CODE changes in r12 (changed code outranks refreshes);
 #   (b) the remaining r8-era verdicts, oldest-first in REGISTRATION
-#       order (after r11 refreshes geo_knn_join / agg_approx_distinct,
-#       the leads are: geo_point_wkt, geo_crs_infer_ranges,
+#       order (after the r11 refresh geo_knn_join, the leads are:
+#       geo_point_wkt, agg_approx_distinct, geo_crs_infer_ranges,
 #       geo_wkb_roundtrip, incremental_agg_merge, dedup_ngram_jaccard,
 #       dedup_simhash, dedup_exact_prefix, dedup_embedding_cosine,
 #       text_analysis_grouped, text_language_id, text_quality_score,
@@ -98,6 +100,7 @@ PRIORITY: tuple[str, ...] = (
     "text_bpe_tokenize",
     "seq_pack_bpe",
     "lakehouse_delete_vectors",
+    "lakehouse_equality_deletes",
     # -- (a) r11 changed code (changed code outranks refreshes) -----------
     "graph_pagerank_bipartite",
     "dedup_minhash_lsh",
@@ -144,10 +147,10 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact_hash",
     "subquery_exists_correlated",
     "similarity_search_ivf",
-    # -- (c) stalest r8 refreshes: the two r10 (a0q) displacees + the
-    #    oldest remaining r8 verdict in registration order ----------------
+    # -- (c) stalest r8 refresh: the r10 (a0q) geo displacee (the second
+    #    lead, agg_approx_distinct, was displaced by the late
+    #    lakehouse_equality_deletes addition and keeps its r8 verdict) ----
     "geo_knn_join",
-    "agg_approx_distinct",
 )
 DRIVER_WINDOW = 50
 

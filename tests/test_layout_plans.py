@@ -328,3 +328,25 @@ def test_delete_vectors_read_is_broadcast_anti(spark, sf_dir):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
     data_side = p[: p.index("BroadcastExchange")]
     assert "hashpartitioning" not in data_side, p
+
+
+def test_equality_deletes_layered_after_positions(spark, sf_dir):
+    """v4 must drop the union of position-deleted rows and src1 rows; v3
+    read through the eq-aware reader must be identical to the plain MOR
+    read (older manifests carry no equality entry)."""
+    from duckdb_postgis_spark.plans.layout import (
+        ensure_equality_deletes,
+        read_snapshot_mor,
+        read_snapshot_mor_eq,
+    )
+
+    root = ensure_equality_deletes(spark, sf_dir)
+    v3_plain = {r["doc_id"] for r in read_snapshot_mor(spark, root, 3).select("doc_id").collect()}
+    v3_eq = {r["doc_id"] for r in read_snapshot_mor_eq(spark, root, 3).select("doc_id").collect()}
+    assert v3_eq == v3_plain
+    v4 = read_snapshot_mor_eq(spark, root, 4)
+    rows = v4.select("doc_id", "source").collect()
+    assert all(r["source"] != "src1" for r in rows)
+    assert {r["doc_id"] for r in rows} == {
+        d for d in v3_plain
+    } - {r["doc_id"] for r in read_snapshot_mor(spark, root, 3).filter(F.col("source") == "src1").select("doc_id").collect()}

@@ -110,6 +110,7 @@ LAKEHOUSE = [
     "schema_evolution_read", "lakehouse_cdc_apply", "maintenance_column_stats",
     "lakehouse_manifest_diff", "scan_orc_roundtrip",
     "maintenance_vacuum_orphans", "lakehouse_delete_vectors",
+    "lakehouse_equality_deletes",
 ]
 
 ALL_DECLARED = (
@@ -134,15 +135,17 @@ def test_driver_window_covers_required_families():
     driver verdicts for the four r11 additions + the seven r11
     changed-code re-entries + knn_cosine_topk (the pre-written r10
     guard-change re-entry), (b) ALL thirty-five r7-era verdicts the r10
-    windows displaced, in displacement order, and (c) the two stalest
-    r8 refreshes (the r10 (a0q) displacees; geo_point_wkt was displaced
-    by the late seq_pack_bpe addition and leads the r12 (b) list).  After this window lands no registered
+    windows displaced, in displacement order, and (c) the stalest
+    r8 refresh geo_knn_join (geo_point_wkt and agg_approx_distinct were
+    displaced by the late seq_pack_bpe / lakehouse_equality_deletes
+    additions and lead the r12 (b) list).  After this window lands no registered
     verdict is older than r8.  The per-batch displacement rationales for
     r10 live in the r10 revision of this file (git)."""
     window = set(list(registry.all_queries())[: registry.DRIVER_WINDOW])
     added_r11 = {
         "dedup_incremental_minhash", "dedup_lines_intradoc",
         "text_bpe_tokenize", "seq_pack_bpe", "lakehouse_delete_vectors",
+        "lakehouse_equality_deletes",
     }
     changed_r11 = {
         # perf rewrite (co-partitioned iterations)
@@ -175,7 +178,7 @@ def test_driver_window_covers_required_families():
         "shards_write_roundtrip", "dedup_exact_hash",
         "subquery_exists_correlated", "similarity_search_ivf",
     }
-    r8_refresh = {"geo_knn_join", "agg_approx_distinct"}
+    r8_refresh = {"geo_knn_join"}
     required = added_r11 | changed_r11 | r7_refresh | r8_refresh
     missing = sorted(required - window)
     assert not missing, f"outside driver window: {missing}"
