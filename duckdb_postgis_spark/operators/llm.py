@@ -4016,27 +4016,26 @@ def dedup_lines_intradoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lh"),
     )
-    intra = lines.groupBy("doc_id").agg(
-        F.count("*").alias("n_lines"),
-        F.expr(
-            "CAST((COUNT(*) - COUNT(DISTINCT lh)) * 1000000L"
-            " DIV COUNT(*) AS BIGINT)"
-        ).alias("dup_line_frac_ppm"),
-    )
-    dl = lines.distinct()
-    shared = dl.groupBy("lh").count().filter(F.col("count") >= 2).select("lh")
-    cross = (
-        dl.join(shared, "lh")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("crossdoc_dup_lines"))
-    )
+    # ONE unbranched lineage (r11 review: the first cut branched the
+    # explode+md5 lineage into intra/shared/cross subtrees, and fresh
+    # attribute IDs defeat ReusedExchange — the dominant md5 stage ran
+    # three times; the same double-computation shape the PageRank
+    # rewrite fixed).  Aggregate to per-(doc, line-digest) counts, count
+    # sharers with an unordered window over lh (count-only frame: one
+    # pass, no sort), then roll up per doc — explode executes exactly
+    # once, no join, three digest-size exchanges total.
+    lc = lines.groupBy("doc_id", "lh").agg(F.count("*").alias("c"))
+    flagged = lc.withColumn("n_docs", F.count("*").over(Window.partitionBy("lh")))
     return (
-        intra.join(cross, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_lines",
-            "dup_line_frac_ppm",
-            F.coalesce("crossdoc_dup_lines", F.lit(0)).alias("crossdoc_dup_lines"),
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_lines"),
+            F.expr(
+                "CAST((SUM(c) - COUNT(*)) * 1000000L DIV SUM(c) AS BIGINT)"
+            ).alias("dup_line_frac_ppm"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("crossdoc_dup_lines"),
         )
         .orderBy("doc_id")
     )
@@ -4057,6 +4056,27 @@ _BPE_VOCAB: tuple[str, ...] = (
 )
 _BPE_VOCAB_SQL = ", ".join(f"('{v}')" for v in _BPE_VOCAB)
 _BPE_VOCAB_SPARK = "array(" + ", ".join(f"'{v}'" for v in _BPE_VOCAB) + ")"
+
+
+def _bpe_token_count_sql(word: str) -> str:
+    """Spark-SQL fragment counting greedy longest-match subword tokens of
+    ``word`` (a column reference or lambda variable).  THE tokenizer walk
+    — shared by text_bpe_tokenize and seq_pack_bpe so counter and packer
+    stay bit-identical (the _minhash_signatures convention).  Fold over
+    character positions: state (p = cursor, c = tokens); each step
+    consumes the longest vocab match at p, single-char fallback for
+    unknowns.  The cursor guard also covers length-0 words: Spark's
+    sequence(1, 0) DESCENDS to [1, 0] instead of emptying."""
+    return f"""aggregate(
+              sequence(1, length({word})),
+              named_struct('p', 1, 'c', 0),
+              (acc, i) -> IF(acc.p > length({word}), acc,
+                  named_struct(
+                    'p', acc.p + GREATEST(1, aggregate({_BPE_VOCAB_SPARK}, 0,
+                           (m, v) -> IF(substr({word}, acc.p, length(v)) = v
+                                        AND length(v) > m, length(v), m))),
+                    'c', acc.c + 1)),
+              acc -> acc.c)"""
 
 
 @query(
@@ -4113,20 +4133,9 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     wx = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.length("word") >= 1)
-    # fold over character positions: state (p = cursor, c = tokens so far);
-    # each step consumes the longest vocab match at p (fallback 1 char)
-    cnt = F.expr(
-        f"""aggregate(
-              sequence(1, length(word)),
-              named_struct('p', 1, 'c', 0),
-              (acc, i) -> IF(acc.p > length(word), acc,
-                  named_struct(
-                    'p', acc.p + GREATEST(1, aggregate({_BPE_VOCAB_SPARK}, 0,
-                           (m, v) -> IF(substr(word, acc.p, length(v)) = v
-                                        AND length(v) > m, length(v), m))),
-                    'c', acc.c + 1)),
-              acc -> acc.c)"""
-    )
+    # the shared greedy fold (_bpe_token_count_sql) — the packer
+    # seq_pack_bpe consumes the same fragment, so counts cannot desync
+    cnt = F.expr(_bpe_token_count_sql("word"))
     per_word = wx.select("doc_id", F.length("word").alias("wlen"), cnt.alias("cnt"))
     return (
         per_word.groupBy("doc_id")

@@ -1152,21 +1152,15 @@ def seq_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — word fold inside the doc fold; zero extra shuffle vs the
     whitespace packer), then the same per-source-shard window runs —
     one shuffle on the shard key, never a global cumsum."""
-    from duckdb_postgis_spark.operators.llm import _BPE_VOCAB_SPARK
+    from duckdb_postgis_spark.operators.llm import _bpe_token_count_sql
 
     docs = table(spark, sf_dir, "documents")
+    # per-word counts from THE shared greedy fold (_bpe_token_count_sql),
+    # summed in-row across the doc's words — packer and counter cannot
+    # desync (r11 review)
     n_tokens = F.expr(
         f"""aggregate(split(text, ' '), 0L, (tot, word) ->
-              tot + aggregate(
-                sequence(1, length(word)),
-                named_struct('p', 1, 'c', 0),
-                (acc, i) -> IF(acc.p > length(word), acc,
-                    named_struct(
-                      'p', acc.p + GREATEST(1, aggregate({_BPE_VOCAB_SPARK}, 0,
-                             (m, v) -> IF(substr(word, acc.p, length(v)) = v
-                                          AND length(v) > m, length(v), m))),
-                      'c', acc.c + 1)),
-                acc -> CAST(acc.c AS BIGINT)))"""
+              tot + CAST({_bpe_token_count_sql("word")} AS BIGINT))"""
     )
     from pyspark.sql.window import Window
 

@@ -132,9 +132,11 @@ def test_driver_window_covers_required_families():
     """The driver verifies only the first DRIVER_WINDOW entries of
     queries().  Round-11 rotation (CORRECTNESS_r10 was 50/50, so all r10
     slots rotate out with verdicts standing): the window holds (a) first
-    driver verdicts for the four r11 additions + the seven r11
-    changed-code re-entries + knn_cosine_topk (the pre-written r10
-    guard-change re-entry), (b) ALL thirty-five r7-era verdicts the r10
+    driver verdicts for the SIX r11 additions (four planned + the late
+    seq_pack_bpe / lakehouse_equality_deletes, which displaced the two
+    extra (c) slots) + the seven r11 changed-code re-entries +
+    knn_cosine_topk (the pre-written r10 guard-change re-entry) = 14,
+    (b) ALL thirty-five r7-era verdicts the r10
     windows displaced, in displacement order, and (c) the stalest
     r8 refresh geo_knn_join (geo_point_wkt and agg_approx_distinct were
     displaced by the late seq_pack_bpe / lakehouse_equality_deletes
