@@ -4016,16 +4016,21 @@ def dedup_lines_intradoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lh"),
     )
-    # ONE unbranched lineage (r11 review: the first cut branched the
+    # ONE explode+md5 execution (r11 review: the first cut branched the
     # explode+md5 lineage into intra/shared/cross subtrees, and fresh
     # attribute IDs defeat ReusedExchange — the dominant md5 stage ran
-    # three times; the same double-computation shape the PageRank
-    # rewrite fixed).  Aggregate to per-(doc, line-digest) counts, count
-    # sharers with an unordered window over lh (count-only frame: one
-    # pass, no sort), then roll up per doc — explode executes exactly
-    # once, no join, three digest-size exchanges total.
+    # three times).  Aggregate to per-(doc, line-digest) counts once;
+    # both downstream consumers reference the SAME lc frame, so the
+    # (doc_id, lh) exchange is reused, not recomputed.  Sharer counts go
+    # through groupBy(lh).count + join rather than a window over lh: the
+    # groupBy combines map-side, so a boilerplate digest shared by
+    # millions of docs arrives at its reducer as partial counts, and the
+    # join streams the hot group instead of buffering it in one
+    # WindowExec task (r11 ADVICE — the window form serialized each hot
+    # digest's full row group on a single task).
     lc = lines.groupBy("doc_id", "lh").agg(F.count("*").alias("c"))
-    flagged = lc.withColumn("n_docs", F.count("*").over(Window.partitionBy("lh")))
+    sharers = lc.groupBy("lh").agg(F.count("*").alias("n_docs"))
+    flagged = lc.join(sharers, "lh")
     return (
         flagged.groupBy("doc_id")
         .agg(

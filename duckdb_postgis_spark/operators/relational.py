@@ -3266,8 +3266,13 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration frame lands on the SAME HashPartitioning and
     # EnsureRequirements never re-exchanges the cached edge list (an
     # explicit repartition count is also exempt from AQE coalescing,
-    # which would otherwise erase the cached partitioning guarantee)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
+    # which would otherwise erase the cached partitioning guarantee).
+    # The conf can legally hold a non-integer ("auto" under AQE) — fall
+    # back to defaultParallelism, the _minhash_signatures convention.
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
+    except (TypeError, ValueError):
+        n_part = spark.sparkContext.defaultParallelism
     # explode both directions BEFORE the dedup, then dedupe AFTER the
     # src-repartition: HashPartitioning(src) satisfies
     # ClusteredDistribution(src, dst), so dropDuplicates runs
