@@ -30,127 +30,113 @@ ORACLES: dict[str, str] = {}
 # first refreshes, displaced only by first-verdict additions and
 # changed-code re-entries (changed code outranks refreshes).
 #
-# ROUND-11 ROTATION (this window; executes the plan pre-written in r10):
-# CORRECTNESS_r10 came back 50/50 green (rows+schema+hash, 0 err), so all
-# r10 slots rotate out with verdicts standing.  The arithmetic:
-#   (a) 14 slots — 6 r11 ADDITIONS needing first verdicts
-#       (dedup_incremental_minhash, dedup_lines_intradoc,
-#       text_bpe_tokenize, seq_pack_bpe — the tokenizer-true packer,
-#       added after the first window cut; first verdicts outrank
-#       refreshes, so it displaces the third (c) slot geo_point_wkt,
-#       which keeps its r8 verdict and leads the r12 (b) list —
-#       lakehouse_delete_vectors + lakehouse_equality_deletes — the
-#       second Iceberg-v2 delete flavor, added after the window cut;
-#       it displaces the (c) slot agg_approx_distinct, which keeps its
-#       r8 verdict and joins the r12 (b) leads), 7 r11 CHANGED-CODE
-#       re-entries (graph_pagerank_bipartite: co-partitioned iteration
-#       rewrite, 13.3s -> 4.5s at the sf1 shape; dedup_minhash_lsh:
-#       signature pass factored into the shared _minhash_signatures
-#       helper, plan-identical, replica-verified;
-#       events_value_concentration / events_markov_transitions /
-#       orders_supplier_hhi: ppm numerators through DECIMAL(38,0), the
-#       r10 ADVICE items; agg_bitmap_distinct_days: pmod day slot +
-#       wheel-mod oracle — also fixes the DuckDB-truncating-// vs
-#       Spark-flooring divergence on negative epochs;
-#       stream_rate_limit_live: per-key chunk concat before the sort),
-#       and knn_cosine_topk (r10 guard-level change holding an r9
-#       verdict — the pre-written re-entry).  sample_hard_negative_mining
-#       does NOT re-enter: its r10 verdict postdates the continuation
-#       fixes (fix commit 2026-08-15 20:57, driver snapshot 06:13 next
-#       day), so the changed-code rule does not bite.
-#   (b) 35 slots — ALL thirty-five r7-era verdicts the r10 windows
-#       displaced, in the displacement order pre-written in r10 (the
-#       list below, stream_tumbling_live .. similarity_search_ivf).
-#   (c) 1 slot — geo_knn_join (the r10 (a0q) geo displacee).
-# 14 + 35 + 1 = 50 = DRIVER_WINDOW.  After this window lands, NO
-# registered verdict is older than r8, and the r8 tail is three queries
-# shorter — the r10 judge's order #1 "Done" bar.
+# ROUND-12 ROTATION (this window): CORRECTNESS_r11 came back 50/50 green
+# (rows+schema+hash, 0 err), so all r11 slots rotate out with verdicts
+# standing.  The r11 judge's correction is honored FIRST: the r11-era
+# comment here claimed "no registered verdict older than r8", but FIVE
+# r7-era verdicts remained (stream_session, stream_dedup,
+# stream_stream_left_outer, pipeline_geojson_e2e, pipeline_nongeo_e2e) —
+# the r10 displacement list never included them.  They lead the (b)
+# block below.  The arithmetic:
+#   (a) 9 slots — 5 r12 ADDITIONS needing first verdicts
+#       (dedup_minhash_index_append — the incremental-dedup WRITE path,
+#       judge order #2; lakehouse_compact_deletes — the OPTIMIZE
+#       merge-on-read fold, order #3; text_bpe_train — distributed BPE
+#       merge learning, order #4; seq_pack_metrics + seq_pack_ffd —
+#       packing quality + the boundary-respecting packer, order #5) and
+#       4 r12 CHANGED-CODE re-entries (graph_pagerank_bipartite:
+#       shuffle-partitions conf read guarded against non-integer values;
+#       dedup_lines_intradoc: sharer counts rewritten window -> partial-agg
+#       groupBy+join, the r11 ADVICE hot-digest fix; text_bpe_tokenize +
+#       seq_pack_bpe: _bpe_token_count_sql gained the vocab_sql
+#       parameter — default path plan-identical, but changed code
+#       outranks refreshes, the r11 dedup_minhash_lsh precedent).
+#   (b) 5 + 36 slots — the five r7-era stragglers above FIRST, then the
+#       r8 tail oldest-registered-first: geo_point_wkt,
+#       agg_approx_distinct, geo_crs_infer_ranges, geo_wkb_roundtrip,
+#       incremental_agg_merge, dedup_ngram_jaccard, dedup_simhash,
+#       dedup_exact_prefix, dedup_embedding_cosine, text_analysis_grouped,
+#       text_language_id, text_quality_score, text_token_count,
+#       text_fingerprint, multimodal_dedup_exact, multimodal_phash_dedup,
+#       multimodal_frame_sample, text_shingle_udtf, text_tfidf_top_terms,
+#       cogroup_reconcile, dedup_cluster_components,
+#       dedup_verify_levenshtein, dedup_survivorship_merge,
+#       embed_quantize_int8, similarity_search_ann, similarity_search_pq,
+#       dedup_substring_spans, contamination_ngram_overlap,
+#       text_gopher_quality, text_repetition_ratio, text_pii_scrub,
+#       text_unigram_likelihood, agg_hll_sketch_merge, agg_histogram,
+#       agg_percentiles, grouping_sets_cube_rollup.
+# 9 + 5 + 36 = 50 = DRIVER_WINDOW.  After this window lands, NO
+# registered verdict is older than r8 (now actually true: the five r7
+# stragglers are in-window), and the r8 tail shrinks to seven queries.
 #
-# ROUND-12 ROTATION PLAN (execute at round-12 start): if CORRECTNESS_r11
-# is green, all r11 slots rotate out with verdicts standing.  Window, in
+# ROUND-13 ROTATION PLAN (execute at round-13 start): if CORRECTNESS_r12
+# is green, all r12 slots rotate out with verdicts standing.  Window, in
 # order (validate with driver_replica before swapping into PRIORITY):
-#   (a) any r12 additions needing a first driver verdict and any query
-#       whose CODE changes in r12 (changed code outranks refreshes);
-#   (b) the remaining r8-era verdicts, oldest-first in REGISTRATION
-#       order (after the r11 refresh geo_knn_join, the leads are:
-#       geo_point_wkt, agg_approx_distinct, geo_crs_infer_ranges,
-#       geo_wkb_roundtrip, incremental_agg_merge, dedup_ngram_jaccard,
-#       dedup_simhash, dedup_exact_prefix, dedup_embedding_cosine,
-#       text_analysis_grouped, text_language_id, text_quality_score,
-#       text_token_count, text_fingerprint, multimodal_dedup_exact,
-#       multimodal_phash_dedup, multimodal_frame_sample,
-#       text_shingle_udtf, text_tfidf_top_terms, cogroup_reconcile,
-#       dedup_cluster_components, dedup_verify_levenshtein,
-#       dedup_survivorship_merge, embed_quantize_int8,
-#       similarity_search_ann, similarity_search_pq, dedup_substring_spans,
-#       contamination_ngram_overlap, text_gopher_quality,
-#       text_repetition_ratio, text_pii_scrub, text_unigram_likelihood,
-#       agg_hll_sketch_merge, agg_histogram, agg_percentiles,
-#       grouping_sets_cube_rollup, window_analytic, window_rank_topn,
-#       sort_limit_topk, pivot_lang_counts, json_extract_events,
-#       join_null_safe, join_bucketed_colocated — fill every remaining
-#       slot from this set oldest-registered-first and carry the tail to
-#       r13, ahead of any r9 refresh);
-#   (c) any remaining slots to the stalest r9 verdicts in registration
-#       order.
+#   (a) any r13 additions needing a first driver verdict and any query
+#       whose CODE changes in r13 (changed code outranks refreshes);
+#   (b) the SEVEN remaining r8-era verdicts, oldest-registered-first:
+#       window_analytic, window_rank_topn, sort_limit_topk,
+#       pivot_lang_counts, json_extract_events, join_null_safe,
+#       join_bucketed_colocated;
+#   (c) remaining slots to the stalest r9 verdicts in registration
+#       order (leads: scan_project, filter_pred, pricing_summary,
+#       join_inner_hash, join_broadcast_4way, ...).
 PRIORITY: tuple[str, ...] = (
-    # -- (a) r11 additions: first driver verdicts --------------------------
-    "dedup_incremental_minhash",
+    # -- (a) r12 additions: first driver verdicts --------------------------
+    "dedup_minhash_index_append",
+    "lakehouse_compact_deletes",
+    "text_bpe_train",
+    "seq_pack_metrics",
+    "seq_pack_ffd",
+    # -- (a) r12 changed code (changed code outranks refreshes) -----------
+    "graph_pagerank_bipartite",
     "dedup_lines_intradoc",
     "text_bpe_tokenize",
     "seq_pack_bpe",
-    "lakehouse_delete_vectors",
-    "lakehouse_equality_deletes",
-    # -- (a) r11 changed code (changed code outranks refreshes) -----------
-    "graph_pagerank_bipartite",
-    "dedup_minhash_lsh",
-    "events_value_concentration",
-    "events_markov_transitions",
-    "orders_supplier_hhi",
-    "agg_bitmap_distinct_days",
-    "stream_rate_limit_live",
-    # -- (a) pre-written r10 guard-change re-entry (held an r9 verdict) ----
-    "knn_cosine_topk",
-    # -- (b) the 35 r7-era refreshes, in r10 displacement order ------------
-    "stream_tumbling_live",
-    "stream_sliding_live",
-    "stream_upsert_live",
-    "stream_watermark_late_live",
-    "stream_dedup_live",
-    "similarity_search_ivf_pruned",
-    "similarity_search_quantized",
-    "embed_pca_power_iteration",
-    "events_zorder_pruned",
-    "events_directory_table",
-    "maintenance_scan_layout",
-    "agg_heavy_hitters_twophase",
-    "stream_chained_dedup_agg",
-    "sample_reservoir_topk",
-    "udaf_char_variance",
-    "seq_pack_greedy",
-    "stream_user_state",
-    "stream_static_join",
-    "stream_stream_join",
-    "upsert_latest_wins",
-    "scd2_history",
-    "maintenance_compact_roundtrip",
-    "text_stats",
-    "text_normalize_tokenize",
-    "source_quality_report",
-    "embed_normalize",
-    "similarity_search_query",
-    "multimodal_join",
-    "stream_sliding",
-    "stream_watermark_late",
-    "sample_stratified_hash",
-    "shards_write_roundtrip",
-    "dedup_exact_hash",
-    "subquery_exists_correlated",
-    "similarity_search_ivf",
-    # -- (c) stalest r8 refresh: the r10 (a0q) geo displacee (the second
-    #    lead, agg_approx_distinct, was displaced by the late
-    #    lakehouse_equality_deletes addition and keeps its r8 verdict) ----
-    "geo_knn_join",
+    # -- (b) the five r7-era stragglers the r10/r11 lists omitted ----------
+    "stream_session",
+    "stream_dedup",
+    "stream_stream_left_outer",
+    "pipeline_geojson_e2e",
+    "pipeline_nongeo_e2e",
+    # -- (b) the r8 tail, oldest-registered-first --------------------------
+    "geo_point_wkt",
+    "agg_approx_distinct",
+    "geo_crs_infer_ranges",
+    "geo_wkb_roundtrip",
+    "incremental_agg_merge",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_exact_prefix",
+    "dedup_embedding_cosine",
+    "text_analysis_grouped",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_dedup_exact",
+    "multimodal_phash_dedup",
+    "multimodal_frame_sample",
+    "text_shingle_udtf",
+    "text_tfidf_top_terms",
+    "cogroup_reconcile",
+    "dedup_cluster_components",
+    "dedup_verify_levenshtein",
+    "dedup_survivorship_merge",
+    "embed_quantize_int8",
+    "similarity_search_ann",
+    "similarity_search_pq",
+    "dedup_substring_spans",
+    "contamination_ngram_overlap",
+    "text_gopher_quality",
+    "text_repetition_ratio",
+    "text_pii_scrub",
+    "text_unigram_likelihood",
+    "agg_hll_sketch_merge",
+    "agg_histogram",
+    "agg_percentiles",
+    "grouping_sets_cube_rollup",
 )
 DRIVER_WINDOW = 50
 
