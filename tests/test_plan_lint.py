@@ -159,6 +159,10 @@ def test_no_unbounded_driver_collect():
         # matrix — K rows, never the corpus; the SQL path broadcasts the
         # identical frame JVM-side
         ("operators/llm.py", "seed_frame.collect()"),
+        # BPE training argmax: exactly ONE (l, r, count) row per merge
+        # round comes to the driver (the pagerank/PCA bounded-driver-
+        # state convention) — never the pair table
+        ("operators/llm.py", ".limit(1).collect()"),
         # SemDeDup two-level route: only the ceil(sqrt(K)) SUPER-seed
         # prefix (limit(m) upstream) comes to the driver — O(sqrt(K))
         # rows by construction; the full K-seed set stays distributed

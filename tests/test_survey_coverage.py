@@ -156,6 +156,12 @@ def test_driver_window_covers_required_families():
         # _bpe_token_count_sql gained vocab_sql (default plan-identical;
         # changed code outranks refreshes — the dedup_minhash_lsh precedent)
         "text_bpe_tokenize", "seq_pack_bpe",
+        # exists-gate rewrite (judge order #6: pushdown was substituting
+        # split(text) into every conjunct; 2.20s -> 1.10s at sf1 shape) —
+        # displaces grouping_sets_cube_rollup to the r13 (b) lead.
+        # text_gopher_quality shares the rewrite but was already
+        # in-window as an r8 refresh.
+        "pipeline_training_e2e",
     }
     r7_stragglers = {
         "stream_session", "stream_dedup", "stream_stream_left_outer",
@@ -175,7 +181,7 @@ def test_driver_window_covers_required_families():
         "dedup_substring_spans", "contamination_ngram_overlap",
         "text_gopher_quality", "text_repetition_ratio", "text_pii_scrub",
         "text_unigram_likelihood", "agg_hll_sketch_merge", "agg_histogram",
-        "agg_percentiles", "grouping_sets_cube_rollup",
+        "agg_percentiles",
     }
     required = added_r12 | changed_r12 | r7_stragglers | r8_refresh
     missing = sorted(required - window)
