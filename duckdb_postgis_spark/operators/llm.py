@@ -4447,3 +4447,100 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank INT, lhs STRING, rhs STRING, merged STRING, pair_cnt BIGINT"
     ).orderBy("rank")
+
+
+def _bpe_train_apply_oracle(k: int) -> str:
+    """DuckDB twin of train-then-tokenize: the k-stage merge replay
+    (_bpe_train_oracle's CTE chain) feeds the SAME greedy recursive walk
+    text_bpe_tokenize uses, with the learned merges as the vocabulary —
+    the correlated longest-match subquery targets the vocab CTE instead
+    of a VALUES literal."""
+    train = _bpe_train_oracle(k)
+    # keep the CTE chain (w0..b{k-1}) but drop the trailing merge-list
+    # SELECT — the apply query consumes the b-stages as its vocab — and
+    # promote the WITH to RECURSIVE for the greedy-walk CTE added below
+    chain = train[: train.rindex("\n    SELECT * FROM (")].replace(
+        "WITH w0 AS", "WITH RECURSIVE w0 AS", 1
+    )
+    vocab_union = "\n            UNION ALL\n".join(
+        f"            SELECT l || r AS v FROM b{r}" for r in range(k)
+    )
+    return (
+        chain
+        + f""",
+    vocab AS (
+{vocab_union}
+    ),
+    words AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    wx AS (SELECT doc_id, unnest(w) AS word FROM words),
+    wd AS (SELECT DISTINCT word FROM wx WHERE length(word) >= 1),
+    walk(word, pos, cnt) AS (
+        SELECT word, 1, 0 FROM wd
+        UNION ALL
+        SELECT word,
+               pos + COALESCE((SELECT MAX(length(v)) FROM vocab
+                               WHERE substr(word, pos, length(v)) = v), 1),
+               cnt + 1
+        FROM walk WHERE pos <= length(word)
+    ),
+    toks AS (SELECT word, cnt FROM walk WHERE pos > length(word))
+    SELECT wx.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(t.cnt) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(length(wx.word)) * 1000000
+                // SUM(t.cnt) AS BIGINT) AS chars_per_token_ppm
+    FROM wx JOIN toks t USING (word)
+    GROUP BY wx.doc_id
+    ORDER BY wx.doc_id
+    """
+    )
+
+
+@query(
+    "text_bpe_train_apply",
+    oracle=_bpe_train_apply_oracle(_BPE_TRAIN_MERGES),
+)
+def text_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN-then-TOKENIZE end to end: the vocab learned by
+    `text_bpe_train` on THIS corpus feeds the existing greedy
+    longest-match fold (`_bpe_token_count_sql(vocab_sql=...)`) — the
+    driver-checked proof that the learned merge list is a working
+    tokenizer vocabulary, not just a table (text_bpe_tokenize's pinned
+    constant is the inference-only twin).  Emits the same per-doc shape:
+    words, subword tokens under the learned vocab, fixed-point
+    chars-per-token.
+
+    Scale: training touches the corpus once (word-frequency groupBy,
+    text_bpe_train); the learned merge list is k rows on the driver and
+    ships as an expression literal exactly like the pinned vocab (the
+    32k-entry production variant broadcasts a map — same plan shape);
+    tokenization is in-row.  Oracle replays the merge chain AND the
+    greedy walk in one statement, so a drift in EITHER stage is a hash
+    failure.  Single-char unknowns fall back to one token each on both
+    engines (empty learned vocab degrades to char tokenization)."""
+    merges = [
+        r["merged"]
+        for r in text_bpe_train(spark, sf_dir).orderBy("rank").collect()
+    ]
+    vocab_sql = (
+        "array(" + ", ".join(f"'{m}'" for m in merges) + ")"
+        if merges
+        else "CAST(array() AS ARRAY<STRING>)"
+    )
+    docs = table(spark, sf_dir, "documents")
+    wx = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") >= 1)
+    cnt = F.expr(_bpe_token_count_sql("word", vocab_sql=vocab_sql))
+    per_word = wx.select("doc_id", F.length("word").alias("wlen"), cnt.alias("cnt"))
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("cnt").alias("n_bpe_tokens"),
+            F.expr(
+                "CAST(SUM(wlen) * 1000000L DIV SUM(cnt) AS BIGINT)"
+            ).alias("chars_per_token_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1385,3 +1385,101 @@ def lakehouse_compact_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     v4 = agg(read_snapshot_mor_eq(spark, root, 4), 4)
     v5 = agg(read_snapshot_mor_eq(spark, root, 5), 5)
     return v4.unionByName(v5).orderBy("version", "lang")
+
+
+@query(
+    "maintenance_expire_snapshots",
+    oracle="""
+    SELECT 'v1' AS item, 'expired' AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'v2', 'expired', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'v3', 'expired', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 7 <> 3
+    UNION ALL
+    SELECT 'v4', 'expired', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 7 <> 3 AND source <> 'src1'
+    UNION ALL
+    SELECT 'v5', 'kept', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 7 <> 3 AND source <> 'src1'
+    UNION ALL
+    SELECT 'deletable-data', 'reclaimable', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM documents
+    ORDER BY item
+    """,
+)
+def maintenance_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPIRE-SNAPSHOTS retention audit — the other half of the
+    compaction story (`lakehouse_compact_deletes` leaves old manifests
+    and their sidecars in place so time travel keeps working; THIS op is
+    the nightly job that decides when they can finally go).  Policy:
+    keep the latest snapshot (v5) only.  Audit-before-delete, the
+    maintenance_vacuum_orphans discipline: emits each version's own
+    visible row digest under its expiry status, plus the digest of the
+    data files that become RECLAIMABLE — files referenced by expired
+    manifests and by NO kept manifest (here: the pre-compaction add-1/
+    add-2 files, i.e. every original row — v5's rewrite made them
+    garbage).  A policy bug that would reclaim a live file (or keep
+    reading an expired-only one) shifts a digest and fails the driver
+    hash.  The delete-sidecar accounting (dv-3 / eq-4 reclaimable too —
+    not row-shaped, so not in this result) is pinned in
+    tests/test_fuzz_compact_deletes.py.
+
+    Scale: expiry is driver-side manifest arithmetic (a few KB at any
+    data scale); each digest scans only its own file set.  At 100 TB
+    this is the retention job that bounds storage growth after nightly
+    OPTIMIZE runs."""
+    import json
+
+    root = ensure_compacted_mor(spark, sf_dir)
+    keep_versions = {5}
+    versions = range(1, 6)
+
+    def manifest(v: int) -> dict:
+        with open(f"{root}/manifest-{v}.json") as fh:
+            return json.load(fh)
+
+    kept_files = {f for v in keep_versions for f in manifest(v)["files"]}
+    expired_files = {
+        f
+        for v in versions
+        if v not in keep_versions
+        for f in manifest(v)["files"]
+    }
+    deletable = sorted(expired_files - kept_files)
+
+    def digest(df: DataFrame, item: str, status: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("total_chars"),
+        ).select(
+            F.lit(item).alias("item"),
+            F.lit(status).alias("status"),
+            "n_rows",
+            "total_chars",
+        )
+
+    parts = [
+        digest(
+            read_snapshot_mor_eq(spark, root, v),
+            f"v{v}",
+            "kept" if v in keep_versions else "expired",
+        )
+        for v in versions
+    ]
+    parts.append(
+        digest(spark.read.parquet(*deletable), "deletable-data", "reclaimable")
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("item")

@@ -84,6 +84,20 @@ def test_compact_deletes_matches_oracle(spark, tmp_path, seed):
         ).fetchall()
     )
     assert got == want, f"seed {seed}: lakehouse_compact_deletes diverges"
+    if seed % 4 == 0:  # expire-snapshots rider on the same v1-v5 layout
+        got2 = sorted(
+            tuple(map(str, r))
+            for r in registry.QUERIES["maintenance_expire_snapshots"](
+                spark, str(tmp_path)
+            ).collect()
+        )
+        want2 = sorted(
+            tuple(map(str, r))
+            for r in con.execute(
+                registry.ORACLES["maintenance_expire_snapshots"]
+            ).fetchall()
+        )
+        assert got2 == want2, f"seed {seed}: maintenance_expire_snapshots diverges"
 
 
 def test_v5_plan_has_no_anti_join_and_time_travel_isolated(spark, tmp_path):
@@ -127,3 +141,32 @@ def test_v5_plan_has_no_anti_join_and_time_travel_isolated(spark, tmp_path):
     a = read_snapshot_mor_eq(spark, root, 4)
     b = read_snapshot_mor_eq(spark, root, 5)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_expire_reclaims_old_files_and_sidecars(spark, tmp_path):
+    """Keep-latest-only expiry accounting: the reclaimable set is exactly
+    the pre-compaction data files (add-1/add-2) — never add-5 — and both
+    delete sidecars become reclaimable too (referenced only by expired
+    v3/v4 manifests)."""
+    from duckdb_postgis_spark.plans.layout import ensure_compacted_mor
+
+    _write_docs(2, tmp_path)
+    root = ensure_compacted_mor(spark, str(tmp_path))
+    manifests = {}
+    for v in range(1, 6):
+        with open(f"{root}/manifest-{v}.json") as fh:
+            manifests[v] = json.load(fh)
+    kept = set(manifests[5]["files"])
+    expired = {f for v in range(1, 5) for f in manifests[v]["files"]}
+    deletable = expired - kept
+    assert deletable and all(
+        "/data/add-1/" in f or "/data/add-2/" in f for f in deletable
+    )
+    assert not any("/data/add-5/" in f for f in deletable)
+    # sidecars are referenced only by the expired v3/v4 manifests — the
+    # kept v5 manifest carries neither entry, so both become reclaimable
+    sidecars = {manifests[3]["delete_vectors"],
+                manifests[4]["equality_deletes"]["path"]}
+    assert len(sidecars) == 2
+    assert "delete_vectors" not in manifests[5]
+    assert "equality_deletes" not in manifests[5]

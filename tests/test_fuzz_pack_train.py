@@ -87,6 +87,8 @@ def test_pack_and_train_match_oracle(spark, tmp_path, seed):
     _write_docs(seed, tmp_path)
     for name in ("seq_pack_metrics", "seq_pack_ffd", "text_bpe_train"):
         _compare(spark, tmp_path, name, seed)
+    if seed % 4 == 0:  # train-then-tokenize rider (recursive walk is slow)
+        _compare(spark, tmp_path, "text_bpe_train_apply", seed)
 
 
 def test_ffd_never_splits_and_respects_budget(spark, tmp_path):

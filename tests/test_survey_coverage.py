@@ -88,7 +88,7 @@ TEXT_EXT = [
     "dedup_semdedup_cells", "text_bm25_search", "dedup_ngram_containment",
     "text_collocation_pmi", "dedup_exact_normalized",
     "dedup_incremental_minhash", "dedup_lines_intradoc", "text_bpe_tokenize",
-    "dedup_minhash_index_append", "text_bpe_train",
+    "dedup_minhash_index_append", "text_bpe_train", "text_bpe_train_apply",
 ]
 
 # §2.12e training-data-pipeline extensions
@@ -112,6 +112,7 @@ LAKEHOUSE = [
     "lakehouse_manifest_diff", "scan_orc_roundtrip",
     "maintenance_vacuum_orphans", "lakehouse_delete_vectors",
     "lakehouse_equality_deletes", "lakehouse_compact_deletes",
+    "maintenance_expire_snapshots",
 ]
 
 ALL_DECLARED = (
@@ -147,6 +148,9 @@ def test_driver_window_covers_required_families():
     added_r12 = {
         "dedup_minhash_index_append", "lakehouse_compact_deletes",
         "text_bpe_train", "seq_pack_metrics", "seq_pack_ffd",
+        # late widening additions (displaced agg_histogram/agg_percentiles
+        # to the r13 (b) leads)
+        "text_bpe_train_apply", "maintenance_expire_snapshots",
     }
     changed_r12 = {
         # shuffle-partitions conf read guarded (r11 ADVICE)
@@ -180,8 +184,7 @@ def test_driver_window_covers_required_families():
         "similarity_search_ann", "similarity_search_pq",
         "dedup_substring_spans", "contamination_ngram_overlap",
         "text_gopher_quality", "text_repetition_ratio", "text_pii_scrub",
-        "text_unigram_likelihood", "agg_hll_sketch_merge", "agg_histogram",
-        "agg_percentiles",
+        "text_unigram_likelihood", "agg_hll_sketch_merge",
     }
     required = added_r12 | changed_r12 | r7_stragglers | r8_refresh
     missing = sorted(required - window)
