@@ -4083,6 +4083,110 @@ def dedup_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_minhash_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-append index (ensure_minhash_index2) rewritten in ONE
+    bucketed write job — the index-side OPTIMIZE: nightly appends leave
+    one file per bucket per night (the O(|delta|) trade), so after N
+    nights every bucket-wise probe opens N files per bucket; compaction
+    folds them back to one.  Content is byte-identical to the appended
+    index (the registered query proves it by probe-result identity)."""
+    from duckdb_postgis_spark.plans.layout import _LAYOUT_ROOT, _token
+
+    tbl = f"minhash_index3_{_token(sf_dir, 'documents')}"
+    if not spark.catalog.tableExists(tbl):
+        idx2 = ensure_minhash_index2(spark, sf_dir)
+        (
+            idx2.write.bucketBy(8, "band", "bsig")
+            .sortBy("band", "bsig")
+            .option("path", f"{_LAYOUT_ROOT}/{tbl}")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    return spark.table(tbl)
+
+
+@query(
+    "dedup_minhash_index_compact",
+    # probe-result IDENTITY with the pre-compaction index is the whole
+    # point: the oracle is dedup_minhash_index_append's, verbatim
+    oracle=_MINHASH_BANDS_CTE
+    + """,
+    rej AS (
+        SELECT DISTINCT a.doc_id FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bsig = b.bsig
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ),
+    idx2 AS (
+        SELECT doc_id, band, bsig FROM bands WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT doc_id, band, bsig FROM bands
+        WHERE doc_id % 10 = 0
+          AND doc_id NOT IN (SELECT doc_id FROM rej)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, i.doc_id AS idx_id
+        FROM bands a JOIN idx2 i ON a.band = i.band AND a.bsig = i.bsig
+        WHERE a.doc_id % 10 = 0
+    )
+    SELECT c.new_id, c.idx_id,
+           CASE WHEN c.idx_id % 10 = 0 THEN 'appended' ELSE 'corpus' END
+               AS idx_src,
+           ROUND(AVG(CASE WHEN x.mh = y.mh THEN 1.0 ELSE 0.0 END), 6)
+               AS est_jaccard
+    FROM cand c
+    JOIN mh x ON x.doc_id = c.new_id
+    JOIN mh y ON y.doc_id = c.idx_id AND y.seed = x.seed
+    GROUP BY c.new_id, c.idx_id
+    ORDER BY c.new_id, c.idx_id
+    """,
+)
+def dedup_minhash_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index COMPACTION gate — the third leg of the incremental-dedup
+    maintenance cycle (probe -> append -> compact): the appended index's
+    per-night bucket files fold into one write job
+    (ensure_minhash_index_compacted) and the delta re-probe against the
+    COMPACTED index must return row-for-row what the pre-compaction
+    probe returned (the oracle is dedup_minhash_index_append's,
+    verbatim) — a compaction that drops, duplicates, or re-buckets a
+    signature wrongly is a driver hash failure.
+    tests/test_fuzz_index_append.py pins the file-level claim: one file
+    per bucket after compaction (vs two write jobs' worth before) and
+    an exchange-free index side in the probe plan.
+
+    Scale: compaction reads and writes the index ONCE (signatures only
+    — 3 band rows x ~100 bytes per doc, ~0.3% of corpus bytes at 100 TB
+    text scale); probe cost afterwards returns to single-file-per-bucket
+    reads no matter how many nightly appends preceded it."""
+    idx3 = ensure_minhash_index_compacted(spark, sf_dir)
+    delta = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    probe = _minhash_banded(_minhash_signatures(spark, delta))
+    a = probe.select(
+        F.col("doc_id").alias("new_id"), "band", "bsig", F.col("sig").alias("sig_a")
+    )
+    b = idx3.select(
+        F.col("doc_id").alias("idx_id"), "band", "bsig", F.col("sig").alias("sig_b")
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, ["band", "bsig"])
+        .dropDuplicates(["new_id", "idx_id"])
+        .select(
+            "new_id",
+            "idx_id",
+            F.when(F.col("idx_id") % 10 == 0, F.lit("appended"))
+            .otherwise(F.lit("corpus"))
+            .alias("idx_src"),
+            F.round(agree / F.lit(float(_MINHASH_SEEDS)), 6).alias("est_jaccard"),
+        )
+        .orderBy("new_id", "idx_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # R11 intra-doc line dedup (Rae et al. Gopher dup-line-fraction) +
 # cross-doc duplicated-line localization

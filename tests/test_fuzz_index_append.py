@@ -116,6 +116,27 @@ def _compare(spark, path, seed) -> None:
 def test_index_append_matches_oracle(spark, tmp_path, seed):
     _write_docs(seed, tmp_path)
     _compare(spark, tmp_path, seed)
+    if seed % 4 == 0:
+        # compaction rider: the re-probe against the COMPACTED index
+        # must match the same oracle row-for-row (lossless fold)
+        got = sorted(
+            tuple(map(str, r))
+            for r in registry.QUERIES["dedup_minhash_index_compact"](
+                spark, str(tmp_path)
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        want = sorted(
+            tuple(map(str, r))
+            for r in con.execute(
+                registry.ORACLES["dedup_minhash_index_compact"]
+            ).fetchall()
+        )
+        assert got == want, f"seed {seed}: dedup_minhash_index_compact diverges"
 
 
 def _directed_rows():
@@ -200,3 +221,39 @@ def test_append_cost_is_delta_sized(spark, tmp_path):
     # Sorted so directory iteration order can't flake the compare.
     assert counts == sorted([9, n_v1])
     assert idx2.count() == n_v1 + 9
+
+
+def test_index_compaction_folds_bucket_files(spark, tmp_path):
+    """File-level compaction pin: the appended index holds TWO write
+    jobs' files; the compacted index holds ONE job (at most one file per
+    bucket), with identical row count and identical probe results."""
+    import os
+
+    from duckdb_postgis_spark.operators.llm import (
+        ensure_minhash_index2,
+        ensure_minhash_index_compacted,
+    )
+    from duckdb_postgis_spark.plans.layout import _LAYOUT_ROOT, _token
+
+    _write_rows(_directed_rows(), tmp_path)
+    n2 = ensure_minhash_index2(spark, str(tmp_path)).count()
+    idx3 = ensure_minhash_index_compacted(spark, str(tmp_path))
+    assert idx3.count() == n2
+
+    def jobs(tbl_prefix: str) -> set[str]:
+        d = f"{_LAYOUT_ROOT}/{tbl_prefix}_{_token(str(tmp_path), 'documents')}"
+        return {
+            f.split("-", 2)[2].split("_")[0]
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    assert len(jobs("minhash_index2")) == 2
+    assert len(jobs("minhash_index3")) == 1
+    out = registry.QUERIES["dedup_minhash_index_compact"](
+        spark, str(tmp_path)
+    ).collect()
+    base = registry.QUERIES["dedup_minhash_index_append"](
+        spark, str(tmp_path)
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, base))

@@ -89,6 +89,7 @@ TEXT_EXT = [
     "text_collocation_pmi", "dedup_exact_normalized",
     "dedup_incremental_minhash", "dedup_lines_intradoc", "text_bpe_tokenize",
     "dedup_minhash_index_append", "text_bpe_train", "text_bpe_train_apply",
+    "dedup_minhash_index_compact",
 ]
 
 # §2.12e training-data-pipeline extensions
@@ -148,9 +149,10 @@ def test_driver_window_covers_required_families():
     added_r12 = {
         "dedup_minhash_index_append", "lakehouse_compact_deletes",
         "text_bpe_train", "seq_pack_metrics", "seq_pack_ffd",
-        # late widening additions (displaced agg_histogram/agg_percentiles
-        # to the r13 (b) leads)
+        # late widening additions (displaced agg_histogram/agg_percentiles/
+        # agg_hll_sketch_merge to the r13 (b) leads)
         "text_bpe_train_apply", "maintenance_expire_snapshots",
+        "dedup_minhash_index_compact",
     }
     changed_r12 = {
         # shuffle-partitions conf read guarded (r11 ADVICE)
@@ -184,7 +186,7 @@ def test_driver_window_covers_required_families():
         "similarity_search_ann", "similarity_search_pq",
         "dedup_substring_spans", "contamination_ngram_overlap",
         "text_gopher_quality", "text_repetition_ratio", "text_pii_scrub",
-        "text_unigram_likelihood", "agg_hll_sketch_merge",
+        "text_unigram_likelihood",
     }
     required = added_r12 | changed_r12 | r7_stragglers | r8_refresh
     missing = sorted(required - window)
