@@ -370,7 +370,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     meet. Jaccard is exact-integer division → bit-identical double.
     Scale: the shingle join is the classic set-similarity plan; at 100 TB add
     a prefix-filter (rarest-shingle) before the join; skewed hot shingles are
-    handled by AQE skew-join or a stopword-shingle drop."""
+    handled by AQE skew-join or a stopword-shingle drop.
+
+    r12 perf audit (measured at the sf1 shape, so the next round does
+    not re-chase this): the cost is the candidate-pair hash aggregation
+    itself — 113 M distinct (doc_a, doc_b) groups on this corpus, paid
+    by BOTH engines (Spark ~73 s vs DuckDB ~19 s = the adjudicated
+    JVM-vs-native hash-agg account, the agg_distinct shape).  Three
+    dead ends tried and rejected: xxhash64 join keys (55.5 s vs 53.9 s
+    string — the join is not the bottleneck, and a collision would be a
+    driver hash failure), persisting the shingle frame (73 -> 81 s:
+    AQE already reuses the shuffle stages at runtime and the columnar
+    cache adds write+read overhead), and the rarest-shingle prefix
+    filter at THIS corpus shape (candidates only drop 113 M -> 40 M —
+    the synthetic vocab keeps even rare shingles hot — so the exact
+    re-verification join dominates; on real text with Zipfian shingle
+    frequencies the prefix filter is the right 100 TB move, which is
+    why the docstring still prescribes it)."""
     docs = table(spark, sf_dir, "documents")
     sh = _shingle_df(docs, 3)
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
