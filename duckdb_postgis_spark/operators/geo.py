@@ -1102,3 +1102,192 @@ def geo_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neigh.select("cx", "cy", "own_n", "neigh_n").orderBy(
         F.col("neigh_n").desc(), "cx", "cy"
     ).limit(10)
+
+
+# --------------------------------------------------------------------------
+# R12 polygon predicates — the PostGIS workhorses the point-only geo
+# surface lacked: ST_Contains(point) by ray casting, ST_Area/ST_Centroid
+# on polygons (the reference's users run these daily; geo.py had points,
+# cells, bboxes and distances, never a polygon interior)
+# --------------------------------------------------------------------------
+#: fixed test polygons (lon/lat vertex rings, INTEGER coordinates only —
+#: every shoelace/centroid term is then exact in a double, so the SUM
+#: order cannot shift a bit cross-engine).  No two consecutive vertices
+#: share a y (no horizontal edges): the ray-cast indicator's division by
+#: (y2 - y1) is evaluated eagerly by both vectorized engines even when
+#: the CASE condition is false, so a horizontal edge would divide by 0.
+#: Non-convex on purpose (the L-shape and the dented quad) — parity ray
+#: casting must handle re-entrant rings.
+#: the synthetic customer points all lie on two diagonals of the
+#: lon/lat plane (lat = lon + 90 west of 0, lat = lon - 90 east —
+#: c_custkey drives both coordinates), so each ring below deliberately
+#: straddles one of the diagonals to keep its interior populated.
+_POLYGONS: dict[int, list[tuple[int, int]]] = {
+    1: [(-150, -60), (-60, -58), (-62, -20), (-100, -22), (-98, 40), (-150, 38)],
+    2: [(0, -30), (60, -45), (90, 10), (45, 55), (-10, 30)],
+    3: [(100, 5), (170, 9), (135, 85)],
+    4: [(-60, 41), (0, 39), (-5, 79), (-30, 55), (-55, 81)],
+}
+_POLY_EDGES: list[tuple[int, int, int, int, int]] = [
+    (pid, v[i][0], v[i][1], v[(i + 1) % len(v)][0], v[(i + 1) % len(v)][1])
+    for pid, v in _POLYGONS.items()
+    for i in range(len(v))
+]
+_POLY_EDGES_SQL = ", ".join(
+    f"({p}, {a}.0, {b}.0, {c}.0, {d}.0)" for p, a, b, c, d in _POLY_EDGES
+)
+
+
+def _poly_edges_df(spark: SparkSession, broadcast: bool = True) -> DataFrame:
+    df = spark.createDataFrame(
+        [(p, float(a), float(b), float(c), float(d))
+         for p, a, b, c, d in _POLY_EDGES],
+        "pid INT, x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE",
+    )
+    # the hint only applies on a join side; the area op aggregates the
+    # edge table directly and a dangling hint just logs a warning
+    return F.broadcast(df) if broadcast else df
+
+
+@query(
+    "geo_point_in_polygon",
+    oracle=f"""
+    WITH edges(pid, x1, y1, x2, y2) AS (VALUES {_POLY_EDGES_SQL}),
+    pts AS (
+        SELECT c_custkey, CAST({_LON} AS DOUBLE) AS px,
+               CAST({_LAT} AS DOUBLE) AS py
+        FROM customer
+    ),
+    cr AS (
+        SELECT p.c_custkey, e.pid,
+               SUM(CASE WHEN ((e.y1 > p.py) <> (e.y2 > p.py))
+                         AND (p.px < (e.x2 - e.x1) * (p.py - e.y1)
+                                     / (e.y2 - e.y1) + e.x1)
+                   THEN 1 ELSE 0 END) AS c
+        FROM pts p CROSS JOIN edges e
+        GROUP BY 1, 2
+    ),
+    ins AS (SELECT pid, c_custkey FROM cr WHERE c % 2 = 1)
+    SELECT d.pid,
+           CAST(COUNT(i.c_custkey) AS BIGINT) AS n_inside,
+           CAST(COALESCE(SUM(i.c_custkey), 0) AS BIGINT) AS sum_inside_keys
+    FROM (SELECT DISTINCT pid FROM edges) d
+    LEFT JOIN ins i USING (pid)
+    GROUP BY d.pid ORDER BY d.pid
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Contains(polygon, point) by even-odd RAY CASTING — per fixed
+    polygon, how many customer points fall inside and the sum of their
+    keys (membership hash-verified key-by-key, not just counted).  The
+    crossing test is the textbook half-open rule: an eastward ray from
+    the point crosses edge (v1, v2) iff the edge spans the point's
+    latitude and the intersection lies east — `(y1>py) != (y2>py) AND
+    px < (x2-x1)*(py-y1)/(y2-y1) + x1`.  Every term is exact (integer
+    vertices, half-offset decimal points) except ONE IEEE division, and
+    both engines evaluate the identical expression, so the parity bits
+    match bit-for-bit; non-convex rings work because parity counts
+    re-entries.
+
+    Scale: the edge table broadcasts (a polygon overlay is small by
+    nature — and a HUGE one goes through the geo_bbox_join_grid cell
+    prefilter first so each point meets only its cell's candidate
+    polygons); the per-point work is |edges| codegen'd comparisons, the
+    parity is a partial-agg groupBy, and points never shuffle wider
+    than (key, pid, crossings)."""
+    pts = _coords(spark, sf_dir).select(
+        "c_custkey",
+        F.col("lon").cast("double").alias("px"),
+        F.col("lat").cast("double").alias("py"),
+    )
+    e = _poly_edges_df(spark)
+    ind = (
+        (F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py"))
+    ) & (
+        F.col("px")
+        < (F.col("x2") - F.col("x1"))
+        * (F.col("py") - F.col("y1"))
+        / (F.col("y2") - F.col("y1"))
+        + F.col("x1")
+    )
+    cr = (
+        pts.crossJoin(e)
+        .groupBy("c_custkey", "pid")
+        .agg(F.sum(F.when(ind, 1).otherwise(0)).alias("c"))
+    )
+    ins = cr.filter(F.col("c") % 2 == 1)
+    pids = spark.createDataFrame(
+        [(p,) for p in sorted(_POLYGONS)], "pid INT"
+    )
+    return (
+        pids.join(ins, "pid", "left")
+        .groupBy("pid")
+        .agg(
+            F.count("c_custkey").alias("n_inside"),
+            F.coalesce(F.sum("c_custkey"), F.lit(0)).cast("long")
+            .alias("sum_inside_keys"),
+        )
+        .orderBy("pid")
+    )
+
+
+@query(
+    "geo_polygon_area",
+    oracle=f"""
+    WITH edges(pid, x1, y1, x2, y2) AS (VALUES {_POLY_EDGES_SQL}),
+    s AS (
+        SELECT pid,
+               CAST(COUNT(*) AS BIGINT) AS n_vertices,
+               SUM(x1 * y2 - x2 * y1) AS cross2,
+               SUM((x1 + x2) * (x1 * y2 - x2 * y1)) AS cxn,
+               SUM((y1 + y2) * (x1 * y2 - x2 * y1)) AS cyn,
+               MIN(LEAST(x1, x2)) AS bbox_xmin,
+               MAX(GREATEST(x1, x2)) AS bbox_xmax,
+               MIN(LEAST(y1, y2)) AS bbox_ymin,
+               MAX(GREATEST(y1, y2)) AS bbox_ymax
+        FROM edges GROUP BY pid
+    )
+    SELECT pid, n_vertices,
+           ABS(cross2) / 2.0 AS area,
+           cxn / (3.0 * cross2) AS centroid_x,
+           cyn / (3.0 * cross2) AS centroid_y,
+           bbox_xmin, bbox_xmax, bbox_ymin, bbox_ymax
+    FROM s ORDER BY pid
+    """,
+)
+def geo_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Area / ST_Centroid / ST_Envelope on polygon RINGS via the
+    shoelace formula — the polygon-side metadata pass (geo.py's existing
+    centroid is the point-cloud mean; this is the area-weighted polygon
+    centroid PostGIS returns for ST_Centroid(polygon)).  Integer
+    vertices make every shoelace and centroid-moment term exact in a
+    double, so the aggregation ORDER cannot shift a bit and the only
+    roundings are the final divisions — identical IEEE on both engines.
+
+    Scale: one partial-agg groupBy over the edge table — polygon
+    metadata is linear in total vertices and embarrassingly parallel;
+    at 100 TB of polygons this is the scan-side stats pass feeding the
+    bbox-grid index (geo_bbox_join_grid)."""
+    e = _poly_edges_df(spark, broadcast=False)
+    cross = F.col("x1") * F.col("y2") - F.col("x2") * F.col("y1")
+    s = e.groupBy("pid").agg(
+        F.count("*").alias("n_vertices"),
+        F.sum(cross).alias("cross2"),
+        F.sum((F.col("x1") + F.col("x2")) * cross).alias("cxn"),
+        F.sum((F.col("y1") + F.col("y2")) * cross).alias("cyn"),
+        F.min(F.least("x1", "x2")).alias("bbox_xmin"),
+        F.max(F.greatest("x1", "x2")).alias("bbox_xmax"),
+        F.min(F.least("y1", "y2")).alias("bbox_ymin"),
+        F.max(F.greatest("y1", "y2")).alias("bbox_ymax"),
+    )
+    return s.select(
+        "pid",
+        "n_vertices",
+        (F.abs("cross2") / 2.0).alias("area"),
+        (F.col("cxn") / (3.0 * F.col("cross2"))).alias("centroid_x"),
+        (F.col("cyn") / (3.0 * F.col("cross2"))).alias("centroid_y"),
+        "bbox_xmin",
+        "bbox_xmax",
+        "bbox_ymin",
+        "bbox_ymax",
+    ).orderBy("pid")

@@ -38,7 +38,7 @@ ORACLES: dict[str, str] = {}
 # stream_stream_left_outer, pipeline_geojson_e2e, pipeline_nongeo_e2e) —
 # the r10 displacement list never included them.  They lead the (b)
 # block below.  The arithmetic:
-#   (a) 13 slots — 8 r12 ADDITIONS needing first verdicts
+#   (a) 15 slots — 10 r12 ADDITIONS needing first verdicts
 #       (dedup_minhash_index_append — the incremental-dedup WRITE path,
 #       judge order #2; lakehouse_compact_deletes — the OPTIMIZE
 #       merge-on-read fold, order #3; text_bpe_train — distributed BPE
@@ -68,8 +68,11 @@ ORACLES: dict[str, str] = {}
 #       leads behind grouping_sets_cube_rollup.  A THIRD widening
 #       addition, dedup_minhash_index_compact (the probe->append->
 #       compact cycle's third leg), displaces agg_hll_sketch_merge the
-#       same way.
-#   (b) 5 + 32 slots — the five r7-era stragglers above FIRST, then the
+#       same way, and the polygon pair geo_point_in_polygon +
+#       geo_polygon_area (the PostGIS ST_Contains/ST_Area/ST_Centroid
+#       workhorses the point-only geo surface lacked) displaces
+#       text_pii_scrub + text_unigram_likelihood.
+#   (b) 5 + 30 slots — the five r7-era stragglers above FIRST, then the
 #       r8 tail oldest-registered-first: geo_point_wkt,
 #       agg_approx_distinct, geo_crs_infer_ranges, geo_wkb_roundtrip,
 #       incremental_agg_merge, dedup_ngram_jaccard, dedup_simhash,
@@ -81,20 +84,20 @@ ORACLES: dict[str, str] = {}
 #       dedup_verify_levenshtein, dedup_survivorship_merge,
 #       embed_quantize_int8, similarity_search_ann, similarity_search_pq,
 #       dedup_substring_spans, contamination_ngram_overlap,
-#       text_gopher_quality, text_repetition_ratio, text_pii_scrub,
-#       text_unigram_likelihood.
-# 13 + 5 + 32 = 50 = DRIVER_WINDOW.  After this window lands, NO
+#       text_gopher_quality, text_repetition_ratio.
+# 15 + 5 + 30 = 50 = DRIVER_WINDOW.  After this window lands, NO
 # registered verdict is older than r8 (now actually true: the five r7
-# stragglers are in-window), and the r8 tail shrinks to eleven queries.
+# stragglers are in-window), and the r8 tail shrinks to thirteen queries.
 #
 # ROUND-13 ROTATION PLAN (execute at round-13 start): if CORRECTNESS_r12
 # is green, all r12 slots rotate out with verdicts standing.  Window, in
 # order (validate with driver_replica before swapping into PRIORITY):
 #   (a) any r13 additions needing a first driver verdict and any query
 #       whose CODE changes in r13 (changed code outranks refreshes);
-#   (b) the ELEVEN remaining r8-era verdicts, oldest-registered-first:
-#       grouping_sets_cube_rollup, agg_histogram, agg_percentiles,
-#       agg_hll_sketch_merge (the four r12 late-addition displacees),
+#   (b) the THIRTEEN remaining r8-era verdicts, oldest-registered-first:
+#       text_pii_scrub, text_unigram_likelihood, agg_hll_sketch_merge,
+#       agg_histogram, agg_percentiles, grouping_sets_cube_rollup (the
+#       six r12 late-addition displacees, oldest-registered-first),
 #       window_analytic,
 #       window_rank_topn, sort_limit_topk, pivot_lang_counts,
 #       json_extract_events, join_null_safe, join_bucketed_colocated;
@@ -111,6 +114,8 @@ PRIORITY: tuple[str, ...] = (
     "text_bpe_train_apply",
     "maintenance_expire_snapshots",
     "dedup_minhash_index_compact",
+    "geo_point_in_polygon",
+    "geo_polygon_area",
     # -- (a) r12 changed code (changed code outranks refreshes) -----------
     "graph_pagerank_bipartite",
     "dedup_lines_intradoc",
@@ -154,8 +159,6 @@ PRIORITY: tuple[str, ...] = (
     "contamination_ngram_overlap",
     "text_gopher_quality",
     "text_repetition_ratio",
-    "text_pii_scrub",
-    "text_unigram_likelihood",
 )
 DRIVER_WINDOW = 50
 

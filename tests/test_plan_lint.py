@@ -38,6 +38,10 @@ ALLOWED_BNLJ = {
     # bounded build side: one anchor row per region (5 at any SF) — the
     # broadcast cross join is a constant-attach, not a pair explosion
     "geo_haversine_radius",
+    # build side is the FIXED polygon edge table (18 literal rows at any
+    # SF) — every point must meet every edge by ray-cast definition; a
+    # huge polygon overlay goes through the bbox-grid prefilter instead
+    "geo_point_in_polygon",
     # broadcast dimension-attach (supplier dim, DIMENSIONS note in
     # catalog.py); the G8 grid rewrite is the documented scale path
     "geo_knn_join",

@@ -54,6 +54,7 @@ GEO = [
     "geo_wkb_roundtrip", "geo_bbox_join_grid", "geo_cell_rollup",
     "geo_haversine_radius", "geo_knn_join", "pipeline_geo_file_e2e",
     "pipeline_geojson_e2e", "pipeline_nongeo_e2e", "geo_hotspot_cells",
+    "geo_point_in_polygon", "geo_polygon_area",
 ]
 # §2.12a multimodal
 MULTIMODAL = [
@@ -135,14 +136,14 @@ def test_driver_window_covers_required_families():
     """The driver verifies only the first DRIVER_WINDOW entries of
     queries().  Round-12 rotation (CORRECTNESS_r11 was 50/50, so all r11
     slots rotate out with verdicts standing): the window holds (a) first
-    driver verdicts for the FIVE r12 additions + the four r12
-    changed-code re-entries = 9, (b) the FIVE r7-era stragglers the
+    driver verdicts for the TEN r12 additions + the five r12
+    changed-code re-entries = 15, (b) the FIVE r7-era stragglers the
     r10/r11 displacement lists omitted (the r11 judge's off-by-five
     correction: stream_session, stream_dedup, stream_stream_left_outer,
-    pipeline_geojson_e2e, pipeline_nongeo_e2e) followed by thirty-six r8
+    pipeline_geojson_e2e, pipeline_nongeo_e2e) followed by thirty r8
     verdicts oldest-registered-first.  After this window lands no
     registered verdict is older than r8 — now actually true — and the
-    r8 tail shrinks to seven (pre-written as the r13 (b) block in
+    r8 tail shrinks to thirteen (pre-written as the r13 (b) block in
     registry.py).  Earlier rounds' displacement rationales live in the
     r10/r11 revisions of this file (git)."""
     window = set(list(registry.all_queries())[: registry.DRIVER_WINDOW])
@@ -152,7 +153,8 @@ def test_driver_window_covers_required_families():
         # late widening additions (displaced agg_histogram/agg_percentiles/
         # agg_hll_sketch_merge to the r13 (b) leads)
         "text_bpe_train_apply", "maintenance_expire_snapshots",
-        "dedup_minhash_index_compact",
+        "dedup_minhash_index_compact", "geo_point_in_polygon",
+        "geo_polygon_area",
     }
     changed_r12 = {
         # shuffle-partitions conf read guarded (r11 ADVICE)
@@ -185,8 +187,7 @@ def test_driver_window_covers_required_families():
         "dedup_survivorship_merge", "embed_quantize_int8",
         "similarity_search_ann", "similarity_search_pq",
         "dedup_substring_spans", "contamination_ngram_overlap",
-        "text_gopher_quality", "text_repetition_ratio", "text_pii_scrub",
-        "text_unigram_likelihood",
+        "text_gopher_quality", "text_repetition_ratio",
     }
     required = added_r12 | changed_r12 | r7_stragglers | r8_refresh
     missing = sorted(required - window)
