@@ -3971,18 +3971,31 @@ def ensure_minhash_index2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, bsig) bucket layout: only the |accepted| signature rows are
     written (new files per bucket; existing corpus files untouched), so
     the nightly index-maintenance cost is O(|delta|) — never a corpus
-    rewrite.  tests/test_llm_pipeline.py pins that file-level claim by
-    grouping the table's parquet files by write job and row-counting
+    rewrite.  tests/test_fuzz_index_append.py pins that file-level claim
+    by grouping the table's parquet files by write job and row-counting
     each group.  A ``_APPEND_DONE`` marker (underscore-prefixed, so the
     parquet reader ignores it) makes the two-step build crash-safe: a
-    table found without the marker is dropped and rebuilt."""
+    table found without the marker is dropped and rebuilt.  The rebuild
+    also clears the table DIRECTORY: the table is EXTERNAL (explicit
+    ``path``), so ``DROP TABLE`` leaves the parquet files behind, and
+    Spark (≥3.2) rejects CTAS into a non-empty location — without the
+    rmtree a run interrupted between the two write steps would error
+    forever instead of rebuilding (r12 ADVICE fix, pinned by
+    tests/test_fuzz_index_append.py's interrupted-build case)."""
+    import shutil
+
     from duckdb_postgis_spark.plans.layout import _LAYOUT_ROOT, _token
 
     tbl = f"minhash_index2_{_token(sf_dir, 'documents')}"
-    marker = f"{_LAYOUT_ROOT}/{tbl}/_APPEND_DONE"
+    tbl_dir = f"{_LAYOUT_ROOT}/{tbl}"
+    marker = f"{tbl_dir}/_APPEND_DONE"
     if spark.catalog.tableExists(tbl) and not os.path.exists(marker):
         spark.sql(f"DROP TABLE {tbl}")
     if not spark.catalog.tableExists(tbl):
+        # DROP TABLE on an EXTERNAL table keeps the files; a stale
+        # half-built directory (or marker) would make the step-1 CTAS
+        # fail (allowNonEmptyLocationInCTAS=false) — clear it first.
+        shutil.rmtree(tbl_dir, ignore_errors=True)
         idx = ensure_minhash_index(spark, sf_dir)
         # step 1: seed the v2 table with the standing index rows (a
         # bucket-preserving copy; at 100 TB this is the one-time index
@@ -4339,7 +4352,7 @@ def _bpe_token_count_sql(word: str, vocab_sql: str | None = None) -> str:
 
     ``vocab_sql`` (an ``array(...)`` SQL literal) defaults to the pinned
     inference vocab; text_bpe_train's learned merge list plugs in here
-    unchanged (tests/test_llm_pipeline.py exercises that wiring)."""
+    unchanged (tests/test_fuzz_pack_train.py exercises that wiring)."""
     vocab = vocab_sql if vocab_sql is not None else _BPE_VOCAB_SPARK
     return f"""aggregate(
               sequence(1, length({word})),
@@ -4500,7 +4513,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned merge list (rank, lhs, rhs, merged, pair_cnt) — exactly what
     the greedy fold consumes as its vocab
     (`_bpe_token_count_sql(vocab_sql=...)`; wiring exercised in
-    tests/test_llm_pipeline.py).
+    tests/test_fuzz_pack_train.py).
 
     Mechanics: token state per distinct word is a `·`-delimited
     string; a merge applies as one `replace` of `·l·r·`

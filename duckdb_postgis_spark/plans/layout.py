@@ -43,6 +43,24 @@ def _token(sf_dir: str, *tables: str) -> str:
     return "_".join(sig)
 
 
+def _write_json_atomic(path: str, obj: object) -> None:
+    """Manifest writes must be all-or-nothing: every ensure_* builder
+    guards on ``os.path.exists(manifest-N.json)``, so a crash mid
+    ``json.dump`` would leave a truncated file that satisfies the guard
+    forever and poisons every later read (r12 ADVICE).  Writing to a
+    sibling temp file and ``os.replace``-ing it in makes the guard only
+    ever observe a complete manifest — the same commit protocol Iceberg
+    uses for its metadata.json (atomic rename on the catalog)."""
+    import json
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
 # --------------------------------------------------------------------------
 # date-partitioned events
 # --------------------------------------------------------------------------
@@ -542,8 +560,6 @@ def ensure_versioned_docs(spark: SparkSession, sf_dir: str) -> str:
     append = new files + a new manifest, old manifests keep reading the
     old files.  The manifest write is driver-side metadata (a few KB at
     any data scale)."""
-    import json
-
     path = f"{_LAYOUT_ROOT}/docs_versioned_{_token(sf_dir, 'documents')}"
     if not os.path.exists(f"{path}/manifest-2.json"):
         docs = table(spark, sf_dir, "documents")
@@ -561,10 +577,11 @@ def ensure_versioned_docs(spark: SparkSession, sf_dir: str) -> str:
             )
 
         v1 = parts("add-1")
-        with open(f"{path}/manifest-1.json", "w") as fh:
-            json.dump({"version": 1, "files": v1}, fh)
-        with open(f"{path}/manifest-2.json", "w") as fh:
-            json.dump({"version": 2, "files": v1 + parts("add-2")}, fh)
+        _write_json_atomic(f"{path}/manifest-1.json", {"version": 1, "files": v1})
+        _write_json_atomic(
+            f"{path}/manifest-2.json",
+            {"version": 2, "files": v1 + parts("add-2")},
+        )
     return path
 
 
@@ -1013,8 +1030,6 @@ def ensure_vacuum_layout(spark: SparkSession, sf_dir: str) -> str:
     even-doc_id file is referenced by the current manifest; the odd-doc_id
     file was written (a failed/replaced commit) but never committed — the
     state VACUUM exists to clean up."""
-    import json
-
     path = f"{_LAYOUT_ROOT}/docs_vacuum_{_token(sf_dir, 'documents')}"
     if not os.path.exists(f"{path}/manifest-current.json"):
         docs = table(spark, sf_dir, "documents")
@@ -1029,8 +1044,7 @@ def ensure_vacuum_layout(spark: SparkSession, sf_dir: str) -> str:
             for f in os.listdir(f"{path}/data/committed")
             if f.endswith(".parquet")
         )
-        with open(f"{path}/manifest-current.json", "w") as fh:
-            json.dump({"files": live}, fh)
+        _write_json_atomic(f"{path}/manifest-current.json", {"files": live})
     return path
 
 
@@ -1131,11 +1145,10 @@ def ensure_delete_vectors(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("overwrite")
             .parquet(dv_dir)
         )
-        with open(f"{root}/manifest-3.json", "w") as fh:
-            json.dump(
-                {"version": 3, "files": m2["files"], "delete_vectors": dv_dir},
-                fh,
-            )
+        _write_json_atomic(
+            f"{root}/manifest-3.json",
+            {"version": 3, "files": m2["files"], "delete_vectors": dv_dir},
+        )
     return root
 
 
@@ -1233,16 +1246,15 @@ def ensure_equality_deletes(spark: SparkSession, sf_dir: str) -> str:
         spark.createDataFrame([("src1",)], "source string").coalesce(
             1
         ).write.mode("overwrite").parquet(eq_dir)
-        with open(f"{root}/manifest-4.json", "w") as fh:
-            json.dump(
-                {
-                    "version": 4,
-                    "files": m3["files"],
-                    "delete_vectors": m3["delete_vectors"],
-                    "equality_deletes": {"keys": ["source"], "path": eq_dir},
-                },
-                fh,
-            )
+        _write_json_atomic(
+            f"{root}/manifest-4.json",
+            {
+                "version": 4,
+                "files": m3["files"],
+                "delete_vectors": m3["delete_vectors"],
+                "equality_deletes": {"keys": ["source"], "path": eq_dir},
+            },
+        )
     return root
 
 
@@ -1326,8 +1338,6 @@ def ensure_compacted_mor(spark: SparkSession, sf_dir: str) -> str:
     anti-join tax.  The coalesce(1) matches this layout's small-file
     convention; a 100 TB OPTIMIZE sizes output files via repartition /
     maxRecordsPerFile instead (the plan shape is identical)."""
-    import json
-
     root = ensure_equality_deletes(spark, sf_dir)
     if not os.path.exists(f"{root}/manifest-5.json"):
         live = read_snapshot_mor_eq(spark, root, 4)
@@ -1337,8 +1347,9 @@ def ensure_compacted_mor(spark: SparkSession, sf_dir: str) -> str:
             for f in os.listdir(f"{root}/data/add-5")
             if f.endswith(".parquet")
         )
-        with open(f"{root}/manifest-5.json", "w") as fh:
-            json.dump({"version": 5, "files": files}, fh)
+        _write_json_atomic(
+            f"{root}/manifest-5.json", {"version": 5, "files": files}
+        )
     return root
 
 
@@ -1364,7 +1375,7 @@ def lakehouse_compact_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     result — both must see exactly the survivor set (doc_id % 7 <> 3 and
     source <> 'src1'), re-derived independently by the oracle.  A
     compaction that leaks a deleted row, drops a live row, or re-applies
-    a delete to v5 is a driver hash failure.  tests/test_layouts.py
+    a delete to v5 is a driver hash failure.  tests/test_fuzz_compact_deletes.py
     additionally pins the PLAN claims: the v5 read contains no anti-join
     (the per-read delete tax is gone) and time travel to v1-v4 still
     returns each snapshot's own row set after compaction ran.

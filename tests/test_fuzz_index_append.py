@@ -257,3 +257,44 @@ def test_index_compaction_folds_bucket_files(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, base))
+
+
+def test_interrupted_build_recovers(spark, tmp_path):
+    """r12 ADVICE crash-recovery pin: the index table is EXTERNAL, so the
+    recovery DROP TABLE leaves its parquet files on disk — a rebuild
+    that CTAS-es into the non-empty location errors forever
+    (allowNonEmptyLocationInCTAS=false since Spark 3.2) unless the
+    builder clears the directory first.  Simulate the two interrupted
+    states and assert the builder self-heals in both:
+
+    1. crash between step-1 seed write and the _APPEND_DONE marker
+       (table registered, marker missing, files on disk);
+    2. crash between the recovery DROP and the rebuild (table gone,
+       stale files AND stale marker on disk).
+    """
+    import os
+    import shutil
+
+    from duckdb_postgis_spark.operators.llm import ensure_minhash_index2
+    from duckdb_postgis_spark.plans.layout import _LAYOUT_ROOT, _token
+
+    _write_rows(_directed_rows(), tmp_path)
+    tbl = f"minhash_index2_{_token(str(tmp_path), 'documents')}"
+    tbl_dir = f"{_LAYOUT_ROOT}/{tbl}"
+    n_full = ensure_minhash_index2(spark, str(tmp_path)).count()
+
+    # state 1: marker missing, table registered, directory non-empty
+    os.remove(f"{tbl_dir}/_APPEND_DONE")
+    assert ensure_minhash_index2(spark, str(tmp_path)).count() == n_full
+    assert os.path.exists(f"{tbl_dir}/_APPEND_DONE")
+
+    # state 2: table dropped mid-recovery, stale files + stale marker
+    spark.sql(f"DROP TABLE {tbl}")
+    assert os.listdir(tbl_dir), "external drop must leave files for this test"
+    assert ensure_minhash_index2(spark, str(tmp_path)).count() == n_full
+    _compare(spark, tmp_path, "interrupted")
+
+    # belt-and-braces: a fully deleted directory also rebuilds
+    spark.sql(f"DROP TABLE {tbl}")
+    shutil.rmtree(tbl_dir, ignore_errors=True)
+    assert ensure_minhash_index2(spark, str(tmp_path)).count() == n_full

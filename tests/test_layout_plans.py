@@ -350,3 +350,30 @@ def test_equality_deletes_layered_after_positions(spark, sf_dir):
     assert {r["doc_id"] for r in rows} == {
         d for d in v3_plain
     } - {r["doc_id"] for r in read_snapshot_mor(spark, root, 3).filter(F.col("source") == "src1").select("doc_id").collect()}
+
+
+def test_manifest_writes_are_atomic(tmp_path):
+    """r12 ADVICE pin: every manifest write goes through
+    _write_json_atomic (temp file + os.replace), so the exists() guard
+    can never observe a truncated manifest.  Checks the helper's
+    contract directly — complete content, no leftover .tmp, and safe
+    replace over an existing (e.g. previously truncated) file."""
+    import json
+    import os
+
+    from duckdb_postgis_spark.plans.layout import _write_json_atomic
+
+    target = tmp_path / "manifest-1.json"
+    # simulate a pre-fix truncated manifest left by a crashed writer
+    target.write_text('{"version": 1, "fil')
+    _write_json_atomic(str(target), {"version": 1, "files": ["a", "b"]})
+    assert json.load(open(target)) == {"version": 1, "files": ["a", "b"]}
+    assert not os.path.exists(f"{target}.tmp")
+    # and no writer in layout.py bypasses the helper anymore
+    import inspect
+
+    from duckdb_postgis_spark.plans import layout
+
+    src = inspect.getsource(layout)
+    helper = inspect.getsource(layout._write_json_atomic)
+    assert src.count("json.dump(") == helper.count("json.dump(")
