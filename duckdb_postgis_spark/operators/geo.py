@@ -1291,3 +1291,285 @@ def geo_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bbox_ymin",
         "bbox_ymax",
     ).orderBy("pid")
+
+
+# --------------------------------------------------------------------------
+# R13 polygon-polygon ST_Intersects overlay join (r12 judge order #3) —
+# the most common PostGIS join after point-in-polygon: two polygon SETS,
+# grid-cell bbox prefilter (the geo_bbox_join_grid discipline), then an
+# exact verify in pure integer arithmetic.
+# --------------------------------------------------------------------------
+#: second fixed polygon set (the overlay's right side).  Same integer-
+#: vertex discipline as _POLYGONS; shapes chosen to pin every relation
+#: class: B11 crosses A2; B12 is NESTED inside A3 (intersects with zero
+#: edge hits — the containment term earns its keep); B13 is fully
+#: disjoint (never even a grid candidate); B14 sits in A1's L-notch
+#: (bbox overlap -> grid candidate, exact verify rejects); B15 shares a
+#: collinear edge segment with A2 (touch via d=0 + on-segment); B16
+#: touches A4 at exactly the vertex (0, 39) and crosses A2.
+_POLYGONS_B: dict[int, list[tuple[int, int]]] = {
+    11: [(30, -10), (70, -12), (72, 30), (28, 32)],
+    12: [(125, 20), (140, 22), (132, 40)],
+    13: [(-170, 60), (-160, 62), (-165, 75)],
+    14: [(-90, 0), (-70, 1), (-72, 20), (-88, 21)],
+    15: [(20, -35), (40, -40), (30, -60)],
+    16: [(0, 39), (20, 20), (25, 38)],
+}
+_POLY_EDGES_B: list[tuple[int, int, int, int, int]] = [
+    (qid, v[i][0], v[i][1], v[(i + 1) % len(v)][0], v[(i + 1) % len(v)][1])
+    for qid, v in _POLYGONS_B.items()
+    for i in range(len(v))
+]
+_POLY_EDGES_B_SQL = ", ".join(
+    f"({q}, {a}.0, {b}.0, {c}.0, {d}.0)" for q, a, b, c, d in _POLY_EDGES_B
+)
+#: grid cell size for the overlay prefilter (degrees); both engines
+#: compute the cell of a coordinate as FLOOR(x / 45.0) — true floor, so
+#: the signed-coordinate DIV-vs-floor trap never applies
+_OVERLAY_CELL = 45.0
+
+
+def _poly_edges_b_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(q, float(a), float(b), float(c), float(d))
+         for q, a, b, c, d in _POLY_EDGES_B],
+        "qid INT, u1 DOUBLE, v1 DOUBLE, u2 DOUBLE, v2 DOUBLE",
+    )
+
+
+def _polygon_overlay_oracle_sql(
+    ea_sql: str = _POLY_EDGES_SQL, eb_sql: str = _POLY_EDGES_B_SQL
+) -> str:
+    """Templated DuckDB replay of the WHOLE overlay pipeline (grid
+    prefilter + orientation-sign verify + anchor parity) over any two
+    edge VALUES lists — the registered oracle uses the fixed sets; the
+    differential fuzz family (tests/test_fuzz_polygon_overlay.py)
+    drives random integer polygon sets through the same template."""
+    return f"""
+    WITH ea(pid, x1, y1, x2, y2) AS (VALUES {ea_sql}),
+    eb(qid, u1, v1, u2, v2) AS (VALUES {eb_sql}),
+    box_a AS (
+        SELECT pid, MIN(LEAST(x1, x2)) AS xmin, MAX(GREATEST(x1, x2)) AS xmax,
+               MIN(LEAST(y1, y2)) AS ymin, MAX(GREATEST(y1, y2)) AS ymax
+        FROM ea GROUP BY pid
+    ),
+    box_b AS (
+        SELECT qid, MIN(LEAST(u1, u2)) AS xmin, MAX(GREATEST(u1, u2)) AS xmax,
+               MIN(LEAST(v1, v2)) AS ymin, MAX(GREATEST(v1, v2)) AS ymax
+        FROM eb GROUP BY qid
+    ),
+    cells_a AS (
+        SELECT pid, t.cx, s.cy
+        FROM box_a,
+             unnest(generate_series(CAST(FLOOR(xmin / {_OVERLAY_CELL}) AS BIGINT),
+                                    CAST(FLOOR(xmax / {_OVERLAY_CELL}) AS BIGINT))) AS t(cx),
+             unnest(generate_series(CAST(FLOOR(ymin / {_OVERLAY_CELL}) AS BIGINT),
+                                    CAST(FLOOR(ymax / {_OVERLAY_CELL}) AS BIGINT))) AS s(cy)
+    ),
+    cells_b AS (
+        SELECT qid, t.cx, s.cy
+        FROM box_b,
+             unnest(generate_series(CAST(FLOOR(xmin / {_OVERLAY_CELL}) AS BIGINT),
+                                    CAST(FLOOR(xmax / {_OVERLAY_CELL}) AS BIGINT))) AS t(cx),
+             unnest(generate_series(CAST(FLOOR(ymin / {_OVERLAY_CELL}) AS BIGINT),
+                                    CAST(FLOOR(ymax / {_OVERLAY_CELL}) AS BIGINT))) AS s(cy)
+    ),
+    cand AS (
+        SELECT DISTINCT a.pid, b.qid
+        FROM cells_a a JOIN cells_b b ON a.cx = b.cx AND a.cy = b.cy
+    ),
+    hits AS (
+        SELECT c.pid, c.qid,
+               CAST(SUM(CASE WHEN (
+                   (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+                    AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+                OR (d1 = 0 AND x1 BETWEEN LEAST(u1, u2) AND GREATEST(u1, u2)
+                            AND y1 BETWEEN LEAST(v1, v2) AND GREATEST(v1, v2))
+                OR (d2 = 0 AND x2 BETWEEN LEAST(u1, u2) AND GREATEST(u1, u2)
+                            AND y2 BETWEEN LEAST(v1, v2) AND GREATEST(v1, v2))
+                OR (d3 = 0 AND u1 BETWEEN LEAST(x1, x2) AND GREATEST(x1, x2)
+                            AND v1 BETWEEN LEAST(y1, y2) AND GREATEST(y1, y2))
+                OR (d4 = 0 AND u2 BETWEEN LEAST(x1, x2) AND GREATEST(x1, x2)
+                            AND v2 BETWEEN LEAST(y1, y2) AND GREATEST(y1, y2))
+               ) THEN 1 ELSE 0 END) AS BIGINT) AS n_edge_hits
+        FROM cand c
+        JOIN ea ON ea.pid = c.pid
+        JOIN eb ON eb.qid = c.qid
+        CROSS JOIN LATERAL (SELECT
+            (u2 - u1) * (y1 - v1) - (v2 - v1) * (x1 - u1) AS d1,
+            (u2 - u1) * (y2 - v1) - (v2 - v1) * (x2 - u1) AS d2,
+            (x2 - x1) * (v1 - y1) - (y2 - y1) * (u1 - x1) AS d3,
+            (x2 - x1) * (v2 - y1) - (y2 - y1) * (u2 - x1) AS d4) o
+        GROUP BY 1, 2
+    ),
+    anch_a AS (
+        SELECT pid, x1 AS ax, y1 AS ay FROM (
+            SELECT pid, x1, y1,
+                   ROW_NUMBER() OVER (PARTITION BY pid ORDER BY x1, y1) AS rn
+            FROM ea) WHERE rn = 1
+    ),
+    anch_b AS (
+        SELECT qid, u1 AS bx, v1 AS by FROM (
+            SELECT qid, u1, v1,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY u1, v1) AS rn
+            FROM eb) WHERE rn = 1
+    ),
+    a_in AS (
+        SELECT c.pid, c.qid,
+               CAST(SUM(CASE WHEN ((v1 > ay) <> (v2 > ay))
+                         AND (((u2 - u1) * (ay - v1) - (ax - u1) * (v2 - v1) > 0)
+                              = (v2 > v1))
+                   THEN 1 ELSE 0 END) % 2 AS BIGINT) AS a_in_b
+        FROM cand c
+        JOIN anch_a n ON n.pid = c.pid
+        JOIN eb ON eb.qid = c.qid
+        GROUP BY 1, 2
+    ),
+    b_in AS (
+        SELECT c.pid, c.qid,
+               CAST(SUM(CASE WHEN ((y1 > by) <> (y2 > by))
+                         AND (((x2 - x1) * (by - y1) - (bx - x1) * (y2 - y1) > 0)
+                              = (y2 > y1))
+                   THEN 1 ELSE 0 END) % 2 AS BIGINT) AS b_in_a
+        FROM cand c
+        JOIN anch_b n ON n.qid = c.qid
+        JOIN ea ON ea.pid = c.pid
+        GROUP BY 1, 2
+    )
+    SELECT h.pid, h.qid, h.n_edge_hits, a.a_in_b, b.b_in_a
+    FROM hits h
+    JOIN a_in a ON a.pid = h.pid AND a.qid = h.qid
+    JOIN b_in b ON b.pid = h.pid AND b.qid = h.qid
+    WHERE h.n_edge_hits > 0 OR a.a_in_b = 1 OR b.b_in_a = 1
+    ORDER BY h.pid, h.qid
+    """
+
+
+@query("geo_polygon_intersects_join", oracle=_polygon_overlay_oracle_sql())
+def geo_polygon_intersects_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-polygon ST_Intersects OVERLAY JOIN — two polygon sets
+    (_POLYGONS x _POLYGONS_B), grid-cell bbox prefilter, exact verify:
+    a pair intersects iff any edge pair crosses/touches (segment
+    intersection via cross-product orientation signs — integer vertices
+    keep every d-term exact, so the sign tests are bit-identical
+    cross-engine) OR one ring contains the other's anchor vertex
+    (even-odd ray parity in the MULTIPLICATION form — no division at
+    all, so unlike geo_point_in_polygon's indicator even a horizontal
+    edge would be safe).  Emits each intersecting pair with its edge-hit
+    count and the two containment parities, so crossing (hits>0),
+    shared-edge/vertex touches (collinear d=0 + on-segment), and pure
+    nesting (hits=0, containment=1) are all hash-pinned; the
+    bbox-overlap-but-disjoint shape (B14 in A1's L-notch) pins that the
+    grid prefilter's false positives are rejected by the verify.
+
+    Scale (the never-all-pairs path): candidate discovery is an
+    EQUI-join on (cx, cy) grid cells — each polygon registers in the
+    cells its bbox overlaps, so two 10⁸-polygon sets meet only within a
+    cell (the geo_bbox_join_grid discipline; skewed mega-cells split by
+    the same salting recipe).  The edge cross-product verify is then
+    per-candidate-pair work: |edges_A| x |edges_B| comparisons inside
+    whole-stage codegen, never materialized wider than
+    (pid, qid, d-signs).  Reference feeds this via its WKT
+    normalization (geo_strategy.rs:105-183 probe ladder)."""
+    return _polygon_intersects_pairs(
+        _poly_edges_df(spark, broadcast=False), _poly_edges_b_df(spark)
+    )
+
+
+def _polygon_intersects_pairs(ea: DataFrame, eb: DataFrame) -> DataFrame:
+    """Core of geo_polygon_intersects_join over any two edge frames
+    (ea: pid,x1,y1,x2,y2; eb: qid,u1,v1,u2,v2) — factored out so the
+    differential fuzz family can drive it with random polygon sets
+    against _polygon_overlay_oracle_sql on the same edges."""
+    cell = lambda c: F.floor(F.col(c) / F.lit(_OVERLAY_CELL))  # noqa: E731
+
+    def boxes(e: DataFrame, key: str, x1, y1, x2, y2) -> DataFrame:
+        return e.groupBy(key).agg(
+            F.min(F.least(x1, x2)).alias("xmin"),
+            F.max(F.greatest(x1, x2)).alias("xmax"),
+            F.min(F.least(y1, y2)).alias("ymin"),
+            F.max(F.greatest(y1, y2)).alias("ymax"),
+        )
+
+    def cells(box: DataFrame, key: str) -> DataFrame:
+        return box.select(
+            key,
+            F.explode(F.sequence(cell("xmin"), cell("xmax"))).alias("cx"),
+            "ymin",
+            "ymax",
+        ).select(
+            key, "cx", F.explode(F.sequence(cell("ymin"), cell("ymax"))).alias("cy")
+        )
+
+    cand = (
+        cells(boxes(ea, "pid", "x1", "y1", "x2", "y2"), "pid")
+        .join(cells(boxes(eb, "qid", "u1", "v1", "u2", "v2"), "qid"), ["cx", "cy"])
+        .select("pid", "qid")
+        .distinct()
+    )
+
+    c = F.col
+    d1 = (c("u2") - c("u1")) * (c("y1") - c("v1")) - (c("v2") - c("v1")) * (c("x1") - c("u1"))
+    d2 = (c("u2") - c("u1")) * (c("y2") - c("v1")) - (c("v2") - c("v1")) * (c("x2") - c("u1"))
+    d3 = (c("x2") - c("x1")) * (c("v1") - c("y1")) - (c("y2") - c("y1")) * (c("u1") - c("x1"))
+    d4 = (c("x2") - c("x1")) * (c("v2") - c("y1")) - (c("y2") - c("y1")) * (c("u2") - c("x1"))
+
+    def onseg(px, py, ax, ay, bx, by):
+        return (
+            px.between(F.least(ax, bx), F.greatest(ax, bx))
+            & py.between(F.least(ay, by), F.greatest(ay, by))
+        )
+
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+    touch = (
+        ((d1 == 0) & onseg(c("x1"), c("y1"), c("u1"), c("v1"), c("u2"), c("v2")))
+        | ((d2 == 0) & onseg(c("x2"), c("y2"), c("u1"), c("v1"), c("u2"), c("v2")))
+        | ((d3 == 0) & onseg(c("u1"), c("v1"), c("x1"), c("y1"), c("x2"), c("y2")))
+        | ((d4 == 0) & onseg(c("u2"), c("v2"), c("x1"), c("y1"), c("x2"), c("y2")))
+    )
+    hits = (
+        cand.join(ea, "pid")
+        .join(eb, "qid")
+        .groupBy("pid", "qid")
+        .agg(F.sum(F.when(proper | touch, 1).otherwise(0)).alias("n_edge_hits"))
+    )
+
+    from pyspark.sql.window import Window
+
+    def anchor(e: DataFrame, key: str, x: str, y: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(x, y)
+        return (
+            e.select(key, x, y, F.row_number().over(w).alias("rn"))
+            .filter(c("rn") == 1)
+            .drop("rn")
+        )
+
+    anch_a = anchor(ea, "pid", "x1", "y1").withColumnsRenamed(
+        {"x1": "ax", "y1": "ay"}
+    )
+    anch_b = anchor(eb, "qid", "u1", "v1").withColumnsRenamed(
+        {"u1": "bx", "v1": "by"}
+    )
+
+    def parity(cand_df, anch, edges, key_a, key_e, px, py, x1, y1, x2, y2, out):
+        spans = (c(y1) > c(py)) != (c(y2) > c(py))
+        t = (c(x2) - c(x1)) * (c(py) - c(y1)) - (c(px) - c(x1)) * (c(y2) - c(y1))
+        ind = spans & ((t > 0) == (c(y2) > c(y1)))
+        return (
+            cand_df.join(anch, key_a)
+            .join(edges, key_e)
+            .groupBy("pid", "qid")
+            .agg((F.sum(F.when(ind, 1).otherwise(0)) % 2).alias(out))
+        )
+
+    a_in = parity(cand, anch_a, eb, "pid", "qid", "ax", "ay", "u1", "v1", "u2", "v2", "a_in_b")
+    b_in = parity(cand, anch_b, ea, "qid", "pid", "bx", "by", "x1", "y1", "x2", "y2", "b_in_a")
+    return (
+        hits.join(a_in, ["pid", "qid"])
+        .join(b_in, ["pid", "qid"])
+        .filter((c("n_edge_hits") > 0) | (c("a_in_b") == 1) | (c("b_in_a") == 1))
+        .select("pid", "qid", "n_edge_hits", "a_in_b", "b_in_a")
+        .orderBy("pid", "qid")
+    )
