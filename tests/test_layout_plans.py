@@ -377,3 +377,48 @@ def test_manifest_writes_are_atomic(tmp_path):
     src = inspect.getsource(layout)
     helper = inspect.getsource(layout._write_json_atomic)
     assert src.count("json.dump(") == helper.count("json.dump(")
+
+
+def test_manifest_pruned_scan_opens_only_matching_files(spark, sf_dir):
+    """r13 manifest-stats pruning pins: planning selects files from the
+    manifest alone, the scan's inputFiles are exactly the planned
+    subset, the skip ratio is real (most files untouched), and the
+    planned membership matches an independent footer recomputation."""
+    import pyarrow.parquet as pq
+
+    from duckdb_postgis_spark.plans.layout import (
+        ensure_manifest_stats_layout,
+        manifest_pruned_paths,
+    )
+
+    root = ensure_manifest_stats_layout(spark, sf_dir)
+    keep, total = manifest_pruned_paths(root, "user_id", 10, 19)
+    assert 0 < len(keep) < total, (len(keep), total)
+    # 16 range-clustered files; at sf0.001 only 15 distinct users exist so
+    # the 10-id range spans ~5 one-user files; at sf0.01+ it fits in 1-2
+    assert len(keep) <= 6, (len(keep), total)
+    # the executed scan touches exactly the planned files
+    df = registry.QUERIES["lakehouse_manifest_pruned_scan"](spark, sf_dir)
+    df.collect()
+    assert sorted(df.inputFiles()) == sorted(f"file://{p}" for p in keep)
+    # manifest bounds agree with the actual parquet footers (membership
+    # recomputed from raw data, not trusted from the writer)
+    import os as _os
+
+    data_dir = f"{root}/data"
+    recomputed = []
+    for f in sorted(_os.listdir(data_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(f"{data_dir}/{f}").metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                if col.path_in_schema == "user_id":
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        if min(mins) <= 19 and max(maxs) >= 10:
+            recomputed.append(f"{data_dir}/{f}")
+    assert sorted(keep) == recomputed
