@@ -30,135 +30,118 @@ ORACLES: dict[str, str] = {}
 # first refreshes, displaced only by first-verdict additions and
 # changed-code re-entries (changed code outranks refreshes).
 #
-# ROUND-12 ROTATION (this window): CORRECTNESS_r11 came back 50/50 green
-# (rows+schema+hash, 0 err), so all r11 slots rotate out with verdicts
-# standing.  The r11 judge's correction is honored FIRST: the r11-era
-# comment here claimed "no registered verdict older than r8", but FIVE
-# r7-era verdicts remained (stream_session, stream_dedup,
-# stream_stream_left_outer, pipeline_geojson_e2e, pipeline_nongeo_e2e) —
-# the r10 displacement list never included them.  They lead the (b)
-# block below.  The arithmetic:
-#   (a) 15 slots — 10 r12 ADDITIONS needing first verdicts
-#       (dedup_minhash_index_append — the incremental-dedup WRITE path,
-#       judge order #2; lakehouse_compact_deletes — the OPTIMIZE
-#       merge-on-read fold, order #3; text_bpe_train — distributed BPE
-#       merge learning, order #4; seq_pack_metrics + seq_pack_ffd —
-#       packing quality + the boundary-respecting packer, order #5) and
-#       4 r12 CHANGED-CODE re-entries (graph_pagerank_bipartite:
-#       shuffle-partitions conf read guarded against non-integer values;
-#       dedup_lines_intradoc: sharer counts rewritten window -> partial-agg
-#       groupBy+join, the r11 ADVICE hot-digest fix; text_bpe_tokenize +
-#       seq_pack_bpe: _bpe_token_count_sql gained the vocab_sql
-#       parameter — default path plan-identical, but changed code
-#       outranks refreshes, the r11 dedup_minhash_lsh precedent).
-#       LATE (a) ADDITION (judge order #6 follow-through):
-#       pipeline_training_e2e re-entered after the exists-gate rewrite
-#       (PushDownPredicate was substituting split(text) into every
-#       conjunct — 10 plan occurrences; 2.20 s -> 1.10 s at the sf1
-#       shape) — it displaces the LAST r8 slot grouping_sets_cube_rollup,
-#       which keeps its r8 verdict and leads the r13 (b) list.
-#       text_gopher_quality also changed (shared gate rewrite) but was
-#       already in-window as an r8 refresh.  TWO MORE LATE ADDITIONS
-#       (beyond-order widening): text_bpe_train_apply (train-then-
-#       tokenize end to end — the learned vocab driving the greedy fold
-#       as a driver-checked query) and maintenance_expire_snapshots
-#       (keep-latest retention audit completing the compaction story);
-#       they displace the last two r8 slots agg_histogram and
-#       agg_percentiles, which keep r8 verdicts and join the r13 (b)
-#       leads behind grouping_sets_cube_rollup.  A THIRD widening
-#       addition, dedup_minhash_index_compact (the probe->append->
-#       compact cycle's third leg), displaces agg_hll_sketch_merge the
-#       same way, and the polygon pair geo_point_in_polygon +
-#       geo_polygon_area (the PostGIS ST_Contains/ST_Area/ST_Centroid
-#       workhorses the point-only geo surface lacked) displaces
-#       text_pii_scrub + text_unigram_likelihood.
-#   (b) 5 + 30 slots — the five r7-era stragglers above FIRST, then the
-#       r8 tail oldest-registered-first: geo_point_wkt,
-#       agg_approx_distinct, geo_crs_infer_ranges, geo_wkb_roundtrip,
-#       incremental_agg_merge, dedup_ngram_jaccard, dedup_simhash,
-#       dedup_exact_prefix, dedup_embedding_cosine, text_analysis_grouped,
-#       text_language_id, text_quality_score, text_token_count,
-#       text_fingerprint, multimodal_dedup_exact, multimodal_phash_dedup,
-#       multimodal_frame_sample, text_shingle_udtf, text_tfidf_top_terms,
-#       cogroup_reconcile, dedup_cluster_components,
-#       dedup_verify_levenshtein, dedup_survivorship_merge,
-#       embed_quantize_int8, similarity_search_ann, similarity_search_pq,
-#       dedup_substring_spans, contamination_ngram_overlap,
-#       text_gopher_quality, text_repetition_ratio.
-# 15 + 5 + 30 = 50 = DRIVER_WINDOW.  After this window lands, NO
-# registered verdict is older than r8 (now actually true: the five r7
-# stragglers are in-window), and the r8 tail shrinks to thirteen queries.
-#
-# ROUND-13 ROTATION PLAN (execute at round-13 start): if CORRECTNESS_r12
-# is green, all r12 slots rotate out with verdicts standing.  Window, in
-# order (validate with driver_replica before swapping into PRIORITY):
-#   (a) any r13 additions needing a first driver verdict and any query
-#       whose CODE changes in r13 (changed code outranks refreshes);
-#   (b) the THIRTEEN remaining r8-era verdicts, oldest-registered-first:
-#       text_pii_scrub, text_unigram_likelihood, agg_hll_sketch_merge,
-#       agg_histogram, agg_percentiles, grouping_sets_cube_rollup (the
-#       six r12 late-addition displacees, oldest-registered-first),
-#       window_analytic,
+# ROUND-13 ROTATION (this window): CORRECTNESS_r12 came back 50/50 green
+# (rows+schema+hash, 0 err), so all r12 slots rotate out with verdicts
+# standing.  The arithmetic (15 + 13 + 22 = 50):
+#   (a) 15 slots — FIVE r13 additions needing first verdicts
+#       (dedup_incremental_embedding + dedup_embedding_index_append —
+#       the embedding twin of the minhash nightly cycle, r12 judge
+#       order #2; geo_polygon_intersects_join — polygon-polygon
+#       ST_Intersects overlay, order #3; lakehouse_manifest_pruned_scan
+#       — manifest-stats file pruning, order #4; text_bpe_train_batched
+#       — top-m non-conflicting merges per round, order #5) and TEN
+#       r13 CHANGED-CODE re-entries: dedup_minhash_index_append +
+#       dedup_minhash_index_compact (ensure_minhash_index2 gained the
+#       rmtree crash-recovery path, the r12 ADVICE medium fix);
+#       dedup_embedding_cosine (codes computation factored into
+#       _embed_codes — plan-identical, but changed code outranks
+#       refreshes, the text_bpe_tokenize precedent); and the SEVEN
+#       manifest-reading lakehouse queries whose writers moved to
+#       atomic temp-file + os.replace commits (the r12 ADVICE low fix):
+#       snapshot_time_travel, lakehouse_manifest_diff,
+#       maintenance_vacuum_orphans, lakehouse_delete_vectors,
+#       lakehouse_equality_deletes, lakehouse_compact_deletes,
+#       maintenance_expire_snapshots.
+#   (b) 13 slots — the full remaining r8-era tail,
+#       oldest-registered-first (the six r12 late-addition displacees
+#       lead, per the r12 verdict order #1): text_pii_scrub,
+#       text_unigram_likelihood, agg_hll_sketch_merge, agg_histogram,
+#       agg_percentiles, grouping_sets_cube_rollup, window_analytic,
 #       window_rank_topn, sort_limit_topk, pivot_lang_counts,
-#       json_extract_events, join_null_safe, join_bucketed_colocated;
-#   (c) remaining slots to the stalest r9 verdicts in registration
-#       order (leads: scan_project, filter_pred, pricing_summary,
-#       join_inner_hash, join_broadcast_4way, ...).
+#       json_extract_events, join_null_safe, join_bucketed_colocated.
+#       After this window lands, NO registered verdict is older than r9.
+#   (c) 22 slots — the stalest r9 verdicts in registration order
+#       (registration order = the QUERIES dict = load_all's module
+#       order, geo first — which is why geo_transform_27700_to_4326
+#       leads; every lead the r12 verdict named (scan_project,
+#       filter_pred, pricing_summary, join_inner_hash,
+#       join_broadcast_4way) is in the block).
+#
+# ROUND-14 ROTATION PLAN (execute at round-14 start): if CORRECTNESS_r13
+# is green, all r13 slots rotate out with verdicts standing.  Window, in
+# order (validate with driver_replica before swapping into PRIORITY):
+#   (a) any r14 additions needing a first driver verdict and any query
+#       whose CODE changes in r14 (changed code outranks refreshes);
+#   (b) the remaining 24 r9-era verdicts in registration order:
+#       distinct_dedup_exact, agg_skew_salted, join_range_bucketed,
+#       events_multigrain_rollup, events_gap_fill_locf,
+#       window_trailing_range, unpivot_metrics, join_skew_salted,
+#       window_rank_distribution, agg_string_bool, agg_corr_exact,
+#       events_funnel, retention_cohorts, sessionize_islands,
+#       events_anomaly_zscore, events_autocorrelation,
+#       agg_mode_per_group, events_changepoint_cusum,
+#       join_semi_bloom_prefilter, agg_approx_percentiles,
+#       schema_evolution_read, stream_hll_distinct_live,
+#       stream_session_live, events_partition_pruned (order recomputed
+#       from the live registry at r14 start — this list assumes no r13
+#       re-registration reshuffles);
+#   (c) remaining slots to the stalest r10 verdicts in registration
+#       order.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) r12 additions: first driver verdicts --------------------------
+    # -- (a) r13 additions: first driver verdicts --------------------------
+    "dedup_incremental_embedding",
+    "dedup_embedding_index_append",
+    "geo_polygon_intersects_join",
+    "lakehouse_manifest_pruned_scan",
+    "text_bpe_train_batched",
+    # -- (a) r13 changed code (changed code outranks refreshes) -----------
     "dedup_minhash_index_append",
-    "lakehouse_compact_deletes",
-    "text_bpe_train",
-    "seq_pack_metrics",
-    "seq_pack_ffd",
-    "text_bpe_train_apply",
-    "maintenance_expire_snapshots",
     "dedup_minhash_index_compact",
-    "geo_point_in_polygon",
-    "geo_polygon_area",
-    # -- (a) r12 changed code (changed code outranks refreshes) -----------
-    "graph_pagerank_bipartite",
-    "dedup_lines_intradoc",
-    "text_bpe_tokenize",
-    "seq_pack_bpe",
-    "pipeline_training_e2e",
-    # -- (b) the five r7-era stragglers the r10/r11 lists omitted ----------
-    "stream_session",
-    "stream_dedup",
-    "stream_stream_left_outer",
-    "pipeline_geojson_e2e",
-    "pipeline_nongeo_e2e",
-    # -- (b) the r8 tail, oldest-registered-first --------------------------
-    "geo_point_wkt",
-    "agg_approx_distinct",
-    "geo_crs_infer_ranges",
-    "geo_wkb_roundtrip",
-    "incremental_agg_merge",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_exact_prefix",
     "dedup_embedding_cosine",
-    "text_analysis_grouped",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_dedup_exact",
-    "multimodal_phash_dedup",
-    "multimodal_frame_sample",
-    "text_shingle_udtf",
-    "text_tfidf_top_terms",
-    "cogroup_reconcile",
-    "dedup_cluster_components",
-    "dedup_verify_levenshtein",
-    "dedup_survivorship_merge",
-    "embed_quantize_int8",
-    "similarity_search_ann",
-    "similarity_search_pq",
-    "dedup_substring_spans",
-    "contamination_ngram_overlap",
-    "text_gopher_quality",
-    "text_repetition_ratio",
+    "snapshot_time_travel",
+    "lakehouse_manifest_diff",
+    "maintenance_vacuum_orphans",
+    "lakehouse_delete_vectors",
+    "lakehouse_equality_deletes",
+    "lakehouse_compact_deletes",
+    "maintenance_expire_snapshots",
+    # -- (b) the r8-era tail, oldest-registered-first ----------------------
+    "text_pii_scrub",
+    "text_unigram_likelihood",
+    "agg_hll_sketch_merge",
+    "agg_histogram",
+    "agg_percentiles",
+    "grouping_sets_cube_rollup",
+    "window_analytic",
+    "window_rank_topn",
+    "sort_limit_topk",
+    "pivot_lang_counts",
+    "json_extract_events",
+    "join_null_safe",
+    "join_bucketed_colocated",
+    # -- (c) stalest r9 verdicts, registration order -----------------------
+    "geo_transform_27700_to_4326",
+    "pipeline_geo_file_e2e",
+    "join_scd2_point_in_time",
+    "dedup_crosslingual_semantic",
+    "multimodal_meta_stats",
+    "multimodal_image_features",
+    "multimodal_audio_energy",
+    "scan_project",
+    "filter_pred",
+    "pricing_summary",
+    "join_inner_hash",
+    "join_broadcast_4way",
+    "join_left_right_full",
+    "join_semi_anti",
+    "join_theta_range",
+    "join_asof",
+    "join_asof_forward",
+    "agg_cms_topk_merge",
+    "set_ops",
+    "scalar_string_date_math",
+    "array_map_json",
+    "subquery_scalar_in",
 )
 DRIVER_WINDOW = 50
 

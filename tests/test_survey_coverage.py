@@ -54,7 +54,7 @@ GEO = [
     "geo_wkb_roundtrip", "geo_bbox_join_grid", "geo_cell_rollup",
     "geo_haversine_radius", "geo_knn_join", "pipeline_geo_file_e2e",
     "pipeline_geojson_e2e", "pipeline_nongeo_e2e", "geo_hotspot_cells",
-    "geo_point_in_polygon", "geo_polygon_area",
+    "geo_point_in_polygon", "geo_polygon_area", "geo_polygon_intersects_join",
 ]
 # §2.12a multimodal
 MULTIMODAL = [
@@ -90,7 +90,8 @@ TEXT_EXT = [
     "text_collocation_pmi", "dedup_exact_normalized",
     "dedup_incremental_minhash", "dedup_lines_intradoc", "text_bpe_tokenize",
     "dedup_minhash_index_append", "text_bpe_train", "text_bpe_train_apply",
-    "dedup_minhash_index_compact",
+    "dedup_minhash_index_compact", "dedup_incremental_embedding",
+    "dedup_embedding_index_append", "text_bpe_train_batched",
 ]
 
 # §2.12e training-data-pipeline extensions
@@ -114,7 +115,7 @@ LAKEHOUSE = [
     "lakehouse_manifest_diff", "scan_orc_roundtrip",
     "maintenance_vacuum_orphans", "lakehouse_delete_vectors",
     "lakehouse_equality_deletes", "lakehouse_compact_deletes",
-    "maintenance_expire_snapshots",
+    "maintenance_expire_snapshots", "lakehouse_manifest_pruned_scan",
 ]
 
 ALL_DECLARED = (
@@ -134,62 +135,58 @@ def test_every_survey_operator_is_registered():
 
 def test_driver_window_covers_required_families():
     """The driver verifies only the first DRIVER_WINDOW entries of
-    queries().  Round-12 rotation (CORRECTNESS_r11 was 50/50, so all r11
-    slots rotate out with verdicts standing): the window holds (a) first
-    driver verdicts for the TEN r12 additions + the five r12
-    changed-code re-entries = 15, (b) the FIVE r7-era stragglers the
-    r10/r11 displacement lists omitted (the r11 judge's off-by-five
-    correction: stream_session, stream_dedup, stream_stream_left_outer,
-    pipeline_geojson_e2e, pipeline_nongeo_e2e) followed by thirty r8
-    verdicts oldest-registered-first.  After this window lands no
-    registered verdict is older than r8 — now actually true — and the
-    r8 tail shrinks to thirteen (pre-written as the r13 (b) block in
-    registry.py).  Earlier rounds' displacement rationales live in the
-    r10/r11 revisions of this file (git)."""
+    queries().  Round-13 rotation (CORRECTNESS_r12 was 50/50, so all r12
+    slots rotate out with verdicts standing): (a) first driver verdicts
+    for the FIVE r13 additions + ten r13 changed-code re-entries = 15,
+    (b) the full remaining thirteen r8-era verdicts (the six r12
+    late-addition displacees lead), (c) the 22 stalest r9 verdicts in
+    registration order.  After this window lands no registered verdict
+    is older than r9, and the r9 tail shrinks to 24 (pre-written as the
+    r14 (b) block in registry.py).  Earlier rounds' displacement
+    rationales live in the r10-r12 revisions of this file (git)."""
     window = set(list(registry.all_queries())[: registry.DRIVER_WINDOW])
-    added_r12 = {
-        "dedup_minhash_index_append", "lakehouse_compact_deletes",
-        "text_bpe_train", "seq_pack_metrics", "seq_pack_ffd",
-        # late widening additions (displaced agg_histogram/agg_percentiles/
-        # agg_hll_sketch_merge to the r13 (b) leads)
-        "text_bpe_train_apply", "maintenance_expire_snapshots",
-        "dedup_minhash_index_compact", "geo_point_in_polygon",
-        "geo_polygon_area",
+    added_r13 = {
+        # the embedding twin of the minhash nightly cycle (judge order #2)
+        "dedup_incremental_embedding", "dedup_embedding_index_append",
+        # polygon-polygon ST_Intersects overlay (order #3)
+        "geo_polygon_intersects_join",
+        # manifest-stats file pruning (order #4)
+        "lakehouse_manifest_pruned_scan",
+        # batched top-m BPE merge learning (order #5)
+        "text_bpe_train_batched",
     }
-    changed_r12 = {
-        # shuffle-partitions conf read guarded (r11 ADVICE)
-        "graph_pagerank_bipartite",
-        # window -> partial-agg groupBy+join sharer counts (r11 ADVICE)
-        "dedup_lines_intradoc",
-        # _bpe_token_count_sql gained vocab_sql (default plan-identical;
-        # changed code outranks refreshes — the dedup_minhash_lsh precedent)
-        "text_bpe_tokenize", "seq_pack_bpe",
-        # exists-gate rewrite (judge order #6: pushdown was substituting
-        # split(text) into every conjunct; 2.20s -> 1.10s at sf1 shape) —
-        # displaces grouping_sets_cube_rollup to the r13 (b) lead.
-        # text_gopher_quality shares the rewrite but was already
-        # in-window as an r8 refresh.
-        "pipeline_training_e2e",
+    changed_r13 = {
+        # ensure_minhash_index2 gained the rmtree crash-recovery path
+        # (r12 ADVICE medium)
+        "dedup_minhash_index_append", "dedup_minhash_index_compact",
+        # codes computation factored into _embed_codes (plan-identical;
+        # changed code outranks refreshes)
+        "dedup_embedding_cosine",
+        # manifest writers moved to atomic temp-file + os.replace
+        # commits (r12 ADVICE low) — every reader re-enters
+        "snapshot_time_travel", "lakehouse_manifest_diff",
+        "maintenance_vacuum_orphans", "lakehouse_delete_vectors",
+        "lakehouse_equality_deletes", "lakehouse_compact_deletes",
+        "maintenance_expire_snapshots",
     }
-    r7_stragglers = {
-        "stream_session", "stream_dedup", "stream_stream_left_outer",
-        "pipeline_geojson_e2e", "pipeline_nongeo_e2e",
+    r8_tail = {
+        "text_pii_scrub", "text_unigram_likelihood", "agg_hll_sketch_merge",
+        "agg_histogram", "agg_percentiles", "grouping_sets_cube_rollup",
+        "window_analytic", "window_rank_topn", "sort_limit_topk",
+        "pivot_lang_counts", "json_extract_events", "join_null_safe",
+        "join_bucketed_colocated",
     }
-    r8_refresh = {
-        "geo_point_wkt", "agg_approx_distinct", "geo_crs_infer_ranges",
-        "geo_wkb_roundtrip", "incremental_agg_merge", "dedup_ngram_jaccard",
-        "dedup_simhash", "dedup_exact_prefix", "dedup_embedding_cosine",
-        "text_analysis_grouped", "text_language_id", "text_quality_score",
-        "text_token_count", "text_fingerprint", "multimodal_dedup_exact",
-        "multimodal_phash_dedup", "multimodal_frame_sample",
-        "text_shingle_udtf", "text_tfidf_top_terms", "cogroup_reconcile",
-        "dedup_cluster_components", "dedup_verify_levenshtein",
-        "dedup_survivorship_merge", "embed_quantize_int8",
-        "similarity_search_ann", "similarity_search_pq",
-        "dedup_substring_spans", "contamination_ngram_overlap",
-        "text_gopher_quality", "text_repetition_ratio",
+    r9_refresh = {
+        "geo_transform_27700_to_4326", "pipeline_geo_file_e2e",
+        "join_scd2_point_in_time", "dedup_crosslingual_semantic",
+        "multimodal_meta_stats", "multimodal_image_features",
+        "multimodal_audio_energy", "scan_project", "filter_pred",
+        "pricing_summary", "join_inner_hash", "join_broadcast_4way",
+        "join_left_right_full", "join_semi_anti", "join_theta_range",
+        "join_asof", "join_asof_forward", "agg_cms_topk_merge", "set_ops",
+        "scalar_string_date_math", "array_map_json", "subquery_scalar_in",
     }
-    required = added_r12 | changed_r12 | r7_stragglers | r8_refresh
+    required = added_r13 | changed_r13 | r8_tail | r9_refresh
     missing = sorted(required - window)
     assert not missing, f"outside driver window: {missing}"
     assert len(required) == registry.DRIVER_WINDOW
