@@ -4452,9 +4452,12 @@ def ensure_embedding_index2(spark: SparkSession, sf_dir: str):
     return _embed_index_tables(spark, sf_dir, "2", build)
 
 
-@query(
-    "dedup_embedding_index_append",
-    oracle=_SQL_EMBED_CODES
+#: shared by the append gate AND the compaction gate below — compaction
+#: must be LOSSLESS, so its oracle is the append op's verbatim (the
+#: dedup_minhash_index_compact convention: probe-result identity IS the
+#: losslessness proof)
+_EMBED_APPEND_ORACLE = (
+    _SQL_EMBED_CODES
     + f""",
     ver AS (
         SELECT DISTINCT x.vec_id AS new_id, y.vec_id AS idx_id
@@ -4491,8 +4494,11 @@ def ensure_embedding_index2(spark: SparkSession, sf_dir: str):
     JOIN embeddings b ON b.vec_id = c.idx_id
     WHERE {_SQL_COS} >= {_SQL_COS_THRESH}
     ORDER BY c.new_id, c.idx_id
-    """,
+    """
 )
+
+
+@query("dedup_embedding_index_append", oracle=_EMBED_APPEND_ORACLE)
 def dedup_embedding_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic index-append MAINTENANCE gate — the nightly WRITE path of
     the embedding dedup loop (the minhash family's
@@ -4514,10 +4520,19 @@ def dedup_embedding_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_fuzz_embed_index.py); the re-probe pays the same
     exchange-free index-side plan as dedup_incremental_embedding."""
     codes2, vecs2 = ensure_embedding_index2(spark, sf_dir)
+    return _embed_reprobe(spark, sf_dir, codes2, vecs2)
+
+
+def _embed_reprobe(
+    spark: SparkSession, sf_dir: str, codes: DataFrame, vecs: DataFrame
+) -> DataFrame:
+    """Full-delta re-probe against a post-append index generation with
+    the idx_src provenance column — shared by the append gate and the
+    compaction gate so both prove the same contract on the same plan."""
     n, dim = _corpus_stats(f"{sf_dir}/embeddings.parquet")
     delta = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
     return (
-        _embed_probe(delta, codes2, vecs2, n, dim)
+        _embed_probe(delta, codes, vecs, n, dim)
         .select(
             "new_id",
             "idx_id",
@@ -4528,6 +4543,46 @@ def dedup_embedding_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_id", "idx_id")
     )
+
+
+def ensure_embedding_index_compacted(spark: SparkSession, sf_dir: str):
+    """The post-append semantic index (ensure_embedding_index2) rewritten
+    in ONE bucketed write job per table — the index-side OPTIMIZE:
+    nightly appends leave one file per bucket per night, so after N
+    nights every bucket-wise probe opens N files per bucket; compaction
+    folds BOTH tables (codes and vectors) back to one file per bucket.
+    Content is byte-identical to the appended generation (the registered
+    query proves it by probe-result identity)."""
+
+    def build(ct: str, vt: str) -> None:
+        c2, v2 = ensure_embedding_index2(spark, sf_dir)
+        _embed_index_write(c2, ct, ("band", "bucket"), "overwrite")
+        _embed_index_write(v2, vt, ("vec_id",), "overwrite")
+
+    return _embed_index_tables(spark, sf_dir, "3", build)
+
+
+@query("dedup_embedding_index_compact", oracle=_EMBED_APPEND_ORACLE)
+def dedup_embedding_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic index COMPACTION gate — the third leg of the embedding
+    maintenance cycle (probe -> append -> compact), mirroring
+    dedup_minhash_index_compact: both index tables fold into one write
+    job each (ensure_embedding_index_compacted) and the delta re-probe
+    against the COMPACTED generation must return row-for-row what the
+    pre-compaction probe returned — the oracle is
+    dedup_embedding_index_append's VERBATIM, so a compaction that drops,
+    duplicates, or re-buckets a code row or corrupts a stored norm is a
+    driver hash failure.  tests/test_fuzz_embed_index.py pins the
+    file-level claim: one file per bucket after compaction (two write
+    jobs' worth before) in BOTH tables.
+
+    Scale: compaction reads and writes the index once — codes are
+    ids-only (tiny) and each vector is stored exactly once, so the fold
+    is O(index bytes), never O(corpus); probe cost afterwards returns to
+    single-file-per-bucket reads no matter how many nightly appends
+    preceded it."""
+    codes3, vecs3 = ensure_embedding_index_compacted(spark, sf_dir)
+    return _embed_reprobe(spark, sf_dir, codes3, vecs3)
 
 
 # --------------------------------------------------------------------------
@@ -5155,11 +5210,8 @@ def text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("p.l", "p.r")
             .agg(F.sum("cnt").alias("pair_cnt"))
         )
-        window = (
-            pairs.orderBy(F.desc("pair_cnt"), "l", "r")
-            .limit(_BPE_BATCH_W)
-            .collect()
-        )
+        ranked = pairs.orderBy(F.desc("pair_cnt"), "l", "r")
+        window = ranked.limit(_BPE_BATCH_W).collect()
         if not window:
             break
         accepted: list[tuple[str, str, int]] = []

@@ -32,14 +32,18 @@ ORACLES: dict[str, str] = {}
 #
 # ROUND-13 ROTATION (this window): CORRECTNESS_r12 came back 50/50 green
 # (rows+schema+hash, 0 err), so all r12 slots rotate out with verdicts
-# standing.  The arithmetic (15 + 13 + 22 = 50):
-#   (a) 15 slots — FIVE r13 additions needing first verdicts
+# standing.  The arithmetic (16 + 13 + 21 = 50):
+#   (a) 16 slots — SIX r13 additions needing first verdicts
 #       (dedup_incremental_embedding + dedup_embedding_index_append —
 #       the embedding twin of the minhash nightly cycle, r12 judge
 #       order #2; geo_polygon_intersects_join — polygon-polygon
 #       ST_Intersects overlay, order #3; lakehouse_manifest_pruned_scan
 #       — manifest-stats file pruning, order #4; text_bpe_train_batched
-#       — top-m non-conflicting merges per round, order #5) and TEN
+#       — top-m non-conflicting merges per round, order #5;
+#       dedup_embedding_index_compact — the semantic cycle's third
+#       leg, beyond-order widening mirroring the minhash compact —
+#       it displaces the LAST (c) slot subquery_scalar_in, which
+#       keeps its r9 verdict and joins the r14 (b) block) and TEN
 #       r13 CHANGED-CODE re-entries: dedup_minhash_index_append +
 #       dedup_minhash_index_compact (ensure_minhash_index2 gained the
 #       rmtree crash-recovery path, the r12 ADVICE medium fix);
@@ -60,7 +64,7 @@ ORACLES: dict[str, str] = {}
 #       window_rank_topn, sort_limit_topk, pivot_lang_counts,
 #       json_extract_events, join_null_safe, join_bucketed_colocated.
 #       After this window lands, NO registered verdict is older than r9.
-#   (c) 22 slots — the stalest r9 verdicts in registration order
+#   (c) 21 slots — the stalest r9 verdicts in registration order
 #       (registration order = the QUERIES dict = load_all's module
 #       order, geo first — which is why geo_transform_27700_to_4326
 #       leads; every lead the r12 verdict named (scan_project,
@@ -82,7 +86,8 @@ ORACLES: dict[str, str] = {}
 #       agg_mode_per_group, events_changepoint_cusum,
 #       join_semi_bloom_prefilter, agg_approx_percentiles,
 #       schema_evolution_read, stream_hll_distinct_live,
-#       stream_session_live, events_partition_pruned (order recomputed
+#       stream_session_live, events_partition_pruned,
+#       subquery_scalar_in (the r13 widening displacee) (order recomputed
 #       from the live registry at r14 start — this list assumes no r13
 #       re-registration reshuffles);
 #   (c) remaining slots to the stalest r10 verdicts in registration
@@ -94,6 +99,7 @@ PRIORITY: tuple[str, ...] = (
     "geo_polygon_intersects_join",
     "lakehouse_manifest_pruned_scan",
     "text_bpe_train_batched",
+    "dedup_embedding_index_compact",
     # -- (a) r13 changed code (changed code outranks refreshes) -----------
     "dedup_minhash_index_append",
     "dedup_minhash_index_compact",
@@ -141,7 +147,6 @@ PRIORITY: tuple[str, ...] = (
     "set_ops",
     "scalar_string_date_math",
     "array_map_json",
-    "subquery_scalar_in",
 )
 DRIVER_WINDOW = 50
 

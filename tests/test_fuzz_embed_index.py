@@ -109,6 +109,10 @@ def test_embed_index_matches_oracle(spark, tmp_path, seed):
     _write_embeddings(_corpus(seed), tmp_path)
     _compare(spark, tmp_path, "dedup_incremental_embedding", seed)
     _compare(spark, tmp_path, "dedup_embedding_index_append", seed)
+    if seed % 4 == 0:
+        # compaction rider: the re-probe against the COMPACTED index
+        # must match the same oracle row-for-row (lossless fold)
+        _compare(spark, tmp_path, "dedup_embedding_index_compact", seed)
 
 
 def _directed_rows():
@@ -228,3 +232,40 @@ def test_probe_plan_is_index_colocated(spark, tmp_path):
     df = registry.QUERIES["dedup_incremental_embedding"](spark, str(tmp_path))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in plan, plan[:2000]
+
+
+def test_index_compaction_folds_bucket_files(spark, tmp_path):
+    """File-level compaction pin, vector edition: the appended
+    generation holds TWO write jobs' files in each table; the compacted
+    generation holds ONE job per table, with identical row counts and
+    identical probe results."""
+    from duckdb_postgis_spark.operators.llm import (
+        ensure_embedding_index2,
+        ensure_embedding_index_compacted,
+    )
+    from duckdb_postgis_spark.plans.layout import _LAYOUT_ROOT, _token
+
+    _write_embeddings(_directed_rows(), tmp_path)
+    c2, v2 = ensure_embedding_index2(spark, str(tmp_path))
+    c3, v3 = ensure_embedding_index_compacted(spark, str(tmp_path))
+    assert (c3.count(), v3.count()) == (c2.count(), v2.count())
+    tok = _token(str(tmp_path), "embeddings")
+
+    def jobs(tbl: str) -> set[str]:
+        d = f"{_LAYOUT_ROOT}/{tbl}"
+        return {
+            f.split("-", 2)[2].split("_")[0]
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    for prefix in ("codes", "vecs"):
+        assert len(jobs(f"embed_index2_{prefix}_{tok}")) == 2, prefix
+        assert len(jobs(f"embed_index3_{prefix}_{tok}")) == 1, prefix
+    out = registry.QUERIES["dedup_embedding_index_compact"](
+        spark, str(tmp_path)
+    ).collect()
+    base = registry.QUERIES["dedup_embedding_index_append"](
+        spark, str(tmp_path)
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, base))

@@ -170,6 +170,9 @@ def test_no_unbounded_driver_collect():
         # train-then-apply reads back the learned merge LIST — at most
         # _BPE_TRAIN_MERGES (6) rows, never corpus data
         ("operators/llm.py", 'text_bpe_train(spark, sf_dir).orderBy("rank")'),
+        # batched BPE candidate window: exactly the top-W (12) pair rows
+        # per round via TakeOrderedAndProject — never the pair table
+        ("operators/llm.py", ".limit(_BPE_BATCH_W)"),
         # SemDeDup two-level route: only the ceil(sqrt(K)) SUPER-seed
         # prefix (limit(m) upstream) comes to the driver — O(sqrt(K))
         # rows by construction; the full K-seed set stays distributed

@@ -92,6 +92,7 @@ TEXT_EXT = [
     "dedup_minhash_index_append", "text_bpe_train", "text_bpe_train_apply",
     "dedup_minhash_index_compact", "dedup_incremental_embedding",
     "dedup_embedding_index_append", "text_bpe_train_batched",
+    "dedup_embedding_index_compact",
 ]
 
 # §2.12e training-data-pipeline extensions
@@ -137,10 +138,11 @@ def test_driver_window_covers_required_families():
     """The driver verifies only the first DRIVER_WINDOW entries of
     queries().  Round-13 rotation (CORRECTNESS_r12 was 50/50, so all r12
     slots rotate out with verdicts standing): (a) first driver verdicts
-    for the FIVE r13 additions + ten r13 changed-code re-entries = 15,
+    for the SIX r13 additions + ten r13 changed-code re-entries = 16,
     (b) the full remaining thirteen r8-era verdicts (the six r12
-    late-addition displacees lead), (c) the 22 stalest r9 verdicts in
-    registration order.  After this window lands no registered verdict
+    late-addition displacees lead), (c) the 21 stalest r9 verdicts in
+    registration order (subquery_scalar_in displaced to r14 by the
+    sixth addition).  After this window lands no registered verdict
     is older than r9, and the r9 tail shrinks to 24 (pre-written as the
     r14 (b) block in registry.py).  Earlier rounds' displacement
     rationales live in the r10-r12 revisions of this file (git)."""
@@ -154,6 +156,9 @@ def test_driver_window_covers_required_families():
         "lakehouse_manifest_pruned_scan",
         # batched top-m BPE merge learning (order #5)
         "text_bpe_train_batched",
+        # semantic cycle third leg (beyond-order widening; displaces
+        # the last (c) slot subquery_scalar_in to the r14 (b) block)
+        "dedup_embedding_index_compact",
     }
     changed_r13 = {
         # ensure_minhash_index2 gained the rmtree crash-recovery path
@@ -184,7 +189,7 @@ def test_driver_window_covers_required_families():
         "pricing_summary", "join_inner_hash", "join_broadcast_4way",
         "join_left_right_full", "join_semi_anti", "join_theta_range",
         "join_asof", "join_asof_forward", "agg_cms_topk_merge", "set_ops",
-        "scalar_string_date_math", "array_map_json", "subquery_scalar_in",
+        "scalar_string_date_math", "array_map_json",
     }
     required = added_r13 | changed_r13 | r8_tail | r9_refresh
     missing = sorted(required - window)
