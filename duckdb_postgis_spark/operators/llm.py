@@ -742,15 +742,30 @@ _BLOCK_TARGET_BYTES = 64 << 20
 _BLOCK_MAX_ROWS = 4096
 
 
-def _num_blocks(n: int, dim: int) -> int:
+def _num_blocks(n: int, dim: int, parallelism: int | None = None) -> int:
     """Block count for the all-pairs matmul: bounded per-task INPUT bytes
     (byte term) AND per-task OUTPUT cells (row-cap term), whichever is
-    stricter; floor of 4 keeps small corpora parallel."""
-    return max(
+    stricter; floor of 4 keeps small corpora parallel.
+
+    The PARALLELISM floor (r13, the knn_cosine_topk drift root cause):
+    at the bench shape (20k x 64) the byte/row terms gave 5 blocks = 15
+    cogroup tasks on 32 cores — half the machine idle, wall time = the
+    straggler, and 2x rep-to-rep variance that LOOKED like machine
+    drift across three rounds (1.55 -> 2.0 -> 3.2 s).  Sizing blocks so
+    the group count >= 2x defaultParallelism (smallest b with
+    b(b+1)/2 >= 2P) cut the interleaved median 8.8 -> ~1.8 s.  The
+    induced replication factor b+1 ~ sqrt(8P) is the textbook 2D
+    block-decomposition optimum — replication O(sqrt(P)) is the known
+    lower bound for distributed all-pairs/matmul, so this floor is the
+    scale-correct shape for a 1000-executor cluster too."""
+    terms = [
         4,
         math.ceil(n * dim * 8 / _BLOCK_TARGET_BYTES),
         math.ceil(n / _BLOCK_MAX_ROWS),
-    )
+    ]
+    if parallelism:
+        terms.append(math.ceil((math.sqrt(1 + 16 * parallelism) - 1) / 2))
+    return max(terms)
 
 
 def _block_pair_topk(
@@ -772,7 +787,9 @@ def _block_pair_topk(
         return emb.sparkSession.createDataFrame(
             [], "a_id bigint, b_id bigint, cosine double"
         )
-    nblocks = _num_blocks(n, dim)
+    nblocks = _num_blocks(
+        n, dim, emb.sparkSession.sparkContext.defaultParallelism
+    )
 
     blk = F.pmod(F.hash("vec_id"), F.lit(nblocks)).cast("int")
     # side A: block i joins every pair (i, j), j >= i; side B: block j joins

@@ -1,4 +1,13 @@
-"""Interleaved A/B re-measurement of knn_cosine_topk at the sf1 shape
+"""Interleaved A/B re-measurement of knn_cosine_topk at the sf1 shape.
+
+MEASUREMENT TRAP found while running this (r13): /tmp/sf1_stress
+parquet has ONE row group per file, so DuckDB (row-group parallelism)
+and Spark (one scan task per row group) BOTH serialize on it — the
+first run measured duckdb 312 s / spark 6 s, a layout artifact, not
+drift.  Point SF_DIR at the bench scan-layout dir (ensure_scan_layout,
+19 row groups) and match the bench core count (32) for apples-to-
+apples with BENCH_full numbers.
+
 (r12 judge order #6): the r12 window measured 1.551 s (r11) -> 2.007 s
 (+29%), the only headliner outside the documented ±25% cross-session
 band, in a round where BOTH engines' floors moved a lot (machine
@@ -23,6 +32,7 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_stress"
 ROUNDS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+CPUS = int(sys.argv[3]) if len(sys.argv) > 3 else 32  # match the bench harness
 
 
 def main() -> None:
@@ -33,9 +43,10 @@ def main() -> None:
 
     registry.load_all()
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{CPUS}]")
         .appName("knn-topk-ab")
         .config("spark.driver.memory", "8g")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
         .getOrCreate()
     )
     con = duckdb.connect()

@@ -311,3 +311,20 @@ def test_pq_codebook_deterministic_and_shaped(spark, sf_dir):
 
     assert a.shape == (llm._PQ_M, llm._PQ_K, s.shape[1] // llm._PQ_M)
     assert np.array_equal(a, b)
+
+
+def test_num_blocks_parallelism_floor():
+    """r13: group count must reach 2x defaultParallelism so the cogroup
+    matmul saturates the cluster — the knn drift root cause was 15
+    groups on 32 cores.  b(b+1)/2 >= 2P at the smallest such b; the
+    floor composes with (never weakens) the byte/row caps."""
+    from duckdb_postgis_spark.operators.llm import _num_blocks
+
+    for p in (1, 8, 32, 256, 1000):
+        b = _num_blocks(2000, 8, parallelism=p)
+        assert b * (b + 1) // 2 >= 2 * p, (p, b)
+        bm1 = b - 1
+        assert b == 4 or bm1 * (bm1 + 1) // 2 < 2 * p or bm1 < 4, (p, b)
+    # caps still dominate when they are stricter
+    assert _num_blocks(60_000, 64, parallelism=8) == 15
+    assert _num_blocks(2000, 8, parallelism=None) == 4

@@ -138,11 +138,11 @@ def test_driver_window_covers_required_families():
     """The driver verifies only the first DRIVER_WINDOW entries of
     queries().  Round-13 rotation (CORRECTNESS_r12 was 50/50, so all r12
     slots rotate out with verdicts standing): (a) first driver verdicts
-    for the SIX r13 additions + ten r13 changed-code re-entries = 16,
+    for the SIX r13 additions + eleven r13 changed-code re-entries = 17,
     (b) the full remaining thirteen r8-era verdicts (the six r12
-    late-addition displacees lead), (c) the 21 stalest r9 verdicts in
-    registration order (subquery_scalar_in displaced to r14 by the
-    sixth addition).  After this window lands no registered verdict
+    late-addition displacees lead), (c) the 20 stalest r9 verdicts in
+    registration order (subquery_scalar_in and array_map_json displaced
+    to r14 by the sixth addition and the knn re-entry).  After this window lands no registered verdict
     is older than r9, and the r9 tail shrinks to 24 (pre-written as the
     r14 (b) block in registry.py).  Earlier rounds' displacement
     rationales live in the r10-r12 revisions of this file (git)."""
@@ -173,6 +173,10 @@ def test_driver_window_covers_required_families():
         "maintenance_vacuum_orphans", "lakehouse_delete_vectors",
         "lakehouse_equality_deletes", "lakehouse_compact_deletes",
         "maintenance_expire_snapshots",
+        # _num_blocks parallelism floor: 15 cogroup tasks on 32 cores was
+        # the r12 order-#6 drift root cause (8.8 s -> 1.28 s interleaved);
+        # displaces the last (c) slot array_map_json to the r14 (b) block
+        "knn_cosine_topk",
     }
     r8_tail = {
         "text_pii_scrub", "text_unigram_likelihood", "agg_hll_sketch_merge",
@@ -189,7 +193,7 @@ def test_driver_window_covers_required_families():
         "pricing_summary", "join_inner_hash", "join_broadcast_4way",
         "join_left_right_full", "join_semi_anti", "join_theta_range",
         "join_asof", "join_asof_forward", "agg_cms_topk_merge", "set_ops",
-        "scalar_string_date_math", "array_map_json",
+        "scalar_string_date_math",
     }
     required = added_r13 | changed_r13 | r8_tail | r9_refresh
     missing = sorted(required - window)
