@@ -3322,7 +3322,15 @@ def sample_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, dim = _corpus_stats(f"{sf_dir}/embeddings.parquet")
     if n == 0 or dim == 0:
         return spark.createDataFrame([], "q_id bigint, neg_id bigint, cosine double")
-    nchunks = _num_blocks(n, dim)
+    # chunk count floor 2x parallelism (r13, the knn _num_blocks lesson
+    # applied to LINEAR chunking): the byte/row caps alone gave 5 chunks
+    # = 5 tasks on 32 cores.  Unlike the pair matmul, more chunks here
+    # are nearly free — the corpus is never replicated, only the small
+    # anchor matrix rides to every chunk — so saturating the cluster
+    # costs just |anchors| x nchunks duplicate query rows.
+    nchunks = max(
+        _num_blocks(n, dim), 2 * spark.sparkContext.defaultParallelism
+    )
     corpus = emb.withColumn(
         "chunk", F.pmod(F.hash("vec_id"), F.lit(nchunks)).cast("int")
     )

@@ -32,8 +32,8 @@ ORACLES: dict[str, str] = {}
 #
 # ROUND-13 ROTATION (this window): CORRECTNESS_r12 came back 50/50 green
 # (rows+schema+hash, 0 err), so all r12 slots rotate out with verdicts
-# standing.  The arithmetic (17 + 13 + 20 = 50):
-#   (a) 17 slots — SIX r13 additions needing first verdicts
+# standing.  The arithmetic (18 + 13 + 19 = 50):
+#   (a) 18 slots — SIX r13 additions needing first verdicts
 #       (dedup_incremental_embedding + dedup_embedding_index_append —
 #       the embedding twin of the minhash nightly cycle, r12 judge
 #       order #2; geo_polygon_intersects_join — polygon-polygon
@@ -43,7 +43,7 @@ ORACLES: dict[str, str] = {}
 #       dedup_embedding_index_compact — the semantic cycle's third
 #       leg, beyond-order widening mirroring the minhash compact —
 #       it displaces the LAST (c) slot subquery_scalar_in, which
-#       keeps its r9 verdict and joins the r14 (b) block) and ELEVEN
+#       keeps its r9 verdict and joins the r14 (b) block) and TWELVE
 #       r13 CHANGED-CODE re-entries: dedup_minhash_index_append +
 #       dedup_minhash_index_compact (ensure_minhash_index2 gained the
 #       rmtree crash-recovery path, the r12 ADVICE medium fix);
@@ -59,7 +59,11 @@ ORACLES: dict[str, str] = {}
 #       _num_blocks parallelism floor (the r12 order-#6 drift root
 #       cause: 15 cogroup tasks on 32 cores; interleaved median
 #       8.8 s -> 1.28 s at the bench shape) — displacing the last
-#       (c) slot array_map_json to the r14 (b) block.
+#       (c) slot array_map_json to the r14 (b) block; and
+#       sample_hard_negative_mining — the same under-parallelism
+#       class on its LINEAR chunking (5 tasks on 32 cores; chunk
+#       floor 2 x defaultParallelism, corpus never replicated) —
+#       displacing scalar_string_date_math the same way.
 #   (b) 13 slots — the full remaining r8-era tail,
 #       oldest-registered-first (the six r12 late-addition displacees
 #       lead, per the r12 verdict order #1): text_pii_scrub,
@@ -68,7 +72,7 @@ ORACLES: dict[str, str] = {}
 #       window_rank_topn, sort_limit_topk, pivot_lang_counts,
 #       json_extract_events, join_null_safe, join_bucketed_colocated.
 #       After this window lands, NO registered verdict is older than r9.
-#   (c) 20 slots — the stalest r9 verdicts in registration order
+#   (c) 19 slots — the stalest r9 verdicts in registration order
 #       (registration order = the QUERIES dict = load_all's module
 #       order, geo first — which is why geo_transform_27700_to_4326
 #       leads; every lead the r12 verdict named (scan_project,
@@ -91,7 +95,8 @@ ORACLES: dict[str, str] = {}
 #       join_semi_bloom_prefilter, agg_approx_percentiles,
 #       schema_evolution_read, stream_hll_distinct_live,
 #       stream_session_live, events_partition_pruned,
-#       subquery_scalar_in, array_map_json (the r13 displacees) (order recomputed
+#       subquery_scalar_in, array_map_json, scalar_string_date_math
+#       (the r13 displacees) (order recomputed
 #       from the live registry at r14 start — this list assumes no r13
 #       re-registration reshuffles);
 #   (c) remaining slots to the stalest r10 verdicts in registration
@@ -116,6 +121,7 @@ PRIORITY: tuple[str, ...] = (
     "lakehouse_compact_deletes",
     "maintenance_expire_snapshots",
     "knn_cosine_topk",
+    "sample_hard_negative_mining",
     # -- (b) the r8-era tail, oldest-registered-first ----------------------
     "text_pii_scrub",
     "text_unigram_likelihood",
@@ -150,7 +156,6 @@ PRIORITY: tuple[str, ...] = (
     "join_asof_forward",
     "agg_cms_topk_merge",
     "set_ops",
-    "scalar_string_date_math",
 )
 DRIVER_WINDOW = 50
 

@@ -138,11 +138,12 @@ def test_driver_window_covers_required_families():
     """The driver verifies only the first DRIVER_WINDOW entries of
     queries().  Round-13 rotation (CORRECTNESS_r12 was 50/50, so all r12
     slots rotate out with verdicts standing): (a) first driver verdicts
-    for the SIX r13 additions + eleven r13 changed-code re-entries = 17,
+    for the SIX r13 additions + twelve r13 changed-code re-entries = 18,
     (b) the full remaining thirteen r8-era verdicts (the six r12
-    late-addition displacees lead), (c) the 20 stalest r9 verdicts in
-    registration order (subquery_scalar_in and array_map_json displaced
-    to r14 by the sixth addition and the knn re-entry).  After this window lands no registered verdict
+    late-addition displacees lead), (c) the 19 stalest r9 verdicts in
+    registration order (subquery_scalar_in, array_map_json, and
+    scalar_string_date_math displaced to r14 by the sixth addition and
+    the two perf re-entries).  After this window lands no registered verdict
     is older than r9, and the r9 tail shrinks to 24 (pre-written as the
     r14 (b) block in registry.py).  Earlier rounds' displacement
     rationales live in the r10-r12 revisions of this file (git)."""
@@ -177,6 +178,9 @@ def test_driver_window_covers_required_families():
         # the r12 order-#6 drift root cause (8.8 s -> 1.28 s interleaved);
         # displaces the last (c) slot array_map_json to the r14 (b) block
         "knn_cosine_topk",
+        # same under-parallelism class on linear chunking (chunk floor
+        # 2x defaultParallelism); displaces scalar_string_date_math
+        "sample_hard_negative_mining",
     }
     r8_tail = {
         "text_pii_scrub", "text_unigram_likelihood", "agg_hll_sketch_merge",
@@ -193,7 +197,6 @@ def test_driver_window_covers_required_families():
         "pricing_summary", "join_inner_hash", "join_broadcast_4way",
         "join_left_right_full", "join_semi_anti", "join_theta_range",
         "join_asof", "join_asof_forward", "agg_cms_topk_merge", "set_ops",
-        "scalar_string_date_math",
     }
     required = added_r13 | changed_r13 | r8_tail | r9_refresh
     missing = sorted(required - window)
