@@ -3274,11 +3274,13 @@ _HNM_K = 5
 @query(
     "sample_hard_negative_mining",
     oracle=f"""
-    SELECT q_id, neg_id, ROUND(c, 6) AS cosine
+    SELECT q_id, neg_id, c AS cosine
     FROM (
-      SELECT a.vec_id AS q_id, b.vec_id AS neg_id, {_SQL_COS} AS c,
+      SELECT a.vec_id AS q_id, b.vec_id AS neg_id,
+             ROUND({_SQL_COS}, 6) AS c,
              ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                ORDER BY {_SQL_COS} DESC, b.vec_id) AS rn
+                                ORDER BY ROUND({_SQL_COS}, 6) DESC,
+                                         b.vec_id) AS rn
       FROM embeddings a JOIN embeddings b
         ON b.vec_id != a.vec_id AND b.label != a.label
       WHERE a.vec_id % {_HNM_QUERY_MOD} = 0
@@ -3362,16 +3364,26 @@ def sample_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         for qi in range(sims.shape[0]):
             row = sims[qi]
             # chunk-local selection under the SAME total order as the
-            # global rank (cosine DESC, neg_id ASC) — exact-tie safe:
-            # duplicate vectors produce bit-equal cosines, and only an
-            # order-consistent local cut guarantees the global top-k
-            # survives the per-chunk cut (argpartition alone may keep the
-            # higher-id member of a tie the oracle resolves by lowest id)
-            order = np.lexsort((cid, -row))[:take]
+            # global rank — on the ROUNDED cosine (cosine-6 DESC, neg_id
+            # ASC): the raw doubles differ in the last ulp between BLAS
+            # (summation order varies with chunk SHAPE) and the oracle's
+            # sequential SQL fold, so ranking on them makes the k-th
+            # slot flip engines whenever two candidates sit within an
+            # ulp (r13: seed-6 fuzz caught exactly that when the chunk
+            # floor changed the shapes).  Both engines rank on the
+            # 6-digit value they EMIT, ties broken by id — cross-engine
+            # stable unless a pair straddles a rounding boundary by
+            # <1 ulp, which the round itself makes ~1e-10 likely.
+            rr = np.round(row, 6)
+            order = np.lexsort((cid, -rr))[:take]
             top = order[np.isfinite(row[order])]
             out_q.extend([qid[qi]] * len(top))
             out_n.extend(cid[top])
-            out_c.extend(row[top])
+            # emit the ROUNDED value: the global window then ranks on
+            # exactly what both engines emit (np.round's half-to-even
+            # differs from ROUND's half-up only at an exact decimal .5
+            # at digit 7 — measure-zero for cosines of random floats)
+            out_c.extend(rr[top])
         if not out_q:
             return empty
         return pd.DataFrame(
@@ -3390,6 +3402,16 @@ def sample_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(queries.groupBy("chunk"))
         .applyInPandas(chunk_topk, schema=schema)
     )
+    # rank on the ROUNDED cosine (see chunk_topk note) so the global
+    # window agrees with both the chunk-local cut and the oracle's
+    # ROUND(c, 6) ranking
+    # the cosine column already carries the chunk-ROUNDED value (see
+    # chunk_topk note), so this window ranks on exactly what the
+    # oracle's ROUND(c, 6) ranks on.  NOTE: do not move the round into
+    # this plan — any extra projection between the cogroup and the
+    # window (round inside orderBy, or a withColumn) made Catalyst
+    # mis-prune the cogroup INPUT on Spark 4.1 (KeyError vec_id in the
+    # worker); rounding worker-side sidesteps the whole class.
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "neg_id")
     return (
         candidates.withColumn("rn", F.row_number().over(w))
