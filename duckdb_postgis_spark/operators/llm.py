@@ -3269,6 +3269,25 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: query-set selector (~1% of the corpus) and negatives per query
 _HNM_QUERY_MOD = 97
 _HNM_K = 5
+#: a corpus chunk below this many rows costs more in per-task fixed
+#: overhead (Arrow decode + stacking the replicated anchor matrix) than
+#: its matmul saves — measured at the 20k x 64 bench shape: 64 chunks
+#: (bare 2P floor) 0.98 s vs 10 size-guarded chunks ~0.6 s vs the old
+#: 5-chunk layout 0.63 s-with-2x-variance
+_HNM_MIN_CHUNK_ROWS = 2048
+
+
+def _hnm_chunks(n: int, dim: int, parallelism: int) -> int:
+    """Corpus chunk count for hard-negative mining: saturate the cluster
+    (the r13 knn under-parallelism lesson applied to LINEAR chunking —
+    the corpus is never replicated, only the small anchor matrix rides
+    to every chunk), but never fragment chunks below _HNM_MIN_CHUNK_ROWS
+    — past that point per-task fixed costs dominate and the floor turns
+    into a regression (measured, see constant note)."""
+    floor = min(
+        2 * parallelism, max(1, math.ceil(n / _HNM_MIN_CHUNK_ROWS))
+    )
+    return max(_num_blocks(n, dim), floor)
 
 
 @query(
@@ -3324,15 +3343,7 @@ def sample_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, dim = _corpus_stats(f"{sf_dir}/embeddings.parquet")
     if n == 0 or dim == 0:
         return spark.createDataFrame([], "q_id bigint, neg_id bigint, cosine double")
-    # chunk count floor 2x parallelism (r13, the knn _num_blocks lesson
-    # applied to LINEAR chunking): the byte/row caps alone gave 5 chunks
-    # = 5 tasks on 32 cores.  Unlike the pair matmul, more chunks here
-    # are nearly free — the corpus is never replicated, only the small
-    # anchor matrix rides to every chunk — so saturating the cluster
-    # costs just |anchors| x nchunks duplicate query rows.
-    nchunks = max(
-        _num_blocks(n, dim), 2 * spark.sparkContext.defaultParallelism
-    )
+    nchunks = _hnm_chunks(n, dim, spark.sparkContext.defaultParallelism)
     corpus = emb.withColumn(
         "chunk", F.pmod(F.hash("vec_id"), F.lit(nchunks)).cast("int")
     )
