@@ -549,6 +549,15 @@ def main() -> None:
     schema3 = set(headline[:10])
     total = round(sum(v for k, v in results.items() if k in schema3), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # r13 (optimization round) measurement fix: the driver captures only
+    # the LAST 2 KB of stdout, and since the r9 sf1_shape section joined
+    # the stdout line it has exceeded 2 KB — BENCH_r10..r12 all record
+    # "parsed": null.  The stdout line now carries the contract keys +
+    # compact per-query numbers ONLY (comfortably < 2 KB, so the driver
+    # parses it again); every bulky diagnostic section (raw-layout runs,
+    # plan_ms, run_full_ms, sf1_shape) still persists in full to
+    # BENCH_full.json below, unchanged — no number was dropped or
+    # renamed, only moved off stdout.
     print(
         json.dumps(
             {
@@ -575,12 +584,9 @@ def main() -> None:
                     sum(v for k, v in results.items() if k in CORE8), 4
                 ),
                 "queries": results,
-                "queries_raw_layout": results_raw,
                 "total_raw_layout_sec": round(sum(results_raw.values()), 4),
                 "floor_noop_ms_raw_session": floor_raw,
                 "layout_optimize_sec": round(layout_sec, 2),
-                "plan_ms": {k: round(v, 1) for k, v in plan_ms.items()},
-                "run_full_ms": run_full_ms,
                 "floor_noop_ms": floor_ms,
                 # r9 drift control: fixed scan+agg probe + the core8 total
                 # rescaled to the floor_scan reference, so cross-round
@@ -594,14 +600,15 @@ def main() -> None:
                 )
                 if floor_scan_ms
                 else None,
-                "sf1_shape": sf1_section,
+                "sf1_total_sec": sf1_section.get("total_sec"),
+                "sf1_total_sec_duckdb_completed_twins": sf1_section.get(
+                    "total_sec_duckdb_completed_twins"
+                ),
                 "methodology": (
-                    "r6: fresh plan per timed run (shuffle map stages "
-                    "re-execute); queries = run_full - measured plan_ms; "
-                    "headline on the engine's normalized scan layout "
-                    "(multi-row-group, value-identical, one-time cached "
-                    "rewrite), raw single-row-group layout reported "
-                    "alongside"
+                    "r6 method (see BENCH_full.json for raw-layout runs, "
+                    "plan_ms, run_full_ms and the full sf1_shape section; "
+                    "r13: moved off stdout so the driver's 2 KB capture "
+                    "parses)"
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -4887,7 +4887,7 @@ def _bpe_train_oracle(k: int) -> str:
     s = _BPE_SEP
     parts = [
         f"""
-    WITH w0 AS (
+    WITH w0 AS MATERIALIZED (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
                '{s}' || regexp_replace(word, '(.)', '\\1{s}', 'g') AS s
         FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
@@ -4898,7 +4898,7 @@ def _bpe_train_oracle(k: int) -> str:
     for r in range(k):
         parts.append(
             f""",
-    p{r} AS (
+    p{r} AS MATERIALIZED (
         SELECT p.l AS l, p.r AS r, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
         FROM (
             SELECT cnt,
@@ -4910,11 +4910,11 @@ def _bpe_train_oracle(k: int) -> str:
         )
         GROUP BY 1, 2
     ),
-    b{r} AS (
+    b{r} AS MATERIALIZED (
         SELECT l, r, pair_cnt FROM p{r}
         ORDER BY pair_cnt DESC, l, r LIMIT 1
     ),
-    w{r + 1} AS (
+    w{r + 1} AS MATERIALIZED (
         SELECT w.word, w.cnt,
                replace(w.s, '{s}' || b.l || '{s}' || b.r || '{s}',
                        '{s}' || b.l || b.r || '{s}') AS s
@@ -5019,8 +5019,16 @@ def _bpe_train_apply_oracle(k: int) -> str:
     # keep the CTE chain (w0..b{k-1}) but drop the trailing merge-list
     # SELECT — the apply query consumes the b-stages as its vocab — and
     # promote the WITH to RECURSIVE for the greedy-walk CTE added below
-    chain = train[: train.rindex("\n    SELECT * FROM (")].replace(
-        "WITH w0 AS", "WITH RECURSIVE w0 AS", 1
+    # strip the MATERIALIZED hints the standalone train oracle carries:
+    # under WITH RECURSIVE, DuckDB mis-evaluates a materialized CTE chain
+    # referenced from the recursive member's correlated vocab probe
+    # (observed: intermittently-missed vocab matches -> extra single-char
+    # fallback tokens, 114 -> 125 per doc at sf0.01) — so THIS composed
+    # oracle keeps the default inlined CTEs, correctness over speed
+    chain = (
+        train[: train.rindex("\n    SELECT * FROM (")]
+        .replace(" AS MATERIALIZED (", " AS (")
+        .replace("WITH w0 AS", "WITH RECURSIVE w0 AS", 1)
     )
     vocab_union = "\n            UNION ALL\n".join(
         f"            SELECT l || r AS v FROM b{r}" for r in range(k)
@@ -5139,11 +5147,19 @@ def _bpe_train_batched_oracle(
     overlapping a higher-ranked candidate (NOT EXISTS on shared tokens),
     keep the first ``m`` survivors as slots 1..m, and apply them as the
     identical chained sequential replace (missing slots no-op via
-    chr(1) patterns that cannot occur in the token state)."""
+    chr(1) patterns that cannot occur in the token state).
+
+    Every CTE is MATERIALIZED (r13 optimization round): the replace
+    chain references a{{r}} in 2m scalar subqueries per round, and with
+    DuckDB's default CTE inlining each reference re-evaluated the whole
+    upstream chain — w3 re-derived w2 nine times, w2 re-derived w1 nine
+    times, and so on (measured 9.6 s at sf0.01 vs 0.09 s materialized,
+    byte-identical result).  The hint only pins evaluate-once semantics;
+    it cannot change values."""
     s = _BPE_SEP
     parts = [
         f"""
-    WITH w0 AS (
+    WITH w0 AS MATERIALIZED (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
                '{s}' || regexp_replace(word, '(.)', '\\1{s}', 'g') AS s
         FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
@@ -5165,7 +5181,7 @@ def _bpe_train_batched_oracle(
             repl = f"replace({repl}, {pat}, {rep})"
         parts.append(
             f""",
-    p{r} AS (
+    p{r} AS MATERIALIZED (
         SELECT p.l AS l, p.r AS r, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
         FROM (
             SELECT cnt,
@@ -5177,12 +5193,12 @@ def _bpe_train_batched_oracle(
         )
         GROUP BY 1, 2
     ),
-    c{r} AS (
+    c{r} AS MATERIALIZED (
         SELECT l, r, pair_cnt,
                ROW_NUMBER() OVER (ORDER BY pair_cnt DESC, l, r) AS rn
         FROM p{r} ORDER BY pair_cnt DESC, l, r LIMIT {w}
     ),
-    a{r} AS (
+    a{r} AS MATERIALIZED (
         SELECT l, r, pair_cnt,
                ROW_NUMBER() OVER (ORDER BY rn) AS slot
         FROM (
@@ -5192,7 +5208,7 @@ def _bpe_train_batched_oracle(
             ORDER BY rn LIMIT {m}
         )
     ),
-    w{r + 1} AS (
+    w{r + 1} AS MATERIALIZED (
         SELECT w.word, w.cnt, {repl} AS s
         FROM w{r} w
     )"""
