@@ -301,7 +301,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite must repartition explicitly; (b) under AQE+wide sessions the
     naive form measured fine — only the bench's AQE-off/8-partition
     session exposed it (interleaved medians: old 1466 ms, naive 2232,
-    width-pinned 1201)."""
+    width-pinned 1201).
+
+    Bucket-grouped candidates (r13 OPTIMIZATION round, value-identical —
+    guide §2.3/§2.4/§3): the r8-r12 shape formed candidates as a banded
+    SELF-JOIN on (band, bsig), and the executed plan (plans/r13/
+    dedup_minhash_lsh_before.txt, ops 8-10 vs 14-16) showed the dominant
+    stage — the 12-way md5-min SortAggregate (min over STRING cannot
+    hash-aggregate: immutable agg buffer, so each branch also pays a
+    full sort of the shingle stream) — executing TWICE: ReuseExchange
+    dedups only the shingle exchange, not the aggregation above it,
+    because the right branch terminates in a BroadcastExchange.  That
+    broadcast also shipped the whole banded corpus (~60 MB at the sf1
+    shape; a non-starter at 100 TB, where the auto-threshold would
+    degrade it to a sort-merge join paying two MORE full sorts).  Now
+    candidates come from ONE groupBy(band, bsig) + collect_list
+    (ObjectHashAggregate, no sort; buckets are tiny by construction)
+    with the unordered pairs expanded IN-ROW by a higher-order
+    transform, and est_jaccard computes BEFORE the pair-dedup exchange
+    so only (doc_a, doc_b, est) bytes move (§2.3 project-early).  The
+    signature lineage executes exactly once; measured interleaved at
+    sf0.1 (medians of 5, fresh plan per rep, noop sink): 1462 → 793 ms.
+    Plan diff: 2×(Sort + 12-md5 SortAggregate) → 1×, corpus-sized
+    BroadcastExchange gone.  Results byte-identical (replica
+    hash-green): est_jaccard is symmetric in the pair, so the in-bucket
+    least/greatest canonicalization yields exactly the join form's
+    doc_a < doc_b pair set and values."""
     docs = table(spark, sf_dir, "documents")
     # signature pass as _MINHASH_SEEDS WIDE AGGREGATES over a raw (non-
     # distinct) shingle stream — the dedup_simhash wide-vote lesson
@@ -312,11 +337,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured-trap history lives on _minhash_signatures, which the
     # incremental index builder shares so signatures stay bit-identical)
     banded = _minhash_banded(_minhash_signatures(spark, docs))
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), "band", "bsig", F.col("sig").alias("sig_a")
+    buckets = banded.groupBy("band", "bsig").agg(
+        F.collect_list(F.struct("doc_id", "sig")).alias("ms")
     )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), "band", "bsig", F.col("sig").alias("sig_b")
+    pairs = (
+        buckets.filter(F.size("ms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    """
+            flatten(transform(ms, (a, i) ->
+              transform(slice(ms, i + 2, size(ms) - i - 1), b ->
+                struct(least(a.doc_id, b.doc_id) AS doc_a,
+                       greatest(a.doc_id, b.doc_id) AS doc_b,
+                       a.sig AS sig_a, b.sig AS sig_b))))"""
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
     )
     agree = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
@@ -324,14 +362,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     return (
-        a.join(b, ["band", "bsig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .select(
+        pairs.select(
             "doc_a",
             "doc_b",
             F.round(agree / F.lit(float(_MINHASH_SEEDS)), 6).alias("est_jaccard"),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 
