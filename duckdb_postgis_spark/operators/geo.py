@@ -686,8 +686,30 @@ def _knn_rank_top3(j: DataFrame) -> DataFrame:
 def _geo_knn_attach(cust: DataFrame, supp: DataFrame) -> DataFrame:
     """Broadcast dimension-attach kNN (the sub-threshold plan): BNLJ with
     the supplier dim as build side (declared in the plan lint with the G10
-    allowance); top-3 compiles to WindowGroupLimit."""
-    return _knn_rank_top3(cust.crossJoin(F.broadcast(supp)))
+    allowance); top-3 compiles to WindowGroupLimit.
+
+    The customer side is repartitioned to cluster width FIRST (r13
+    OPTIMIZATION round, guide §2.5/§2.6): the cross product multiplies
+    each customer row by |supp|, so per-row downstream work is ~|supp|
+    haversines + the WindowGroupLimit sort — but Spark sizes the scan by
+    input BYTES, which put the sf0.1 attach (15 M candidate pairs) on a
+    handful of tasks with one straggler holding the wall-clock while the
+    rest of the machine idled (observed (9+1)/10 tasks).  Hashing on
+    c_custkey (15 k distinct keys over P partitions — no synthetic-key
+    collision skew, §2.5) moves only the skinny (key, lon, lat) rows.
+    An in-row array_sort top-3 over a collect_list'd supplier array was
+    tried first and REJECTED by measurement: higher-order-function
+    lambdas evaluate interpreted (no whole-stage codegen), and 15 M
+    interpreted haversines lose to the codegen'd window form ~1.6×."""
+    spark = cust.sparkSession
+    try:
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_n = 0  # "auto" under AQE — the _minhash_signatures convention
+    n_part = max(shuffle_n, spark.sparkContext.defaultParallelism)
+    return _knn_rank_top3(
+        cust.repartition(n_part, "c_custkey").crossJoin(F.broadcast(supp))
+    )
 
 
 def _geo_knn_grid(cust: DataFrame, supp: DataFrame) -> DataFrame:
