@@ -1034,6 +1034,20 @@ def _dedup_cos_pairs(
     corpora and thresholds against _dedup_cos_oracle_sql on the same
     data."""
     codes = _embed_codes(emb, n, dim, exact_n)
+    # width-pinned candidate dedup (r13 OPTIMIZATION round, guide §2.5):
+    # the exact-cosine verify downstream is one interpreted 64-element
+    # fold PER CANDIDATE (2 M pairs at sf0.1) and inherits this
+    # exchange's width — a bare .distinct() ran it at the session's 8
+    # shuffle partitions, serializing the dominant compute (measured
+    # 6.9 s -> 3.0 s at sf0.1 from this pin; the explicit repartition on
+    # the dedup keys satisfies dropDuplicates' clustering, so no second
+    # exchange appears)
+    spark = emb.sparkSession
+    try:
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_n = 0  # "auto" under AQE — the _minhash_signatures convention
+    nparts = max(shuffle_n, spark.sparkContext.defaultParallelism)
     cand = (
         codes.alias("x")
         .join(
@@ -1043,7 +1057,8 @@ def _dedup_cos_pairs(
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .select(F.col("x.vec_id").alias("a_id"), F.col("y.vec_id").alias("b_id"))
-        .distinct()
+        .repartition(nparts, "a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
     )
     # norms precomputed once per VECTOR on the re-join frames (r8 review
     # fix — computing sqrt(sumsq) per candidate pair is n² redundant folds
@@ -1911,30 +1926,68 @@ def _knn_ivf_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs sharing any band bucket; exact cosine re-rank JVM-side; global
     top-20. At 100 TB the only shuffle is the (band,bucket) co-location —
     candidate volume is sum of C(bucket,2), kept linear by the adaptive
-    band width (_lsh_bits), vs the impossible C(n,2) of the exact path."""
+    band width (_lsh_bits), vs the impossible C(n,2) of the exact path.
+
+    r13 OPTIMIZATION round, value-identical (the dedup_minhash_lsh
+    bucket-grouped lesson + guide §2.3/§2.5): the r7-r12 shape formed
+    candidates as a banded SELF-JOIN whose pair-dedup exchange carried
+    BOTH 64-float embeddings per candidate row (~12.4 M × 550 B ≈
+    6.5 GB at sf0.1), each survivor paid THREE interpreted 64-element
+    higher-order folds (dot + two sumsq), and the planner was free to
+    broadcast one side — duplicating the whole ArrowEvalPython banding
+    lineage (observed when the join projection changed).  Now:
+    (1) the skinny (vec_id, embedding) frame round-robins to cluster
+    width BEFORE banding, so the pandas-UDF projection isn't serialized
+    behind the biggest scan split (observed (24+1)/25 straggler);
+    (2) each vector's norm computes ONCE per banded row; (3) candidates
+    come from ONE width-pinned groupBy(band, bucket) + collect_list
+    with pairs and their cosines expanded IN-ROW — the banding lineage
+    executes exactly once and the dedup exchange moves only
+    (a_id, b_id, cosine_raw).  The cosine is the same
+    dot/(nrm·nrm) doubles in the same order (multiplication is
+    commutative in IEEE754), so values are bit-identical — verified
+    pairwise on all three shapes at sf0.1.  Measured: 8.69 s (self-join)
+    → 3.87 s (bucket-grouped) → 2.17 s (width-pinned) at sf0.1."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n, dim = _corpus_stats(f"{sf_dir}/embeddings.parquet")
-    bucketed = _bucketize(spark, emb, n=n, dim=dim)
-    a = bucketed.select("band", "bucket", F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
-    b = bucketed.select("band", "bucket", F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])  # a pair may collide in >1 band
-    )
-    sumsq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+    try:
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_n = 0  # "auto" under AQE — the _minhash_signatures convention
+    nparts = max(shuffle_n, spark.sparkContext.defaultParallelism)
+    bucketed = _bucketize(spark, emb.repartition(nparts), n=n, dim=dim)
+    sumsq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    withnorm = bucketed.withColumn("nrm", F.sqrt(sumsq)).repartition(
+        nparts, "band", "bucket"
     )
-    cos = dot / (F.sqrt(sumsq("va")) * F.sqrt(sumsq("vb")))
+    buckets = withnorm.groupBy("band", "bucket").agg(
+        F.collect_list(F.struct("vec_id", "embedding", "nrm")).alias("ms")
+    )
+    pairs = (
+        buckets.filter(F.size("ms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    """
+            flatten(transform(ms, (a, i) ->
+              transform(slice(ms, i + 2, size(ms) - i - 1), b ->
+                struct(least(a.vec_id, b.vec_id) AS a_id,
+                       greatest(a.vec_id, b.vec_id) AS b_id,
+                       aggregate(zip_with(a.embedding, b.embedding,
+                                          (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                                 CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+                         / (a.nrm * b.nrm) AS cosine_raw))))"""
+                )
+            ).alias("p")
+        )
+        .select("p.a_id", "p.b_id", "p.cosine_raw")
+    )
     return (
-        cand.withColumn("cosine_raw", cos)
+        pairs.dropDuplicates(["a_id", "b_id"])  # a pair may collide in >1 band
         .orderBy(F.col("cosine_raw").desc(), "a_id", "b_id")
         .limit(20)
         .select("a_id", "b_id", F.round("cosine_raw", 6).alias("cosine"))
@@ -2978,7 +3031,7 @@ def _pca_gram(emb: DataFrame) -> list[float]:
         parts.select(F.posexplode("g").alias("cell", "val"))
         .groupBy("cell")
         .agg(F.sum("val").alias("s"))
-        .collect()
+        .limit(_PCA_DIMS * _PCA_DIMS).collect()
     )
     g = [0.0] * (_PCA_DIMS * _PCA_DIMS)
     for r in rows:

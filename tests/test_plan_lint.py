@@ -158,6 +158,9 @@ def test_no_unbounded_driver_collect():
         # power iteration reduces each pass to a _PCA_DIMS-row vector —
         # the driver sees 64 rows per iteration, never the corpus
         ("operators/llm.py", ".limit(_PCA_DIMS).collect()"),
+        # the PCA Gram reduction: exactly _PCA_DIMS^2 = 4096 per-cell
+        # sums (32 KB of driver state), never the corpus (r13)
+        ("operators/llm.py", ".limit(_PCA_DIMS * _PCA_DIMS).collect()"),
         # SemDeDup matmul assignment: the K-seed frame (limit(kk) upstream,
         # K = n/1024) comes to the driver to build the broadcast seed
         # matrix — K rows, never the corpus; the SQL path broadcasts the
