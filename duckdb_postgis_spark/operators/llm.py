@@ -557,9 +557,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(lo_bit, lo_bit + 32)
         ],
     )
+    # PERSIST the signature frame (r13 OPTIMIZATION round, guide §5 +
+    # the pagerank ledger convention): sigs feeds THREE consumers — the
+    # band explode and both verify-side re-attaches — and the executed
+    # plan re-ran the dominant signature pass (token explode + 16 md5
+    # hex-digit convs per token + 64 wide vote sums) once per consumer;
+    # ReuseExchange cannot dedup differently-projected subtrees.  The
+    # cached frame is |docs| × 3 longs.  Ledger unpersists on the next
+    # call, so bench reps never reuse a prior run's computation.
+    # Measured 3.5 s → 1.6 s at sf0.1.
+    from py4j.protocol import Py4JError
+
+    while _SIMHASH_PERSISTED:
+        try:
+            _SIMHASH_PERSISTED.pop().unpersist(blocking=False)
+        except Py4JError:
+            pass  # cache died with its stopped session (pagerank precedent)
     sigs = votes.select(
         "doc_id", half(0).cast("long").alias("lo"), half(32).cast("long").alias("hi")
-    )
+    ).persist()
+    _SIMHASH_PERSISTED.append(sigs)
     # ids-only band join (the cos-dedup pattern): the pair dedup shuffles
     # two longs per candidate, not the signatures; sigs re-attach after
     banded = sigs.select(
@@ -1173,6 +1190,8 @@ _SEMDEDUP_BCAST_SEEDS = 65_536
 # the assignment subtree per side; results stay correct, only slower).
 # The registry/driver/bench harnesses all materialize between calls.
 _SEMDEDUP_PERSISTED: list[DataFrame] = []
+#: simhash signature cache ledger (same contract — see dedup_simhash)
+_SIMHASH_PERSISTED: list[DataFrame] = []
 
 
 def _semdedup_two_level(
