@@ -351,3 +351,54 @@ def test_minhash_survives_unset_shuffle_conf(spark, sf_dir):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# --------------------------------------------------------------------------
+# r13 OPTIMIZATION-round plan pins — each pins the rewritten internal
+# shape of an operator whose results are oracle-pinned elsewhere, so a
+# future refactor cannot silently fall back to the slow plan.
+# --------------------------------------------------------------------------
+
+
+def test_minhash_lsh_bucket_grouped_candidates(plans):
+    """r13: candidate pairs come from groupBy(band,bsig)+collect_list
+    in-row expansion — ONE signature pass — not the banded self-join
+    that re-ran the 12-way min-md5 SortAggregate on both join sides
+    (plans/r13/dedup_minhash_lsh_{before,after}.txt: 12 -> 4
+    SortAggregate blocks, corpus-wide BroadcastExchange gone)."""
+    p = plans("dedup_minhash_lsh")
+    assert "collect_list" in p, "bucket-grouped candidate generation lost"
+
+
+def test_agg_approx_distinct_sketches_outside_expand(plans):
+    """r13: the two HLL sketches aggregate on the plain 3-row group key,
+    NOT on the multi-distinct Expand's distinct-key-augmented groups —
+    the combined form carried 2 x ~21 KB HLL buffers per (key, distinct
+    value, gid) group and cost 34.2 s vs 4.2 s at sf0.1."""
+    p = plans("agg_approx_distinct")
+    blocks = [b for b in p.split("\n\n") if "partial_approx_count_distinct" in b]
+    assert blocks, "HLL partial aggregate missing from plan"
+    for b in blocks:
+        keys = [ln for ln in b.splitlines() if ln.startswith("Keys")]
+        assert keys and "gid#" not in keys[0], (
+            "HLL partial agg grouped on the Expand's gid again:\n" + b[:500]
+        )
+
+
+def test_geo_knn_attach_saturates_cluster(plans):
+    """r13: the customer side is repartitioned to cluster width before
+    the 1000-supplier broadcast attach — without it the 15 M-row cross
+    product inherited the tiny customer scan's partitioning (10 tasks,
+    one straggler, ~20 s at sf0.1)."""
+    p = plans("geo_knn_join")
+    assert "REPARTITION_BY_NUM" in p, "width repartition before attach lost"
+    assert "BroadcastNestedLoopJoin" in p  # the attach itself is unchanged
+
+
+def test_simhash_signature_pass_runs_once(plans):
+    """r13: the signature frame is persisted across its three consumers
+    (band explode + both verify-side re-attaches); without the persist
+    the dominant signature lineage (token explode + 16 md5 digit convs +
+    64 vote sums) executed three times."""
+    p = plans("dedup_simhash")
+    assert "InMemoryTableScan" in p, "signature persist lost"
