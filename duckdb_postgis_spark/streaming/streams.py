@@ -192,6 +192,26 @@ def stream_user_state_live(events: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 # Runner
 # --------------------------------------------------------------------------
+def _replay_ckpt_dir(prefix: str) -> str:
+    """Scratch checkpoint dir for an AvailableNow REPLAY (guide §6.4: put
+    churn-heavy intermediate I/O on the fastest local medium).  Every
+    micro-batch fsyncs offset/commit logs plus one state-store delta per
+    state partition into this dir; the replay never resumes from it (fresh
+    mkdtemp per call, deleted after the drain), so checkpoint durability
+    buys nothing here — RAM-backed /dev/shm is used when present.
+    ``SPARK_GRAFT_STREAM_CKPT_DIR`` overrides (e.g. to a durable path, or
+    to /tmp to reproduce the disk-backed timing).  Production deployments
+    pass a real durable checkpointLocation and never enter this helper —
+    resumable checkpoints must survive the machine, exactly what tmpfs
+    does not guarantee."""
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR")
+    if not root and os.path.isdir("/dev/shm"):
+        root = "/dev/shm"
+    return tempfile.mkdtemp(prefix=prefix, dir=root or None)
+
+
 def run_available_now(
     sdf: DataFrame, name: str, output_mode: str = "append", timeout: int = 120
 ) -> DataFrame:
@@ -203,8 +223,6 @@ def run_available_now(
     batch twins. In production the same query runs with a continuous trigger
     and a durable sink; only this runner changes.
     """
-    import tempfile
-
     spark = sdf.sparkSession
     # The state-store partition count is fixed at first start from
     # spark.sql.shuffle.partitions; under the driver's plain session that is
@@ -224,13 +242,14 @@ def run_available_now(
     # 0 of its rows after a quiet stop(), which a correctness harness
     # must treat as failure, not data).
     timeout = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", str(timeout)))
+    ckpt = _replay_ckpt_dir(f"ckpt_{name}_")
     try:
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+            .option("checkpointLocation", ckpt)
             .start()
         )
         finished = q.awaitTermination(timeout)
@@ -246,6 +265,11 @@ def run_available_now(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         else:
             spark.conf.unset("spark.sql.shuffle.partitions")
+        # the memory-sink table is independent of the checkpoint; a drained
+        # replay's state/offset files are dead weight (RAM when on /dev/shm)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -798,15 +822,19 @@ def q_stream_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["cur"] = nxt
 
     ev = events_stream(spark, sf_dir)
+    ckpt = _replay_ckpt_dir("ckpt_upsert_")
     q = (
         ev.writeStream.foreachBatch(merge)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_upsert_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination(120)
     if q.isActive:
         q.stop()
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(paths[state["cur"]])
 
 
