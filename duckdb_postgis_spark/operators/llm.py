@@ -1928,24 +1928,37 @@ def _pin_recall(
     the output VALUES are the exact top-k — hash-verified against the DuckDB
     oracle — and ``flag`` asserts |approx ∩ exact| ≥ floor·|exact| of the
     REAL approximate result computed in the same plan.  A recall regression
-    is therefore a driver hash failure, not a silent quality loss.  Every
-    frame here is ≤ k rows, so the joins are broadcast; the approximate
-    plan's full cost structure (LSH banding / IVF probing / SQ8 scan) still
-    executes — only its k result rows feed the semi join."""
-    hit = (
-        exact.select(*keys)
-        .join(approx.select(*keys), keys, "left_semi")
-        .agg(F.count(F.lit(1)).alias("_n_hit"))
-    )
-    tot = exact.agg(F.count(F.lit(1)).alias("_n_exact"))
-    stats = hit.crossJoin(tot)
+    is therefore a driver hash failure, not a silent quality loss.
+
+    r13 OPTIMIZATION (guide §2.4 — remove duplicated subtrees): the r7
+    shape fanned ``exact`` into THREE consumers (the left-semi hit count,
+    the ungrouped total count, and the output crossJoin); the consumers
+    project different columns, so ReuseExchange could not dedup them and
+    the expensive exact funnel (block matmul / full corpus scan) executed
+    three times per invocation — see operators (15)/(21)/(50) of
+    plans/r13/knn_ivf_lsh_before2.txt.  Now ONE broadcast left join marks
+    each exact row hit/miss and a single-partition window computes
+    (n_hit, n_exact) in the same pass, so exact and approx each execute
+    exactly once BY CONSTRUCTION (no cache, no ledger).  Values are
+    identical: n_hit = count of exact rows whose key appears in approx
+    (the dropDuplicates makes the left join row-preserving for ANY
+    approx input, exactly like the old left-semi), n_exact = count of
+    exact rows, and the flag arithmetic is unchanged.  The window moves
+    ≤ k rows to one partition — constant work at any corpus scale."""
     cols = exact.columns
-    return exact.crossJoin(F.broadcast(stats)).select(
+    w = Window.partitionBy()
+    marked = exact.join(
+        F.broadcast(
+            approx.select(*keys).dropDuplicates(keys).withColumn("_hit", F.lit(1))
+        ),
+        keys,
+        "left",
+    )
+    n_hit = F.coalesce(F.sum("_hit").over(w), F.lit(0)).cast("double")
+    n_exact = F.count(F.lit(1)).over(w).cast("double")
+    return marked.select(
         *cols,
-        (
-            F.col("_n_hit").cast("double")
-            >= F.lit(floor) * F.col("_n_exact").cast("double") - F.lit(1e-9)
-        ).alias(flag),
+        (n_hit >= F.lit(floor) * n_exact - F.lit(1e-9)).alias(flag),
     )
 
 
@@ -2156,7 +2169,9 @@ def _ivf_train(sample) -> "object":
     return C
 
 
-def _similarity_search_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _similarity_search_ivf_approx(
+    spark: SparkSession, sf_dir: str, C=None, qn=None
+) -> DataFrame:
     """Query-vector top-10 via IVF cell probing (L7/A2 scale path, k-means
     coarse quantizer): train K=16 spherical-k-means centroids on a
     deterministic 1024-row sample, broadcast them, assign every corpus
@@ -2170,16 +2185,27 @@ def _similarity_search_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     coarse quantizer), hence the generous nprobe=12/16; clustered real-world
     embeddings prune far harder at the same recall. The sign-LSH variant
     (similarity_search_ann) is the alternative when no cluster structure
-    exists. Recall vs the exact scan is pinned in tests/test_ann.py."""
+    exists. Recall vs the exact scan is pinned in tests/test_ann.py.
+
+    ``C`` / ``qn`` (r13 optimization): similarity_search_ivf_pruned runs
+    this funnel NEXT TO the cell-partitioned layout, whose persisted
+    centroids are trained by the identical deterministic procedure (same
+    hash-priority sample, same seed; np.save/load of float64 is exact) —
+    passing them in skips a duplicate TakeOrdered sample job + driver
+    k-means and a duplicate 1-row query-vector job per invocation.
+    Standalone callers leave both None and behavior is unchanged."""
     import numpy as np
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    C = _ivf_train(_ivf_train_sample(emb))
+    if C is None:
+        C = _ivf_train(_ivf_train_sample(emb))
 
-    qv = np.array(
-        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0], dtype="float64"
-    )
-    qn = qv / np.sqrt((qv * qv).sum())
+    if qn is None:
+        qv = np.array(
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0],
+            dtype="float64",
+        )
+        qn = qv / np.sqrt((qv * qv).sum())
     probe_cells = [int(c) for c in np.argsort(-(C @ qn))[:_IVF_NPROBE]]
 
     b_C = spark.sparkContext.broadcast(C)

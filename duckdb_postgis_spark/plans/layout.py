@@ -467,7 +467,7 @@ def ensure_embeddings_by_cell(spark: SparkSession, sf_dir: str):
 
 
 def _similarity_search_ivf_pruned_approx(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, qn=None
 ) -> DataFrame:
     """A2b's claimed scale path, actually materialized: query-vector top-10
     against the CELL-PARTITIONED embeddings layout. The nprobe cell filter
@@ -482,12 +482,13 @@ def _similarity_search_ivf_pruned_approx(
     import numpy as np
 
     path, C = ensure_embeddings_by_cell(spark, sf_dir)
-    emb = table(spark, sf_dir, "embeddings")
-    qv = np.array(
-        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0],
-        dtype="float64",
-    )
-    qn = qv / np.sqrt((qv * qv).sum())
+    if qn is None:
+        emb = table(spark, sf_dir, "embeddings")
+        qv = np.array(
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0],
+            dtype="float64",
+        )
+        qn = qv / np.sqrt((qv * qv).sum())
     from duckdb_postgis_spark.operators.llm import _IVF_NPROBE
 
     probe_cells = [int(c) for c in np.argsort(-(C @ qn))[:_IVF_NPROBE]]
@@ -526,20 +527,47 @@ def similarity_search_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-verified) + ``recall_ge_08`` from the pruned result +
     ``matches_unpruned_ivf`` asserting the pruned layout returns
     EXACTLY the unpruned IVF's rows (the layout may only change what is
-    READ, never the result).  Both booleans oracle-pinned TRUE."""
+    READ, never the result).  Both booleans oracle-pinned TRUE.
+
+    r13 OPTIMIZATION (guide §2.4): the r7 shape executed the pruned
+    funnel 3× (recall semi-join + both exceptAll branches), the unpruned
+    funnel 2× (both exceptAll branches), the exact full scan 3× (the
+    _pin_recall fan-out), and trained the unpruned quantizer's centroids
+    from scratch next to the layout's persisted identical ones — 18
+    parquet scans / 14 Python-boundary nodes in
+    plans/r13/similarity_search_ivf_pruned_before.txt.  Now: the exact
+    funnel runs once (_pin_recall's single-pass form), the mismatch
+    count is ONE full outer join on the ≤10-row (vec_id, cosine) frames
+    (rows are unique per side, so |symmetric difference| = count of
+    rows where either side is null — the same number exceptAll×2
+    produced), and the layout's centroids + one shared query-vector
+    read feed both IVF funnels (identical by construction: same
+    deterministic sample, same seed, float64 np.save/load is exact)."""
+    import numpy as np
+
     from duckdb_postgis_spark.operators.llm import (
         _pin_recall,
         _similarity_search_ivf_approx,
         similarity_search_query,
     )
 
+    _, C = ensure_embeddings_by_cell(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype="float64",
+    )
+    qn = qv / np.sqrt((qv * qv).sum())
+
     exact = similarity_search_query(spark, sf_dir)
-    pruned = _similarity_search_ivf_pruned_approx(spark, sf_dir)
-    unpruned = _similarity_search_ivf_approx(spark, sf_dir)
+    pruned = _similarity_search_ivf_pruned_approx(spark, sf_dir, qn=qn)
+    unpruned = _similarity_search_ivf_approx(spark, sf_dir, C=C, qn=qn)
     base = _pin_recall(exact, pruned, ["vec_id"], 0.8, "recall_ge_08")
+    p = pruned.withColumn("_p", F.lit(1))
+    u = unpruned.withColumn("_u", F.lit(1))
     mism = (
-        pruned.exceptAll(unpruned)
-        .unionAll(unpruned.exceptAll(pruned))
+        p.join(u, ["vec_id", "cosine"], "full_outer")
+        .filter(F.col("_p").isNull() | F.col("_u").isNull())
         .agg(F.count(F.lit(1)).alias("_n_mismatch"))
     )
     return base.crossJoin(F.broadcast(mism)).select(
