@@ -2435,6 +2435,11 @@ def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # near-dup clustering: connected components over MinHash candidate pairs
 # --------------------------------------------------------------------------
+#: one-deep persist ledger for the final CC labels frame (see the
+#: dedup_cluster_components docstring; same contract as _PAGERANK_PERSISTED)
+_CLUSTER_CC_PERSISTED: list[DataFrame] = []
+
+
 @query(
     "dedup_cluster_components",
     oracle=_MINHASH_CAND_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
@@ -2461,7 +2466,22 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by component diameter (near-dup clusters are shallow). The
     oracle is a recursive-CTE transitive closure over the same edges.
     Scale: each round is one join + min-agg on (id); at 100 TB this is the
-    standard large-graph CC layout (GraphFrames does the same joins)."""
+    standard large-graph CC layout (GraphFrames does the same joins).
+
+    Persist ledger (r13 optimization-round audit): the FINAL labels frame
+    must stay cached for the caller (survivorship reads it), so it cannot
+    be unpersisted before returning — but leaving it cached let the NEXT
+    invocation's identical logical plan hit the stale entry via the
+    CacheManager (silent cross-invocation result reuse, exactly what the
+    bench rules ban).  The ledger unpersists the previous call's frame on
+    entry, so every invocation recomputes from parquet."""
+    from py4j.protocol import Py4JError
+
+    while _CLUSTER_CC_PERSISTED:
+        try:
+            _CLUSTER_CC_PERSISTED.pop().unpersist(blocking=False)
+        except Py4JError:
+            pass  # cache died with its stopped session (pagerank precedent)
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -2496,6 +2516,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep"))
     edges.unpersist()
+    _CLUSTER_CC_PERSISTED.append(labels)
     return out.orderBy("doc_id")
 
 
@@ -2587,27 +2608,46 @@ def dedup_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     training set.
 
     Scale: reuses the CC labels (iterative min-label propagation); the
-    policy itself is two partial aggs + one join on the cluster key —
-    cluster count ≪ corpus, so the merge is cheap regardless of scale."""
+    policy itself is ONE partial agg on the cluster key — cluster count
+    ≪ corpus, so the merge is cheap regardless of scale.
+
+    r13 OPTIMIZATION (guide §2.4, single-pass form): the r12 shape
+    consumed ``labeled`` twice (the merge agg and the survivor re-join
+    on max_chars) and ``merged`` twice (survivor attach + final join) —
+    three joins and three executions of the labels⋈docs attach for one
+    grouped answer.  The survivorship policy "longest doc, ties →
+    smallest doc_id" is an argmin over the lexicographic key
+    (−n_chars, doc_id), so ONE aggregation computes survivor and merge
+    stats together; the when() guard skips NULL n_chars rows exactly
+    like the old n_chars == max_chars filter did.  Values identical,
+    joins 3 → 0."""
     labels = dedup_cluster_components(spark, sf_dir)  # doc_id, cluster_rep
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     labeled = labels.join(docs, "doc_id")
-    merged = labeled.groupBy("cluster_rep").agg(
-        F.count("*").alias("n_members"),
-        F.max("n_chars").alias("max_chars"),
-        F.sum("n_chars").alias("total_chars"),
-    )
-    survivor = (
-        labeled.join(
-            merged.select("cluster_rep", "max_chars"),
-            ["cluster_rep"],
+    best = F.min(
+        F.when(
+            F.col("n_chars").isNotNull(),
+            F.struct(
+                (-F.col("n_chars")).alias("_neg_chars"),
+                F.col("doc_id").alias("_doc"),
+            ),
         )
-        .filter(F.col("n_chars") == F.col("max_chars"))
-        .groupBy("cluster_rep")
-        .agg(F.min("doc_id").alias("survivor_doc"))
     )
-    return merged.join(survivor, "cluster_rep").select(
-        "cluster_rep", "survivor_doc", "n_members", "max_chars", "total_chars"
+    return (
+        labeled.groupBy("cluster_rep")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+            best.getField("_doc").alias("survivor_doc"),
+        )
+        # a cluster whose every n_chars is NULL had no survivor row under
+        # the old inner join (and has none in the oracle) — drop it here
+        # too so the single-agg form is row-for-row identical
+        .filter(F.col("survivor_doc").isNotNull())
+        .select(
+            "cluster_rep", "survivor_doc", "n_members", "max_chars", "total_chars"
+        )
     )
 
 
@@ -3316,15 +3356,32 @@ def agg_heavy_hitters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= K)
         .select("token", "n")
     )
-    missed = exact_topk.join(topk_cand, ["token", "n"], "left_anti").agg(
-        F.count(F.lit(1)).alias("n_missed")
+    # r13 OPTIMIZATION (guide §2.4, the _pin_recall single-pass form): the
+    # r11 shape consumed topk_cand TWICE (the anti-join miss count and the
+    # output crossJoin), so the phase-2 re-count — including its own full
+    # corpus regex+explode pass — executed twice per invocation (4 corpus
+    # passes total).  One full outer join on the two ≤K-row top-k frames
+    # computes the same miss count (rows where the cand side is null are
+    # exactly the anti-join's survivors) in a single-partition window, and
+    # the cand-side filter restores the original output rows — each
+    # lineage now executes once (3 corpus passes: phase 1, phase 2, the
+    # exact harness; the first two are the two-phase contract, the third
+    # is the harness you drop at scale).  Values identical by
+    # construction; rows are unique per side (row_number ≤ K).
+    joined = topk_cand.withColumn("_c", F.lit(1)).join(
+        exact_topk.withColumn("_e", F.lit(1)), ["token", "n"], "full_outer"
+    )
+    n_missed = F.coalesce(
+        F.sum(F.when(F.col("_c").isNull(), 1).otherwise(0)).over(W.partitionBy()),
+        F.lit(0),
     )
     return (
-        topk_cand.crossJoin(F.broadcast(missed))
+        joined.withColumn("_n_missed", n_missed)
+        .filter(F.col("_c").isNotNull())
         .select(
             "token",
             "n",
-            (F.col("n_missed") == 0).alias("candidate_superset_held"),
+            (F.col("_n_missed") == 0).alias("candidate_superset_held"),
         )
         .orderBy(F.col("n").desc(), "token")
     )

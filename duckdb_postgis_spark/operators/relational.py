@@ -921,50 +921,74 @@ def agg_quantile_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "bin")
         .agg(F.count("*").alias("n_direct"))
     )
-    mism = (
+    # r13 OPTIMIZATION (guide §2.4, the _pin_recall single-pass form): the
+    # r7 shape consumed ``merged`` three times (the mismatch full join,
+    # the CDF, and the CDF's own per-flag total self-join) and ``direct``
+    # twice (mismatch + rank recount) — seven corpus passes for a 3-row
+    # answer.  Every post-sketch step is per-flag arithmetic over the
+    # ≤ |flags|·bins counter rows, so it all folds into ONE windowed chain
+    # over the full-joined counter table: mismatch count, CDF, median
+    # bin, and the rank recount are stacked window layers sharing a
+    # single per-flag exchange, and each sketch lineage executes once (4
+    # corpus passes: merged path, direct path, the exact-median harness,
+    # and the min/max bounds probe).  Row-set equivalence: merged and
+    # direct aggregate the same binned frame, so the full join's key set
+    # IS merged's key set; the ``n IS NOT NULL`` guard inside the
+    # median-bin pick makes that provable rather than assumed, and window
+    # sums skip NULLs exactly where the old per-side aggregations never
+    # saw the row.  Values and null-bin ordering (nulls first, as the old
+    # cdf's orderBy) are unchanged; fuzz family 28 pins the edge seeds.
+    w_f = Window.partitionBy("l_returnflag")
+    w_ord = Window.partitionBy("l_returnflag").orderBy("bin")
+    counters = (
         merged.join(direct, ["l_returnflag", "bin"], "full")
-        .groupBy("l_returnflag")
-        .agg(
+        .select(
+            "l_returnflag",
+            "bin",
+            "n",
+            "n_direct",
             F.sum(
                 F.when(
                     F.coalesce("n", F.lit(-1)) == F.coalesce("n_direct", F.lit(-2)),
                     0,
                 ).otherwise(1)
-            ).alias("n_mismatch")
+            )
+            .over(w_f)
+            .alias("n_mismatch"),
+            F.sum("n").over(w_ord).alias("cum"),
+            F.sum("n").over(w_f).alias("tot"),
+        )
+        .withColumn(
+            "mbin",
+            F.min(
+                F.when(
+                    F.col("n").isNotNull()
+                    & (
+                        F.col("cum").cast("double")
+                        >= 0.5 * F.col("tot").cast("double")
+                    ),
+                    F.col("bin"),
+                )
+            ).over(w_f),
         )
     )
-    w = Window.partitionBy("l_returnflag").orderBy("bin")
-    cdf = merged.withColumn("cum", F.sum("n").over(w)).join(
-        merged.groupBy("l_returnflag").agg(F.sum("n").alias("tot")),
-        "l_returnflag",
-    )
-    med_bin = (
-        cdf.filter(F.col("cum").cast("double") >= 0.5 * F.col("tot").cast("double"))
-        .groupBy("l_returnflag")
-        .agg(F.min("bin").alias("mbin"))
-    )
-    # independent rank recount: direct per-bin counts vs the bin the
-    # merged CDF picked (bin arithmetic identical by construction)
-    rank_chk = (
-        direct.join(med_bin, "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum(
-                F.when(F.col("bin") < F.col("mbin"), F.col("n_direct")).otherwise(0)
-            ).alias("n_lt"),
-            F.sum(
-                F.when(F.col("bin") <= F.col("mbin"), F.col("n_direct")).otherwise(0)
-            ).alias("n_le"),
-            F.sum("n_direct").alias("n_all"),
-        )
-    )
+    rank_chk = counters.groupBy("l_returnflag").agg(
+        F.min("n_mismatch").alias("n_mismatch"),
+        F.sum(
+            F.when(F.col("bin") < F.col("mbin"), F.col("n_direct")).otherwise(0)
+        ).alias("n_lt"),
+        F.sum(
+            F.when(F.col("bin") <= F.col("mbin"), F.col("n_direct")).otherwise(0)
+        ).alias("n_le"),
+        F.sum("n_direct").alias("n_all"),
+        F.min("mbin").alias("mbin"),
+    ).filter(F.col("mbin").isNotNull())
     exact = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_raw")
     )
     half_up = F.floor((F.col("n_all") + 1) / 2)  # ceil(n/2), integer
     return (
         exact.join(rank_chk, "l_returnflag")
-        .join(mism, "l_returnflag")
         .select(
             "l_returnflag",
             F.round("exact_raw", 6).alias("exact_p50"),
@@ -1084,16 +1108,30 @@ def agg_cms_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cells.groupBy("shard", "d", "w").agg(F.count("*").alias("n"))
     merged = sketch.groupBy("d", "w").agg(F.sum("n").alias("n"))
     direct = cells.groupBy("d", "w").agg(F.count("*").alias("n_direct"))
-    mism = (
-        merged.join(direct, ["d", "w"], "full")
-        .agg(
+    # r13 OPTIMIZATION (guide §2.4, the _pin_recall single-pass form): the
+    # r8 shape consumed ``merged`` twice — the mismatch aggregate and the
+    # top-k probe join — so the corpus-wide 4×md5 bucketize pass under it
+    # executed three times per invocation (merged ×2 + direct).  Now the
+    # full join runs once, the GLOBAL mismatch count rides every counter
+    # row via a single-partition window (≤ D·W = 2048 rows, constant at
+    # any corpus scale), and the probe join reads merged's counters from
+    # the same frame — two bucketize passes (merge path + direct path),
+    # the minimum the lossless-merge check needs.  ``n IS NOT NULL``
+    # reproduces the old inner join against merged exactly (merged and
+    # direct aggregate the same cells frame, so the key sets coincide and
+    # the filter is a no-op in practice — it exists so equivalence is
+    # provable, not assumed).
+    counters = merged.join(direct, ["d", "w"], "full").withColumn(
+        "n_mismatch",
+        F.coalesce(
             F.sum(
                 F.when(
                     F.coalesce("n", F.lit(-1)) == F.coalesce("n_direct", F.lit(-2)),
                     0,
                 ).otherwise(1)
-            ).alias("n_mismatch")
-        )
+            ).over(Window.partitionBy()),
+            F.lit(0),
+        ),
     )
     top = (
         li.groupBy("l_suppkey")
@@ -1111,21 +1149,19 @@ def agg_cms_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d", "w"),
     )
     est = (
-        probes.join(F.broadcast(merged), ["d", "w"])
-        .groupBy("l_suppkey", "exact_cnt")
-        .agg(F.min("n").alias("cms_est"))
-    )
-    return (
-        est.crossJoin(F.broadcast(mism))
-        .select(
-            "l_suppkey",
-            "exact_cnt",
-            F.col("cms_est").cast("long").alias("cms_est"),
-            (F.col("cms_est") >= F.col("exact_cnt")).alias("cms_ge_exact"),
-            (F.col("n_mismatch") == 0).alias("merge_equals_direct"),
+        probes.join(
+            F.broadcast(counters.filter(F.col("n").isNotNull())), ["d", "w"]
         )
-        .orderBy(F.col("exact_cnt").desc(), "l_suppkey")
+        .groupBy("l_suppkey", "exact_cnt")
+        .agg(F.min("n").alias("cms_est"), F.min("n_mismatch").alias("n_mismatch"))
     )
+    return est.select(
+        "l_suppkey",
+        "exact_cnt",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("cms_ge_exact"),
+        (F.col("n_mismatch") == 0).alias("merge_equals_direct"),
+    ).orderBy(F.col("exact_cnt").desc(), "l_suppkey")
 
 
 # --------------------------------------------------------------------------
