@@ -2343,7 +2343,20 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg over tokens; the per-doc top-k is a WindowGroupLimit, not a full
     sort. N rides the plan as a broadcast 1-row aggregate (single action —
     no driver-side count() job whose scalar re-enters the plan as a
-    literal), mirroring the events_funnel single-action shape."""
+    literal), mirroring the events_funnel single-action shape.
+
+    r13-opt note (guide §1: measure first): the bm25/pmi single-tokenize
+    cure was tried here — aggregate to (doc, token, tf) pairs once, derive
+    df as the per-token pair count, tf as the doc_id%25 filter — and
+    REJECTED: Catalyst correctly pushes the doc_id%25 filter BELOW the
+    pairs aggregation into its own pruned scan branch (ReusedExchange
+    cannot dedup differently-filtered subtrees), so the executed plan kept
+    the same two tokenize passes (full for df, 4% slice for tf) and only
+    gained an extra aggregation layer; interleaved A/B 429 → 422 ms (a
+    wash).  The two passes here are the floor: df NEEDS the full corpus
+    while tf needs 4% of it, and sharing one subtree would force the tf
+    branch to consume the corpus-sized pairs exchange instead of its own
+    25×-pruned scan."""
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
@@ -3459,14 +3472,19 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     textually in the oracle); a distributed SUM's nondeterministic
     reduction order never touches a float here.
 
-    Scale: tokenization + tf/df/dl are partial aggs over the token stream
-    (shuffle |distinct (doc, term)| for tf — 3 terms, so ~3 rows per
-    matching doc); N and avgdl ride the plan as one broadcast 1-row
-    aggregate (single action, the events_funnel shape); the final top-k is
-    a distributed TakeOrderedAndProject (per-partition top-k, k-row driver
-    merge) over docs that matched at least one term.  At
-    100 TB this is the standard two-phase sparse scoring shape — no dense
-    score vector, no driver participation."""
+    Scale: ONE partial agg over the token stream computes every per-doc
+    statistic BM25 needs — dl plus the three per-term tfs as conditional
+    count columns (guide §2.1: the r13-opt single-pass rewrite; the r10
+    shape fanned the corpus tokenize into FOUR consumers — dl×2 via the
+    stats branch, tf, df — and plans/r13/text_bm25_search_before.txt shows
+    all four Generate nodes executing).  df/avgdl/N then derive from the
+    |docs|-row frame (df_t = count of docs with tf_t>0 ≡ the old
+    countDistinct(doc_id) — exact integers), riding as one broadcast 1-row
+    aggregate; the final top-k is a distributed TakeOrderedAndProject
+    (per-partition top-k, k-row driver merge) over docs that matched at
+    least one term.  At 100 TB this is the standard two-phase sparse
+    scoring shape — no dense score vector, no driver participation, and
+    the corpus is tokenized exactly once."""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -3474,38 +3492,49 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), " ")
         ).alias("token"),
     ).filter(F.col("token") != "")
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    n_docs = docs.agg(F.count("*").cast("double").alias("nd"))
-    stats = dl.agg(F.sum("dl").cast("double").alias("tot")).join(
-        F.broadcast(n_docs)
+    # one corpus pass: doc length + per-term tf (count of non-null when()
+    # rows == the old per-(doc,term) group row count — exact)
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.count(F.when(F.col("token") == t, F.lit(1))).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
     )
-    qtok = tok.filter(F.col("token").isin(*_BM25_TERMS))
-    tf = qtok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = qtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    dfd = F.col("df").cast("double")
-    idf = (F.col("nd") - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
-    tfd = F.col("tf").cast("double")
+    n_docs = docs.agg(F.count("*").cast("double").alias("nd"))
+    # |docs|-row reduction: corpus token total + per-term document
+    # frequencies (df_t = #docs with tf_t > 0 ≡ countDistinct(doc_id))
+    stats = per_doc.agg(
+        F.sum("dl").cast("double").alias("tot"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, F.lit(1))).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    ).join(F.broadcast(n_docs))
     norm = F.lit(_BM25_K1) * (
         F.lit(1 - _BM25_B)
         + F.lit(_BM25_B) * (F.col("dl").cast("double") / (F.col("tot") / F.col("nd")))
     )
-    contrib = (
-        tf.join(df_, "token")
-        .join(dl, "doc_id")
+
+    def contrib(i: int):
+        # identical IEEE expression tree to the r10 per-term column: the
+        # tf=0 branch is the old coalesce(NULL, 0.0) pivot-miss
+        dfd = F.col(f"df_{i}").cast("double")
+        idf = (F.col("nd") - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+        tfd = F.col(f"tf_{i}").cast("double")
+        return F.when(
+            F.col(f"tf_{i}") > 0,
+            idf * ((tfd * F.lit(_BM25_K1 + 1)) / (tfd + norm)),
+        ).otherwise(F.lit(0.0))
+
+    score = contrib(0) + contrib(1) + contrib(2)
+    scored = (
+        per_doc.filter(
+            (F.col("tf_0") > 0) | (F.col("tf_1") > 0) | (F.col("tf_2") > 0)
+        )
         .join(F.broadcast(stats))
-        .withColumn("c", idf * ((tfd * F.lit(_BM25_K1 + 1)) / (tfd + norm)))
+        .select("doc_id", score.alias("score"))
     )
-    pivoted = (
-        contrib.groupBy("doc_id")
-        .pivot("token", list(_BM25_TERMS))
-        .agg(F.first("c"))
-    )
-    score = (
-        F.coalesce(F.col(_BM25_TERMS[0]), F.lit(0.0))
-        + F.coalesce(F.col(_BM25_TERMS[1]), F.lit(0.0))
-        + F.coalesce(F.col(_BM25_TERMS[2]), F.lit(0.0))
-    )
-    scored = pivoted.select("doc_id", score.alias("score"))
     # (score DESC, doc_id) is a TOTAL order, so orderBy+limit — Spark's
     # distributed TakeOrderedAndProject, per-partition top-k then a k-row
     # driver merge — selects exactly the oracle's ROW_NUMBER()<=k set
@@ -3946,11 +3975,17 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bgc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
     tot = bgc.agg(F.sum("c_ab").alias("n_total"))
+    # unigram slot counts DERIVE from the bigram counts (r13-opt, guide
+    # §2.1/§2.3: the r10 shape re-ran the corpus bigram explode twice more
+    # inside a Union feeding this agg — 3 Generate nodes in
+    # plans/r13/text_collocation_pmi_before.txt; c(tok) = Σ c_ab over
+    # bigrams with tok in that slot is the same exact integer, and the
+    # union now moves |distinct bigrams| rows, not the corpus stream)
     uni = (
-        pairs.select(F.col("w1").alias("tok"))
-        .unionByName(pairs.select(F.col("w2").alias("tok")))
+        bgc.select(F.col("w1").alias("tok"), "c_ab")
+        .unionByName(bgc.select(F.col("w2").alias("tok"), "c_ab"))
         .groupBy("tok")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("c_ab").alias("c"))
     )
     return (
         bgc.filter(F.col("c_ab") >= 3)

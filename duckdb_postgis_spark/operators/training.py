@@ -868,7 +868,21 @@ def text_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: token frequencies are a partial agg over the exploded corpus;
     the doc score is a second partial agg after an equi-join on token (the
     vocabulary is NOT assumed broadcastable); N rides the plan as a
-    broadcast 1-row aggregate (single action, no driver count())."""
+    broadcast 1-row aggregate (single action, no driver count()).
+
+    r13-opt note (guide §1: measure first): the explode here fans into
+    three consumers (freq, n_total, the join's left side), so the plan
+    re-tokenizes the corpus 3× — but TWO single-tokenize rewrites were
+    measured and REJECTED: (a) aggregating to (doc, token, k) multiplicity
+    pairs first — 236 → 303 ms at sf0.1 (the pairs exchange is token-
+    stream-sized here, so it ADDS an exchange without removing bytes);
+    (b) one shared repartition(token) feeding freq and the join — 281 →
+    427 ms (the repartition loses the map-side combine freq's partial agg
+    gets for free).  This tokenize is regexp-free (split on space), so the
+    duplicated passes are cheap scans; the exchange structure, which
+    dominates, is already minimal — the bm25/tfidf/pmi single-pass cures
+    do NOT transfer (their duplicated pass carries a regexp or an
+    arrays_zip)."""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     freq = tok.groupBy("token").agg(F.count("*").alias("n_t"))

@@ -402,3 +402,31 @@ def test_simhash_signature_pass_runs_once(plans):
     64 vote sums) executed three times."""
     p = plans("dedup_simhash")
     assert "InMemoryTableScan" in p, "signature persist lost"
+
+
+def test_bm25_tokenizes_corpus_once(plans):
+    """r13 continuation: all BM25 per-doc statistics (dl + the three
+    per-term tfs) compute in ONE conditional aggregation over a single
+    tokenize pass; df/avgdl derive from the |docs|-row frame via a
+    ReusedExchange.  The r10 shape fanned the corpus tokenize into FOUR
+    executing Generate nodes (dl x2 via the stats branch, tf, df —
+    plans/r13/text_bm25_search_{before,after}.txt)."""
+    p = plans("text_bm25_search")
+    final_tree = p.split("== Initial Plan ==")[0].split("\n\n", 1)[0]
+    assert final_tree.count("Generate") == 1, (
+        "BM25 corpus tokenize duplicated again:\n" + final_tree
+    )
+
+
+def test_pmi_explodes_bigrams_once(plans):
+    """r13 continuation: unigram slot counts derive from the bigram
+    counts (c(tok) = sum of c_ab over bigrams with tok in that slot), so
+    the corpus bigram explode executes once and the uni/tot branches ride
+    ReusedExchange.  The r10 shape re-ran the explode twice more inside
+    the Union feeding uni (plans/r13/text_collocation_pmi_{before,after}
+    .txt: 3 Generate nodes -> 1)."""
+    p = plans("text_collocation_pmi")
+    final_tree = p.split("== Initial Plan ==")[0].split("\n\n", 1)[0]
+    assert final_tree.count("Generate") == 1, (
+        "PMI bigram explode duplicated again:\n" + final_tree
+    )
