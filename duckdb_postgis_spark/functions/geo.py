@@ -264,6 +264,91 @@ def bng_to_wgs84(easting: float, northing: float) -> tuple[float, float]:
     return math.degrees(lon84), math.degrees(lat84)
 
 
+def bng_to_wgs84_vec(easting, northing):
+    """Vectorized bng_to_wgs84 over NumPy arrays — the whole OSGB chain
+    (inverse TM series, Helmert datum shift, geodetic iteration) in array
+    ops (guide §4.2: batch math instead of a Python loop per row).
+
+    Float discipline: np.sin/cos/sqrt are bit-identical to math.* on this
+    build (measured); tan/atan2/power differ by ≤ a few ulp, which is
+    ~1e-16 relative against the query's ROUND(·, 6) output granularity
+    and the oracle's measured ≤1.5e-14 cross-engine residual.  The
+    registered query's input domain is FINITE (easting/northing are
+    p_partkey % 4000 / % 10000 lattices → ≤ 20000 distinct pairs at any
+    scale factor), and tests/test_geo_transform_vec.py proves the rounded
+    outputs equal the scalar path's over that ENTIRE domain, plus ulp-level
+    agreement of the raw radians.  The meridian-arc loop freezes each lane
+    at ITS convergence step (the mask), reproducing the scalar loop's
+    per-point iteration count exactly.  Returns (lon_deg, lat_deg)."""
+    import numpy as np
+
+    E = np.asarray(easting, dtype="float64")
+    N = np.asarray(northing, dtype="float64")
+
+    # ---- inverse TM (OSGB36), per-lane-frozen meridian iteration ----
+    a, e2 = _AIRY.a, _AIRY.e2
+    b = _AIRY.b
+    n = (a - b) / (a + b)
+    n2, n3 = n * n, n * n * n
+    phi = np.full_like(E, _LAT0)
+    M = np.zeros_like(E)
+    active = np.ones(E.shape, dtype=bool)
+    while active.any():
+        phi = np.where(active, (N - _N0 - M) / (a * _F0) + phi, phi)
+        dphi, sphi_ = phi - _LAT0, phi + _LAT0
+        M_new = (
+            b
+            * _F0
+            * (
+                (1 + n + 1.25 * n2 + 1.25 * n3) * dphi
+                - (3 * n + 3 * n2 + 2.625 * n3) * np.sin(dphi) * np.cos(sphi_)
+                + (1.875 * n2 + 1.875 * n3) * np.sin(2 * dphi) * np.cos(2 * sphi_)
+                - (35.0 / 24.0) * n3 * np.sin(3 * dphi) * np.cos(3 * sphi_)
+            )
+        )
+        M = np.where(active, M_new, M)
+        active = active & (np.abs(N - _N0 - M) >= 1e-5)
+    sphi, cphi, tphi = np.sin(phi), np.cos(phi), np.tan(phi)
+    nu = a * _F0 / np.sqrt(1 - e2 * sphi * sphi)
+    rho = a * _F0 * (1 - e2) / (1 - e2 * sphi * sphi) ** 1.5
+    eta2 = nu / rho - 1
+    t2, t4 = tphi * tphi, tphi**4
+    VII = tphi / (2 * rho * nu)
+    VIII = tphi / (24 * rho * nu**3) * (5 + 3 * t2 + eta2 - 9 * t2 * eta2)
+    IX = tphi / (720 * rho * nu**5) * (61 + 90 * t2 + 45 * t4)
+    X = 1.0 / (cphi * nu)
+    XI = 1.0 / (cphi * 6 * nu**3) * (nu / rho + 2 * t2)
+    XII = 1.0 / (cphi * 120 * nu**5) * (5 + 28 * t2 + 24 * t4)
+    XIIA = 1.0 / (cphi * 5040 * nu**7) * (61 + 662 * t2 + 1320 * t4 + 720 * t2**3)
+    dE = E - _E0
+    lat36 = phi - VII * dE**2 + VIII * dE**4 - IX * dE**6
+    lon36 = _LON0 + X * dE - XI * dE**3 + XII * dE**5 - XIIA * dE**7
+
+    # ---- geodetic → cartesian (Airy) ----
+    s36, c36 = np.sin(lat36), np.cos(lat36)
+    nu36 = _AIRY.a / np.sqrt(1 - _AIRY.e2 * s36 * s36)
+    x = nu36 * c36 * np.cos(lon36)
+    y = nu36 * c36 * np.sin(lon36)
+    z = nu36 * (1 - _AIRY.e2) * s36
+
+    # ---- Helmert OSGB36 → WGS84 ----
+    h = _HELMERT
+    x2 = h["tx"] + (1 + h["s"]) * x - h["rz"] * y + h["ry"] * z
+    y2 = h["ty"] + h["rz"] * x + (1 + h["s"]) * y - h["rx"] * z
+    z2 = h["tz"] - h["ry"] * x + h["rx"] * y + (1 + h["s"]) * z
+
+    # ---- cartesian → geodetic (WGS84), fixed 8 iterations ----
+    lon84 = np.arctan2(y2, x2)
+    p = np.hypot(x2, y2)
+    lat84 = np.arctan2(z2, p * (1 - _WGS84.e2))
+    for _ in range(8):
+        s84 = np.sin(lat84)
+        nu84 = _WGS84.a / np.sqrt(1 - _WGS84.e2 * s84 * s84)
+        lat84 = np.arctan2(z2 + _WGS84.e2 * nu84 * s84, p)
+    deg = 180.0 / math.pi
+    return lon84 * deg, lat84 * deg
+
+
 # --------------------------------------------------------------------------
 # EPSG:3857 (Web Mercator) ↔ EPSG:4326
 # --------------------------------------------------------------------------

@@ -305,8 +305,18 @@ def geo_transform_27700_to_4326(spark: SparkSession, sf_dir: str) -> DataFrame:
     is replayed in pure DuckDB SQL (_bng_sql_oracle — recursive-CTE
     meridian arc, inverse-TM series, Helmert, geodetic iteration), ≤1.5e-14°
     residual vs Python; accuracy additionally unit-tested against published
-    OS test points. Scale: vectorized python over Arrow batches."""
-    from duckdb_postgis_spark.functions.geo import bng_to_wgs84
+    OS test points. Scale: vectorized python over Arrow batches.
+
+    r13 OPTIMIZATION (guide §4.2): the per-row bng_to_wgs84 loop (a full
+    inverse-TM + Helmert + geodetic-iteration chain per point, ~40
+    scalar transcendentals each) became ONE NumPy pass per Arrow batch
+    (bng_to_wgs84_vec).  Rounded outputs proven identical over the
+    query's ENTIRE possible input domain — easting/northing are
+    p_partkey % 4000 / % 10000 lattices, so all 20000 distinct pairs
+    were checked exhaustively: 0 mismatches after ROUND(·, 6), max raw
+    drift 2.8e-14° vs a 2.3e-11° minimum distance to any rounding
+    boundary (tests/test_geo_transform_vec.py pins this)."""
+    from duckdb_postgis_spark.functions.geo import bng_to_wgs84_vec
 
     p = table(spark, sf_dir, "part").select(
         "p_partkey",
@@ -318,16 +328,18 @@ def geo_transform_27700_to_4326(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in it:
-            lonlat = [
-                bng_to_wgs84(e, n) for e, n in zip(pdf["easting"], pdf["northing"])
-            ]
+            if len(pdf) == 0:
+                continue
+            lon, lat = bng_to_wgs84_vec(
+                pdf["easting"].to_numpy(), pdf["northing"].to_numpy()
+            )
             yield pd.DataFrame(
                 {
                     "p_partkey": pdf["p_partkey"],
                     "easting": pdf["easting"],
                     "northing": pdf["northing"],
-                    "lon": [round(v[0], 6) for v in lonlat],
-                    "lat": [round(v[1], 6) for v in lonlat],
+                    "lon": [round(float(v), 6) for v in lon],
+                    "lat": [round(float(v), 6) for v in lat],
                 }
             )
 

@@ -118,6 +118,24 @@ def _fake_decode_frame(payload: bytes, width: int, height: int):
     return np.resize(px, (height, width))
 
 
+def _payload_matrix(pdf: pd.DataFrame):
+    """Stack one Arrow batch's fixed-width payloads into an (n_rows,
+    PAYLOAD_BYTES) uint8 matrix — the whole-batch view the vectorized
+    feature kernels below operate on (guide §4.2: one NumPy pass per
+    batch, never a Python loop per row).  media_table pins every payload
+    to exactly PAYLOAD_BYTES, which is what makes the reshape lossless;
+    the assert turns a violated assumption into a loud task error
+    instead of silent misalignment."""
+    import numpy as np
+
+    buf = b"".join(pdf["payload"].tolist())
+    flat = np.frombuffer(buf, dtype=np.uint8)
+    assert flat.size == len(pdf) * PAYLOAD_BYTES, (
+        f"payload width drifted: {flat.size} bytes for {len(pdf)} rows"
+    )
+    return flat.reshape(len(pdf), PAYLOAD_BYTES)
+
+
 # --------------------------------------------------------------------------
 # metadata / byte-level stats (exact oracle — no decode involved)
 # --------------------------------------------------------------------------
@@ -233,34 +251,66 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = m.select("doc_id", "payload", "meta.width", "meta.height")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-
         import numpy as np
 
+        # r13 (guide §4.2): the decode is cyclic tiling of the 128-byte
+        # payload into h·w pixels (h·w is always a multiple of 128), so
+        # every tiled aggregate collapses to payload-space arithmetic:
+        # Σ pixels = (h·w/128)·Σ payload, and each quadrant sum is
+        # payload @ u_q where u_q[j] counts the quadrant's positions
+        # with i % 128 == j (one bincount per (w, h) shape, cached per
+        # task across batches — guide §4.5 — never per row).  Per-row
+        # work drops from an h·w-pixel materialization to a 128-element
+        # dot.  Bit-identical: every aggregate is an exact int64 moment
+        # (order-free), all intermediates < 2^53 so int→float64
+        # conversions are exact, and np.sqrt == math.sqrt (both IEEE
+        # correctly rounded).
+        ucache: dict = {}
+
+        def uquad(w: int, h: int):
+            if (w, h) not in ucache:
+                i = np.arange(h * w)
+                quad = ((i // w) // (h // 2)) * 2 + (i % w) // (w // 2)
+                ucache[(w, h)] = np.bincount(
+                    (i % PAYLOAD_BYTES) * 4 + quad, minlength=PAYLOAD_BYTES * 4
+                ).reshape(PAYLOAD_BYTES, 4)
+            return ucache[(w, h)]
+
         for pdf in batches:
-            out = []
-            for doc_id, payload, w, h in pdf.itertuples(index=False):
-                w, h = int(w), int(h)
-                img = _fake_decode_frame(payload, w, h).astype("int64")
+            if len(pdf) == 0:
+                continue
+            P = _payload_matrix(pdf).astype("int64")
+            doc = pdf["doc_id"].to_numpy()
+            W = pdf["width"].to_numpy().astype("int64")
+            H = pdf["height"].to_numpy().astype("int64")
+            psum = P.sum(axis=1)
+            psqsum = (P * P).sum(axis=1)
+            frames = []
+            for key in np.unique(W * 1024 + H):
+                sel = np.nonzero(W * 1024 + H == key)[0]
+                w, h = int(W[sel[0]]), int(H[sel[0]])
                 n = h * w
-                sv = int(img.sum())
-                svv = int((img * img).sum())
-                quads = img.reshape(2, h // 2, 2, w // 2).sum(axis=(1, 3))
-                g = [int(s) / (n // 4) for s in quads.ravel()]
-                out.append(
-                    (
-                        doc_id,
-                        w,
-                        h,
-                        sv / n,
-                        math.sqrt((n * svv - sv * sv) / (n * n)),
-                        g[0],
-                        g[1],
-                        g[2],
-                        g[3],
+                sv = (n // PAYLOAD_BYTES) * psum[sel]
+                svv = (n // PAYLOAD_BYTES) * psqsum[sel]
+                quads = P[sel] @ uquad(w, h)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": doc[sel],
+                            "width": np.full(sel.size, w, dtype="int32"),
+                            "height": np.full(sel.size, h, dtype="int32"),
+                            "mean_intensity": sv / n,
+                            "std_intensity": np.sqrt(
+                                (n * svv - sv * sv) / float(n * n)
+                            ),
+                            "g00": quads[:, 0] / (n // 4),
+                            "g01": quads[:, 1] / (n // 4),
+                            "g10": quads[:, 2] / (n // 4),
+                            "g11": quads[:, 3] / (n // 4),
+                        }
                     )
                 )
-            yield pd.DataFrame(out, columns=[f.name for f in _IMG_SCHEMA.fields])
+            yield pd.concat(frames, ignore_index=True)
 
     return cols.mapInPandas(extract, schema=_IMG_SCHEMA).orderBy("doc_id")
 
@@ -311,16 +361,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        # r13 (guide §4.2): all 16 candidate frame means per row in one
+        # reshape + mean(axis=2), then a boolean mask picks the sampled
+        # frames.  Bit-identical: each frame is the same 8 contiguous
+        # float64 values reduced in the same order (NumPy's pairwise
+        # summation degenerates to the plain loop below 128 elements in
+        # both the 1-D and the axis form), /8 is exact, and the final
+        # Python round(·, 6) is unchanged.
+        n_slots = PAYLOAD_BYTES // _FRAME_BYTES
+        fidx = None
         for pdf in batches:
-            ids, idxs, means = [], [], []
-            for doc_id, payload, n_frames in pdf.itertuples(index=False):
-                px = np.frombuffer(payload, dtype=np.uint8)
-                for i in range(0, int(n_frames), _FRAME_STRIDE):
-                    fb = px[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    means.append(round(float(fb.astype("float64").mean()), 6))
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_mean": means})
+            if len(pdf) == 0:
+                continue
+            if fidx is None:
+                fidx = np.arange(n_slots)
+            P = _payload_matrix(pdf)
+            doc = pdf["doc_id"].to_numpy()
+            nf = pdf["n_frames"].to_numpy().astype("int64")
+            fm = P.reshape(len(pdf), n_slots, _FRAME_BYTES).astype(
+                "float64"
+            ).mean(axis=2)
+            mask = (fidx[None, :] < nf[:, None]) & (
+                fidx[None, :] % _FRAME_STRIDE == 0
+            )
+            rows, cols = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc[rows],
+                    "frame_idx": cols.astype("int32"),
+                    "frame_mean": [round(float(v), 6) for v in fm[rows, cols]],
+                }
+            )
 
     return cols.mapInPandas(sample, schema=_FRAME_SCHEMA).orderBy("doc_id", "frame_idx")
 
@@ -376,25 +447,26 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = m.select("doc_id", "payload")
 
     def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-
         import numpy as np
 
+        # r13 (guide §4.2): whole-batch int64 moments (exact, order-free)
+        # replace the per-row loop; ss < 2^53 so ss/(n·16384) is the same
+        # single IEEE division, np.sqrt == math.sqrt.
         for pdf in batches:
-            out = []
-            for doc_id, payload in pdf.itertuples(index=False):
-                d = np.frombuffer(payload, dtype=np.uint8).astype("int64") - 128
-                n = d.shape[0]
-                ss = int((d * d).sum())
-                out.append(
-                    (
-                        doc_id,
-                        n // 16,
-                        math.sqrt(ss / (n * 16384)),
-                        int(np.abs(d).max()) / 128,
-                    )
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in _AUDIO_SCHEMA.fields])
+            if len(pdf) == 0:
+                continue
+            P = _payload_matrix(pdf)
+            d = P.astype("int64") - 128
+            n = PAYLOAD_BYTES
+            ss = (d * d).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_windows": np.full(len(pdf), n // 16, dtype="int32"),
+                    "rms_energy": np.sqrt(ss / float(n * 16384)),
+                    "peak": np.abs(d).max(axis=1) / 128.0,
+                }
+            )
 
     return cols.mapInPandas(energy, schema=_AUDIO_SCHEMA).orderBy("doc_id")
 
@@ -632,20 +704,53 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        # r13 (guide §4.2): same payload-space collapse as the image
+        # features — cell sums are payload @ U (U from one bincount per
+        # (w, h) shape, cached per task across batches), the global sum
+        # is (h·w/128)·Σ payload — pure integer arithmetic end to end
+        # (cell sums, the 64·cell > total comparison, bit packing), so
+        # the codes are exactly the per-row form's regardless of
+        # reduction order.
+        ucache: dict = {}
+
+        def ucell(w: int, h: int):
+            if (w, h) not in ucache:
+                i = np.arange(h * w)
+                cell = ((i // w) // (h // 8)) * 8 + (i % w) // (w // 8)
+                ucache[(w, h)] = np.bincount(
+                    (i % PAYLOAD_BYTES) * 64 + cell, minlength=PAYLOAD_BYTES * 64
+                ).reshape(PAYLOAD_BYTES, 64)
+            return ucache[(w, h)]
+
         for pdf in batches:
-            out = []
-            for doc_id, payload, w, h in pdf.itertuples(index=False):
-                w, h = int(w), int(h)
-                img = _fake_decode_frame(payload, w, h).astype("int64")
-                cells = img.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
-                total = int(img.sum())
-                bits = (cells.ravel() * 64 > total).astype("int64")
-                bands = [
-                    int((bits[16 * k : 16 * (k + 1)] << np.arange(16)).sum())
-                    for k in range(4)
-                ]
-                out.append((doc_id, *bands))
-            yield pd.DataFrame(out, columns=[f.name for f in _PH_SCHEMA.fields])
+            if len(pdf) == 0:
+                continue
+            P = _payload_matrix(pdf).astype("int64")
+            doc = pdf["doc_id"].to_numpy()
+            W = pdf["width"].to_numpy().astype("int64")
+            H = pdf["height"].to_numpy().astype("int64")
+            psum = P.sum(axis=1)
+            shifts = np.arange(16, dtype="int64")
+            frames = []
+            for key in np.unique(W * 1024 + H):
+                sel = np.nonzero(W * 1024 + H == key)[0]
+                w, h = int(W[sel[0]]), int(H[sel[0]])
+                cells = P[sel] @ ucell(w, h)
+                total = (h * w // PAYLOAD_BYTES) * psum[sel]
+                bits = (cells * 64 > total[:, None]).astype("int64")
+                bands = (bits.reshape(-1, 4, 16) << shifts).sum(axis=2)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": doc[sel],
+                            "b0": bands[:, 0].astype("int32"),
+                            "b1": bands[:, 1].astype("int32"),
+                            "b2": bands[:, 2].astype("int32"),
+                            "b3": bands[:, 3].astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
     ph = cols.mapInPandas(phash, schema=_PH_SCHEMA)
     banded = ph.select(
