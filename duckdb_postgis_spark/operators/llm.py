@@ -219,6 +219,120 @@ def _minhash_banded(sig: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Skew guard for bucket-grouped LSH candidate generation (r13 verdict #3,
+# guide §2.5): collect_list over a raw (band, bucket) group puts an ENTIRE
+# LSH bucket into one aggregation-buffer row — on a 100 TB crawl corpus a
+# mass-duplicate cluster (boilerplate pages, 10⁶+ identical docs) lands its
+# every member in the same bucket of every band, and that single group OOMs
+# the task.  Fix: salt each member into ceil(n/_LSH_SEG_TARGET) deterministic
+# segments (pmod(xxhash64(id), nseg) — never rand(), guide §2.5 retry rule),
+# aggregate per (bucket, segment), expand within-segment pairs in-row as
+# before, and pair ACROSS segments with a seg_a < seg_b self-join of the
+# segment lists.  Every unordered in-bucket pair appears exactly once
+# (same segment XOR one ordered segment pair), so the candidate set — and
+# therefore the query result — is identical by construction.  The expected
+# aggregation buffer is ≤ ~_LSH_SEG_TARGET members regardless of cluster
+# size because nseg scales with the corpus (the cluster is at most the
+# corpus); tests/test_fuzz_lsh_skew.py pins the bound on 10⁴- and 10⁵-copy
+# mass-duplicate corpora.  nseg is floored at 2 so every scale (including
+# the driver's sf0.01 correctness runs) executes the same segmented plan
+# that runs at 100 TB — the cross-segment path is driver-hash-verified, not
+# just fuzz-covered.
+# --------------------------------------------------------------------------
+_LSH_SEG_TARGET = int(os.environ.get("SPARK_GRAFT_LSH_SEG_TARGET", "4096"))
+
+
+def _lsh_seg_count(n_rows: int) -> int:
+    """Salt-segment count for bucket-grouped LSH candidates: ceil over the
+    corpus size so a worst-case bucket (= the whole corpus) still yields
+    ~_LSH_SEG_TARGET members per aggregation buffer; floor 2 keeps the
+    segmented plan shape identical at every scale."""
+    return max(2, -(-n_rows // _LSH_SEG_TARGET))
+
+
+def _segment_lists(
+    spark: SparkSession,
+    banded: DataFrame,
+    keys: list[str],
+    id_col: str,
+    payload_cols: list[str],
+    n_rows: int,
+) -> DataFrame:
+    """(``*keys``, ``_seg``, ``ms``) — per-(bucket, salt-segment) member
+    lists, the bounded-buffer aggregation both LSH candidate paths share.
+    Width-pinned like _minhash_signatures (the exchange under the in-row
+    pair expansion is the compute-heavy one)."""
+    try:
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_n = 0  # "auto" under AQE
+    nparts = max(shuffle_n, spark.sparkContext.defaultParallelism)
+    nseg = _lsh_seg_count(n_rows)
+    return (
+        banded.withColumn(
+            "_seg", F.pmod(F.xxhash64(id_col), F.lit(nseg)).cast("int")
+        )
+        .repartition(nparts, *keys)
+        .groupBy(*keys, "_seg")
+        .agg(F.collect_list(F.struct(id_col, *payload_cols)).alias("ms"))
+    )
+
+
+def _segmented_bucket_pairs(
+    spark: SparkSession,
+    banded: DataFrame,
+    keys: list[str],
+    id_col: str,
+    payload_cols: list[str],
+    body_sql: str,
+    n_rows: int,
+) -> DataFrame:
+    """All unordered in-bucket pairs with ``body_sql`` (a SQL struct over
+    pair members ``a`` and ``b``) evaluated in-row — the bucket-grouped
+    candidate expansion of r13, now skew-guarded by salt segmentation.
+    The within-segment half is the r13 expansion verbatim; the cross half
+    joins segment lists on the bucket key with ``seg_a < seg_b``, reusing
+    the segment aggregation's exchange (the signature/banding lineage
+    below it executes once — plan-checked in plans/r14/)."""
+    segs = _segment_lists(spark, banded, keys, id_col, payload_cols, n_rows)
+    within = (
+        segs.filter(F.size("ms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (a, i) -> "
+                    f"transform(slice(ms, i + 2, size(ms) - i - 1), b -> {body_sql})))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    x = segs.select(
+        *[F.col(k).alias(f"_xk{i}") for i, k in enumerate(keys)],
+        F.col("_seg").alias("_seg_a"),
+        F.col("ms").alias("xs"),
+    )
+    y = segs.select(
+        *[F.col(k).alias(f"_yk{i}") for i, k in enumerate(keys)],
+        F.col("_seg").alias("_seg_b"),
+        F.col("ms").alias("ys"),
+    )
+    cond = (F.col("_seg_a") < F.col("_seg_b"))
+    for i in range(len(keys)):
+        cond = (F.col(f"_xk{i}") == F.col(f"_yk{i}")) & cond
+    cross = (
+        x.join(y, cond)
+        .select(
+            F.explode(
+                F.expr(f"flatten(transform(xs, a -> transform(ys, b -> {body_sql})))")
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    return within.unionByName(cross)
+
+
 #: shared CTE chain up to band signatures (shingles -> minhash -> bands),
 #: reused by every minhash-family oracle so all stay in lockstep
 _MINHASH_BANDS_CTE = f"""
@@ -326,7 +440,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastExchange gone.  Results byte-identical (replica
     hash-green): est_jaccard is symmetric in the pair, so the in-bucket
     least/greatest canonicalization yields exactly the join form's
-    doc_a < doc_b pair set and values."""
+    doc_a < doc_b pair set and values.
+
+    Salt-segmented buckets (r14, value-identical — the r13 verdict's
+    order #3 skew guard, guide §2.5): see _segmented_bucket_pairs.  A
+    mass-duplicate cluster's bucket no longer rides one aggregation
+    buffer; tests/test_fuzz_lsh_skew.py pins the buffer bound on 10⁴/10⁵
+    single-doc clusters and pair-set equality vs the unsegmented form."""
     docs = table(spark, sf_dir, "documents")
     # signature pass as _MINHASH_SEEDS WIDE AGGREGATES over a raw (non-
     # distinct) shingle stream — the dedup_simhash wide-vote lesson
@@ -337,24 +457,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured-trap history lives on _minhash_signatures, which the
     # incremental index builder shares so signatures stay bit-identical)
     banded = _minhash_banded(_minhash_signatures(spark, docs))
-    buckets = banded.groupBy("band", "bsig").agg(
-        F.collect_list(F.struct("doc_id", "sig")).alias("ms")
-    )
-    pairs = (
-        buckets.filter(F.size("ms") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    """
-            flatten(transform(ms, (a, i) ->
-              transform(slice(ms, i + 2, size(ms) - i - 1), b ->
-                struct(least(a.doc_id, b.doc_id) AS doc_a,
-                       greatest(a.doc_id, b.doc_id) AS doc_b,
-                       a.sig AS sig_a, b.sig AS sig_b))))"""
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
+    # r14 skew guard (_segmented_bucket_pairs): same bucket-grouped
+    # candidates, but each bucket's members salt into bounded segments so
+    # a mass-duplicate cluster can no longer put its whole membership into
+    # one collect_list buffer.  Pair set and est_jaccard are identical by
+    # construction (est is symmetric in the pair, so orientation of the
+    # cross-segment expansion is irrelevant).
+    from duckdb_postgis_spark.catalog import table_num_rows
+
+    pairs = _segmented_bucket_pairs(
+        spark,
+        banded,
+        ["band", "bsig"],
+        "doc_id",
+        ["sig"],
+        "struct(least(a.doc_id, b.doc_id) AS doc_a, "
+        "greatest(a.doc_id, b.doc_id) AS doc_b, "
+        "a.sig AS sig_a, b.sig AS sig_b)",
+        table_num_rows(f"{sf_dir}/documents.parquet"),
     )
     agree = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
@@ -1989,7 +2109,12 @@ def _knn_ivf_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot/(nrm·nrm) doubles in the same order (multiplication is
     commutative in IEEE754), so values are bit-identical — verified
     pairwise on all three shapes at sf0.1.  Measured: 8.69 s (self-join)
-    → 3.87 s (bucket-grouped) → 2.17 s (width-pinned) at sf0.1."""
+    → 3.87 s (bucket-grouped) → 2.17 s (width-pinned) at sf0.1.
+
+    Salt-segmented buckets (r14, value-identical): see
+    _segmented_bucket_pairs — the dedup_minhash_lsh skew guard applied
+    to the embedding banding, bounding any hot bucket's aggregation
+    buffer at ~_LSH_SEG_TARGET members regardless of cluster size."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n, dim = _corpus_stats(f"{sf_dir}/embeddings.parquet")
     try:
@@ -2003,30 +2128,25 @@ def _knn_ivf_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    withnorm = bucketed.withColumn("nrm", F.sqrt(sumsq)).repartition(
-        nparts, "band", "bucket"
-    )
-    buckets = withnorm.groupBy("band", "bucket").agg(
-        F.collect_list(F.struct("vec_id", "embedding", "nrm")).alias("ms")
-    )
-    pairs = (
-        buckets.filter(F.size("ms") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    """
-            flatten(transform(ms, (a, i) ->
-              transform(slice(ms, i + 2, size(ms) - i - 1), b ->
-                struct(least(a.vec_id, b.vec_id) AS a_id,
-                       greatest(a.vec_id, b.vec_id) AS b_id,
-                       aggregate(zip_with(a.embedding, b.embedding,
-                                          (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                                 CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-                         / (a.nrm * b.nrm) AS cosine_raw))))"""
-                )
-            ).alias("p")
-        )
-        .select("p.a_id", "p.b_id", "p.cosine_raw")
+    withnorm = bucketed.withColumn("nrm", F.sqrt(sumsq))
+    # r14 skew guard (_segmented_bucket_pairs, same treatment as
+    # dedup_minhash_lsh): bounded per-segment collect_list buffers; the
+    # in-row cosine is the same dot/(nrm·nrm) doubles in the same order
+    # (each zip_with term x_i·y_i commutes), so values stay bit-identical
+    # whichever segment a pair member lands in.
+    pairs = _segmented_bucket_pairs(
+        spark,
+        withnorm,
+        ["band", "bucket"],
+        "vec_id",
+        ["embedding", "nrm"],
+        "struct(least(a.vec_id, b.vec_id) AS a_id, "
+        "greatest(a.vec_id, b.vec_id) AS b_id, "
+        "aggregate(zip_with(a.embedding, b.embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
+        "/ (a.nrm * b.nrm) AS cosine_raw)",
+        n,
     )
     return (
         pairs.dropDuplicates(["a_id", "b_id"])  # a pair may collide in >1 band

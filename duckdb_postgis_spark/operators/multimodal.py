@@ -285,11 +285,19 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             H = pdf["height"].to_numpy().astype("int64")
             psum = P.sum(axis=1)
             psqsum = (P * P).sum(axis=1)
+            # the W*1024+H packing and the payload-space collapse both
+            # encode dims assumptions — fail loudly if a future media
+            # lattice breaks them (r13 ADVICE)
+            assert H.max() < 1024, f"height {H.max()} overflows W*1024+H key"
             frames = []
             for key in np.unique(W * 1024 + H):
                 sel = np.nonzero(W * 1024 + H == key)[0]
                 w, h = int(W[sel[0]]), int(H[sel[0]])
                 n = h * w
+                assert n % PAYLOAD_BYTES == 0, (
+                    f"h*w={n} not a multiple of {PAYLOAD_BYTES}: the tiled-sum "
+                    "collapse needs whole payload repeats (np.resize truncates)"
+                )
                 sv = (n // PAYLOAD_BYTES) * psum[sel]
                 svv = (n // PAYLOAD_BYTES) * psqsum[sel]
                 quads = P[sel] @ uquad(w, h)
@@ -731,10 +739,18 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             H = pdf["height"].to_numpy().astype("int64")
             psum = P.sum(axis=1)
             shifts = np.arange(16, dtype="int64")
+            # same dims-assumption guards as multimodal_image_features
+            # (r13 ADVICE): the packed key and the payload-space collapse
+            # must fail loudly, not drift, if the media lattice changes
+            assert H.max() < 1024, f"height {H.max()} overflows W*1024+H key"
             frames = []
             for key in np.unique(W * 1024 + H):
                 sel = np.nonzero(W * 1024 + H == key)[0]
                 w, h = int(W[sel[0]]), int(H[sel[0]])
+                assert (h * w) % PAYLOAD_BYTES == 0, (
+                    f"h*w={h * w} not a multiple of {PAYLOAD_BYTES}: the "
+                    "tiled-sum collapse needs whole payload repeats"
+                )
                 cells = P[sel] @ ucell(w, h)
                 total = (h * w // PAYLOAD_BYTES) * psum[sel]
                 bits = (cells * 64 > total[:, None]).astype("int64")

@@ -6,39 +6,34 @@ build half so F.expr-style fixes (the r13 dedup_simhash treatment) can
 be targeted by measurement instead of guesswork.
 
 Usage:
-    python scripts/build_time_probe.py [--names a,b,...] [--reps N]
+    python scripts/build_time_probe.py [--names a,b,...] [--reps N] [--out F]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import statistics as st
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# repo root derived from this file's location (r13 ADVICE: no hardcoded path)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def main() -> int:
-    names_filter = None
-    reps = 3
-    args = sys.argv[1:]
-    i = 0
-    out_path = "/tmp/build_time_probe.json"
-    while i < len(args):
-        if args[i] == "--names":
-            names_filter = args[i + 1].split(",")
-            i += 2
-        elif args[i] == "--reps":
-            reps = int(args[i + 1])
-            i += 2
-        else:
-            out_path = args[i]
-            i += 1
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--names", help="comma-separated query names (default: all)")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="/tmp/build_time_probe.json")
+    opts = ap.parse_args()
+    names_filter = opts.names.split(",") if opts.names else None
+    reps = opts.reps
+    out_path = opts.out
 
     from pyspark.sql import SparkSession
 
@@ -75,7 +70,7 @@ def main() -> int:
             results[name] = round(st.median(ts), 4)
         except Exception as e:  # streaming live queries may need a sink
             results[name] = -1.0
-            print(f"  [skip] {name}: {type(e).__name__}", file=sys.stderr)
+            print(f"  [skip] {name}: {type(e).__name__}: {e}", file=sys.stderr)
 
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
