@@ -235,20 +235,28 @@ def _minhash_banded(sig: DataFrame) -> DataFrame:
 # aggregation buffer is ≤ ~_LSH_SEG_TARGET members regardless of cluster
 # size because nseg scales with the corpus (the cluster is at most the
 # corpus); tests/test_fuzz_lsh_skew.py pins the bound on 10⁴- and 10⁵-copy
-# mass-duplicate corpora.  nseg is floored at 2 so every scale (including
-# the driver's sf0.01 correctness runs) executes the same segmented plan
-# that runs at 100 TB — the cross-segment path is driver-hash-verified, not
-# just fuzz-covered.
+# mass-duplicate corpora.
+#
+# Dispatch IS the bound: when n ≤ _LSH_SEG_TARGET the whole corpus —
+# hence any bucket — already fits one buffer, so the unsegmented r13 plan
+# runs (zero overhead at the bench/driver scales, where a measured
+# always-segment floor cost +63% on dedup_minhash_lsh for nothing); above
+# the target the segmented join runs, so max buffer ≤ ~_LSH_SEG_TARGET
+# members at EVERY corpus size.  The segmented branch is verified by the
+# fuzz equality family below AND by a driver-contract replica run with
+# SPARK_GRAFT_LSH_SEG_TARGET lowered (hash-green vs the DuckDB oracle —
+# recorded in OPTIMIZATION_r14.md), the join_theta_range dispatch
+# precedent.
 # --------------------------------------------------------------------------
-_LSH_SEG_TARGET = int(os.environ.get("SPARK_GRAFT_LSH_SEG_TARGET", "4096"))
+_LSH_SEG_TARGET = int(os.environ.get("SPARK_GRAFT_LSH_SEG_TARGET", "8192"))
 
 
 def _lsh_seg_count(n_rows: int) -> int:
     """Salt-segment count for bucket-grouped LSH candidates: ceil over the
     corpus size so a worst-case bucket (= the whole corpus) still yields
-    ~_LSH_SEG_TARGET members per aggregation buffer; floor 2 keeps the
-    segmented plan shape identical at every scale."""
-    return max(2, -(-n_rows // _LSH_SEG_TARGET))
+    ~_LSH_SEG_TARGET members per aggregation buffer; 1 means unsegmented,
+    which is only reachable when n itself is within the buffer bound."""
+    return max(1, -(-n_rows // _LSH_SEG_TARGET))
 
 
 def _segment_lists(
@@ -287,27 +295,50 @@ def _segmented_bucket_pairs(
     payload_cols: list[str],
     body_sql: str,
     n_rows: int,
+    pin_width: bool = False,
 ) -> DataFrame:
     """All unordered in-bucket pairs with ``body_sql`` (a SQL struct over
     pair members ``a`` and ``b``) evaluated in-row — the bucket-grouped
     candidate expansion of r13, now skew-guarded by salt segmentation.
-    The within-segment half is the r13 expansion verbatim; the cross half
-    joins segment lists on the bucket key with ``seg_a < seg_b``, reusing
-    the segment aggregation's exchange (the signature/banding lineage
-    below it executes once — plan-checked in plans/r14/)."""
-    segs = _segment_lists(spark, banded, keys, id_col, payload_cols, n_rows)
-    within = (
-        segs.filter(F.size("ms") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ms, (a, i) -> "
-                    f"transform(slice(ms, i + 2, size(ms) - i - 1), b -> {body_sql})))"
-                )
-            ).alias("p")
+    Unsegmented corpora (n ≤ _LSH_SEG_TARGET ⇒ every bucket ≤ the buffer
+    bound) run the r13 single-aggregation expansion verbatim.  Otherwise
+    ONE self-join on the bucket key with ``_seg_a <= _seg_b`` produces
+    both halves: diagonal rows (_seg_a = _seg_b) expand the r13
+    within-segment form over ``xs`` alone, off-diagonal rows expand the
+    xs × ys cross product — picked per row by an ``if``.  The join's two
+    branches are the identical segment aggregation, so its exchange (and
+    the whole signature/banding lineage below it) plans once and
+    ReuseExchange dedups it (plan-checked in plans/r14/; the first-cut
+    three-consumer union form measured ~+50% on dedup_minhash_lsh —
+    the union branch defeated exchange reuse and re-ran the signature
+    lineage, the exact r13 disease)."""
+    if _lsh_seg_count(n_rows) == 1:
+        src = banded
+        if pin_width:  # the r13 knn width pin (its unsegmented plan, verbatim)
+            try:
+                shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            except (TypeError, ValueError):
+                shuffle_n = 0
+            src = banded.repartition(
+                max(shuffle_n, spark.sparkContext.defaultParallelism), *keys
+            )
+        buckets = (
+            src.groupBy(*keys)
+            .agg(F.collect_list(F.struct(id_col, *payload_cols)).alias("ms"))
         )
-        .select("p.*")
-    )
+        return (
+            buckets.filter(F.size("ms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ms, (a, i) -> "
+                        f"transform(slice(ms, i + 2, size(ms) - i - 1), b -> {body_sql})))"
+                    )
+                ).alias("p")
+            )
+            .select("p.*")
+        )
+    segs = _segment_lists(spark, banded, keys, id_col, payload_cols, n_rows)
     x = segs.select(
         *[F.col(k).alias(f"_xk{i}") for i, k in enumerate(keys)],
         F.col("_seg").alias("_seg_a"),
@@ -318,19 +349,23 @@ def _segmented_bucket_pairs(
         F.col("_seg").alias("_seg_b"),
         F.col("ms").alias("ys"),
     )
-    cond = (F.col("_seg_a") < F.col("_seg_b"))
+    cond = (F.col("_seg_a") <= F.col("_seg_b"))
     for i in range(len(keys)):
         cond = (F.col(f"_xk{i}") == F.col(f"_yk{i}")) & cond
-    cross = (
+    within_sql = (
+        "flatten(transform(xs, (a, i) -> "
+        f"transform(slice(xs, i + 2, size(xs) - i - 1), b -> {body_sql})))"
+    )
+    cross_sql = f"flatten(transform(xs, a -> transform(ys, b -> {body_sql})))"
+    return (
         x.join(y, cond)
         .select(
             F.explode(
-                F.expr(f"flatten(transform(xs, a -> transform(ys, b -> {body_sql})))")
+                F.expr(f"if(_seg_a = _seg_b, {within_sql}, {cross_sql})")
             ).alias("p")
         )
         .select("p.*")
     )
-    return within.unionByName(cross)
 
 
 #: shared CTE chain up to band signatures (shingles -> minhash -> bands),
@@ -2147,6 +2182,7 @@ def _knn_ivf_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
         "/ (a.nrm * b.nrm) AS cosine_raw)",
         n,
+        pin_width=True,
     )
     return (
         pairs.dropDuplicates(["a_id", "b_id"])  # a pair may collide in >1 band

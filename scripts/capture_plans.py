@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for named queries into plans/r13/.
+"""Capture .explain("formatted") for named queries into plans/r14/.
 
 Usage:
     python scripts/capture_plans.py before|after [name1 name2 ...]
@@ -62,7 +62,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "plans", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
     queries = registry.all_queries()
     for name in names:

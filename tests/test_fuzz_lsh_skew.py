@@ -100,7 +100,8 @@ def test_segmented_pairs_match_unsegmented(spark, seed, monkeypatch):
         texts.append(" ".join(rng.choices(words, k=rng.randint(5, 14))))
     rng.shuffle(texts)
     # lowered target so even this small corpus splits into many segments
-    monkeypatch.setattr(llm, "_LSH_SEG_TARGET", rng.choice([8, 16, 64]))
+    # (10⁹ exercises the helper's unsegmented dispatch branch instead)
+    monkeypatch.setattr(llm, "_LSH_SEG_TARGET", rng.choice([8, 16, 64, 10**9]))
 
     docs = _docs_df(spark, texts)
     banded = llm._minhash_banded(llm._minhash_signatures(spark, docs))
