@@ -1702,17 +1702,18 @@ def similarity_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving pattern — broadcast tiny side, one pass over the corpus."""
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    sumsq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # ONE F.expr SQL string instead of lambda-built higher-order Columns
+    # (r14, the dedup_simhash build treatment — VERDICT order #7): the
+    # lambda form costs dozens of py4j round trips PER FUNNEL BUILD and
+    # this exact arm is built by all seven similarity_search_* variants
+    # plus knn paths; the SQL parses server-side in one call.  Identical
+    # expression tree (same casts, same fold order) ⇒ bit-identical cosine.
+    _ss = "aggregate(transform({c}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    cos = F.expr(
+        "aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        f" / (sqrt({_ss.format(c='qe')}) * sqrt({_ss.format(c='embedding')}))"
     )
-    dot = F.aggregate(
-        F.zip_with("qe", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.sqrt(sumsq("qe")) * F.sqrt(sumsq("embedding")))
     return (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
@@ -2070,8 +2071,11 @@ def _bucketize(
         codes = signs.reshape(len(vs), bands, bits) @ weights
         return pd.Series(list(codes.astype("int32")))
 
+    # "*" passes any caller-attached columns (e.g. the pairwise path's
+    # precomputed nrm, r14) through the explode; every r13 caller passes
+    # exactly (vec_id, embedding), for which this is the same projection
     return emb.select(
-        "vec_id", "embedding", F.posexplode(band_codes("embedding")).alias("band", "bucket")
+        "*", F.posexplode(band_codes("embedding")).alias("band", "bucket")
     )
 
 
@@ -2157,13 +2161,20 @@ def _knn_ivf_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     except (TypeError, ValueError):
         shuffle_n = 0  # "auto" under AQE — the _minhash_signatures convention
     nparts = max(shuffle_n, spark.sparkContext.defaultParallelism)
-    bucketed = _bucketize(spark, emb.repartition(nparts), n=n, dim=dim)
-    sumsq = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    sumsq = F.expr(  # F.expr string build, same tree as the lambda form
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    withnorm = bucketed.withColumn("nrm", F.sqrt(sumsq))
+    # nrm BEFORE the banding explode (r13 verdict order #6): the 64-element
+    # interpreted fold runs once per VECTOR and the 8-byte double rides the
+    # explode, instead of re-folding once per (vector, band) row — same
+    # expression, same double, bit-identical downstream cosines
+    withnorm = _bucketize(
+        spark,
+        emb.repartition(nparts).withColumn("nrm", F.sqrt(sumsq)),
+        n=n,
+        dim=dim,
+    )
     # r14 skew guard (_segmented_bucket_pairs, same treatment as
     # dedup_minhash_lsh): bounded per-segment collect_list buffers; the
     # in-row cosine is the same dot/(nrm·nrm) doubles in the same order

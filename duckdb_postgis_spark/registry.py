@@ -30,132 +30,92 @@ ORACLES: dict[str, str] = {}
 # first refreshes, displaced only by first-verdict additions and
 # changed-code re-entries (changed code outranks refreshes).
 #
-# ROUND-13 ROTATION (this window): CORRECTNESS_r12 came back 50/50 green
-# (rows+schema+hash, 0 err), so all r12 slots rotate out with verdicts
-# standing.  The arithmetic (18 + 13 + 19 = 50):
-#   (a) 18 slots — SIX r13 additions needing first verdicts
-#       (dedup_incremental_embedding + dedup_embedding_index_append —
-#       the embedding twin of the minhash nightly cycle, r12 judge
-#       order #2; geo_polygon_intersects_join — polygon-polygon
-#       ST_Intersects overlay, order #3; lakehouse_manifest_pruned_scan
-#       — manifest-stats file pruning, order #4; text_bpe_train_batched
-#       — top-m non-conflicting merges per round, order #5;
-#       dedup_embedding_index_compact — the semantic cycle's third
-#       leg, beyond-order widening mirroring the minhash compact —
-#       it displaces the LAST (c) slot subquery_scalar_in, which
-#       keeps its r9 verdict and joins the r14 (b) block) and TWELVE
-#       r13 CHANGED-CODE re-entries: dedup_minhash_index_append +
-#       dedup_minhash_index_compact (ensure_minhash_index2 gained the
-#       rmtree crash-recovery path, the r12 ADVICE medium fix);
-#       dedup_embedding_cosine (codes computation factored into
-#       _embed_codes — plan-identical, but changed code outranks
-#       refreshes, the text_bpe_tokenize precedent); and the SEVEN
-#       manifest-reading lakehouse queries whose writers moved to
-#       atomic temp-file + os.replace commits (the r12 ADVICE low fix):
-#       snapshot_time_travel, lakehouse_manifest_diff,
-#       maintenance_vacuum_orphans, lakehouse_delete_vectors,
-#       lakehouse_equality_deletes, lakehouse_compact_deletes,
-#       maintenance_expire_snapshots; and knn_cosine_topk — the
-#       _num_blocks parallelism floor (the r12 order-#6 drift root
-#       cause: 15 cogroup tasks on 32 cores; interleaved median
-#       8.8 s -> 1.28 s at the bench shape) — displacing the last
-#       (c) slot array_map_json to the r14 (b) block; and
-#       sample_hard_negative_mining — the same under-parallelism
-#       class on its LINEAR chunking (5 tasks on 32 cores; chunk
-#       floor 2 x defaultParallelism, corpus never replicated) —
-#       displacing scalar_string_date_math the same way.
-#   (b) 13 slots — the full remaining r8-era tail,
-#       oldest-registered-first (the six r12 late-addition displacees
-#       lead, per the r12 verdict order #1): text_pii_scrub,
-#       text_unigram_likelihood, agg_hll_sketch_merge, agg_histogram,
-#       agg_percentiles, grouping_sets_cube_rollup, window_analytic,
-#       window_rank_topn, sort_limit_topk, pivot_lang_counts,
-#       json_extract_events, join_null_safe, join_bucketed_colocated.
-#       After this window lands, NO registered verdict is older than r9.
-#   (c) 19 slots — the stalest r9 verdicts in registration order
-#       (registration order = the QUERIES dict = load_all's module
-#       order, geo first — which is why geo_transform_27700_to_4326
-#       leads; every lead the r12 verdict named (scan_project,
-#       filter_pred, pricing_summary, join_inner_hash,
-#       join_broadcast_4way) is in the block).
+# ROUND-13 ROTATION: rotated out (50/50 green, CORRECTNESS_r13); its
+# window arithmetic (18 + 13 + 19) and displacement notes live in the r13
+# revision of this file.
 #
-# ROUND-14 ROTATION PLAN (execute at round-14 start): if CORRECTNESS_r13
-# is green, all r13 slots rotate out with verdicts standing.  Window, in
-# order (validate with driver_replica before swapping into PRIORITY):
-#   (a) any r14 additions needing a first driver verdict and any query
-#       whose CODE changes in r14 (changed code outranks refreshes);
-#   (b) the remaining 24 r9-era verdicts in registration order:
-#       distinct_dedup_exact, agg_skew_salted, join_range_bucketed,
-#       events_multigrain_rollup, events_gap_fill_locf,
-#       window_trailing_range, unpivot_metrics, join_skew_salted,
-#       window_rank_distribution, agg_string_bool, agg_corr_exact,
-#       events_funnel, retention_cohorts, sessionize_islands,
-#       events_anomaly_zscore, events_autocorrelation,
-#       agg_mode_per_group, events_changepoint_cusum,
-#       join_semi_bloom_prefilter, agg_approx_percentiles,
-#       schema_evolution_read, stream_hll_distinct_live,
-#       stream_session_live, events_partition_pruned,
-#       subquery_scalar_in, array_map_json, scalar_string_date_math
-#       (the r13 displacees) (order recomputed
-#       from the live registry at r14 start — this list assumes no r13
-#       re-registration reshuffles);
-#   (c) remaining slots to the stalest r10 verdicts in registration
-#       order.
+# ROUND-14 ROTATION (this window): CORRECTNESS_r13 came back 50/50 green,
+# so all r13 slots rotate out with verdicts standing.  The r13 VERDICT's
+# order #1 overrides the staleness plan: the r13 optimization sessions
+# rewrote 24 query paths AFTER the window was frozen by the build half,
+# so those 24 lead (changed-code-outranks-refreshes applied
+# retroactively).  The arithmetic (24 + 18 + 8 = 50):
+#   (a1) the 24 r13-rewritten-but-driver-unverified queries, in the
+#        verdict's listing order (their r13 evidence was the builder's
+#        replica + pytest only; several were rewritten AGAIN this round —
+#        dedup_minhash_lsh/knn_ivf_lsh got the salt-segment skew guard,
+#        similarity_search_ann shares the _bucketize projection change);
+#   (a2) 18 r14 changed-code re-entries: multimodal_image_features (dims
+#        asserts in its kernel; phash twin is already in (a1));
+#        dedup_verify_levenshtein (consumes the skew-guarded minhash pair
+#        set; its cluster/survivorship siblings are in (a1));
+#        agg_approx_percentiles (sketch accuracy retuned);
+#        the 15 stream_*_live/join replays (run_available_now's
+#        state-partition pin became env-overridable — default unchanged,
+#        but changed code outranks refreshes, the text_bpe_tokenize
+#        precedent); and similarity_search_query + _filtered + _binary
+#        (the shared exact-arm cosine moved to an F.expr string build —
+#        bit-identical values, but changed code);
+#   (b)  5 slots to the stalest r9-era verdicts in registration order
+#        (the r13 plan's (b) list head): distinct_dedup_exact,
+#        agg_skew_salted, join_range_bucketed, events_multigrain_rollup,
+#        events_gap_fill_locf.
+#   The remaining r9-era tail (window_trailing_range onward) and the
+#   r10 refreshes carry to r15.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) r13 additions: first driver verdicts --------------------------
-    "dedup_incremental_embedding",
-    "dedup_embedding_index_append",
-    "geo_polygon_intersects_join",
-    "lakehouse_manifest_pruned_scan",
-    "text_bpe_train_batched",
-    "dedup_embedding_index_compact",
-    # -- (a) r13 changed code (changed code outranks refreshes) -----------
-    "dedup_minhash_index_append",
-    "dedup_minhash_index_compact",
-    "dedup_embedding_cosine",
-    "snapshot_time_travel",
-    "lakehouse_manifest_diff",
-    "maintenance_vacuum_orphans",
-    "lakehouse_delete_vectors",
-    "lakehouse_equality_deletes",
-    "lakehouse_compact_deletes",
-    "maintenance_expire_snapshots",
-    "knn_cosine_topk",
-    "sample_hard_negative_mining",
-    # -- (b) the r8-era tail, oldest-registered-first ----------------------
-    "text_pii_scrub",
-    "text_unigram_likelihood",
-    "agg_hll_sketch_merge",
-    "agg_histogram",
-    "agg_percentiles",
-    "grouping_sets_cube_rollup",
-    "window_analytic",
-    "window_rank_topn",
-    "sort_limit_topk",
-    "pivot_lang_counts",
-    "json_extract_events",
-    "join_null_safe",
-    "join_bucketed_colocated",
-    # -- (c) stalest r9 verdicts, registration order -----------------------
-    "geo_transform_27700_to_4326",
-    "pipeline_geo_file_e2e",
-    "join_scd2_point_in_time",
-    "dedup_crosslingual_semantic",
-    "multimodal_meta_stats",
+    # -- (a1) r13-rewritten, driver-unverified (verdict order #1) ----------
+    "dedup_minhash_lsh",
+    "agg_approx_distinct",
+    "geo_knn_join",
+    "embed_pca_power_iteration",
+    "knn_ivf_lsh",
+    "dedup_semdedup_cells",
+    "pipeline_embedding_e2e",
+    "pipeline_geojson_e2e",
+    "dedup_simhash",
+    "similarity_search_ann",
+    "similarity_search_ivf",
+    "similarity_search_ivf_pruned",
+    "similarity_search_quantized",
+    "similarity_search_pq",
+    "agg_quantile_histogram_merge",
+    "agg_heavy_hitters_twophase",
+    "dedup_survivorship_merge",
+    "dedup_cluster_components",
+    "text_bm25_search",
+    "text_collocation_pmi",
+    "multimodal_frame_sample",
+    "multimodal_phash_dedup",
+    "text_bpe_train",
+    "text_bpe_train_apply",
+    # -- (a2) r14 changed code (changed code outranks refreshes) ----------
     "multimodal_image_features",
-    "multimodal_audio_energy",
-    "scan_project",
-    "filter_pred",
-    "pricing_summary",
-    "join_inner_hash",
-    "join_broadcast_4way",
-    "join_left_right_full",
-    "join_semi_anti",
-    "join_theta_range",
-    "join_asof",
-    "join_asof_forward",
-    "agg_cms_topk_merge",
-    "set_ops",
+    "dedup_verify_levenshtein",
+    "agg_approx_percentiles",
+    "stream_tumbling_live",
+    "stream_hll_distinct_live",
+    "stream_cms_topk_live",
+    "stream_sliding_live",
+    "stream_session_live",
+    "stream_watermark_late_live",
+    "stream_dedup_live",
+    "stream_user_state",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_upsert_live",
+    "stream_stream_left_outer",
+    "stream_chained_dedup_agg",
+    "stream_quantile_hist_live",
+    "stream_rate_limit_live",
+    "similarity_search_query",
+    "similarity_search_filtered",
+    "similarity_search_binary",
+    # -- (b) stalest r9-era verdicts, registration order -------------------
+    "distinct_dedup_exact",
+    "agg_skew_salted",
+    "join_range_bucketed",
+    "events_multigrain_rollup",
+    "events_gap_fill_locf",
 )
 DRIVER_WINDOW = 50
 

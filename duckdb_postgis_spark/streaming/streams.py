@@ -233,7 +233,10 @@ def run_available_now(
     # sizes state partitions to the cluster once, at first deploy, the same
     # way — the conf travels with the checkpoint, not the code.
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8"),
+    )
     # At the driver's correctness scale (sf0.01) every replay drains in
     # seconds; at larger sweep scales (sf0.1+) the stream-stream joins
     # legitimately need longer.  Overridable, and NEVER silent: a replay

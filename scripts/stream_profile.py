@@ -36,6 +36,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/stream_profile.json")
     ap.add_argument("--names", default=None)
+    ap.add_argument("--conf", action="append", default=[], help="extra k=v session confs")
     opts = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,6 +61,9 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    for kv in opts.conf:
+        k, v = kv.split("=", 1)
+        spark.conf.set(k, v)
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = registry.all_queries()
